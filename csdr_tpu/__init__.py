@@ -1,0 +1,32 @@
+"""csdr_tpu — a TPU-native software-defined-radio DSP framework.
+
+Brand-new implementation of the capabilities of composable-sdr
+(github.com/mryndzionek/composable-sdr): composable streaming DSP blocks
+(polyphase channelizer, arbitrary resampler, FIR/IIR filters, FM/AM/FSK/GMSK
+demodulators, AGC+squelch, NCO mixers, stereo FM, symbol sync) expressed as
+pure (state, block) → (state, block) JAX transforms, compiled into one jitted
+graph, and sharded over TPU meshes.
+
+This module is the umbrella re-export (reference:
+/root/reference/src/ComposableSDR.hs).
+"""
+
+from .core.block import Block, Chain, chain, Lambda, Tee, PerChannel, MixChannels, Delay
+from .core.runtime import Pipeline, rechunk, take_n
+from .blocks import (
+    mix_up, mix_down, fm_demodulator, am_demodulator, fsk_demodulator,
+    fir_decimator, fir_interpolator, automatic_gain_control, dc_blocker,
+    iir_filter, iir_cfilter, fir_filter, fir_filter_c_kaiser,
+    fir_filter_rnyquist, real_to_complex, complex_to_real,
+    firpfbch_channelizer, resampler, wbfm_demodulator,
+)
+from .io.sources import (
+    cf32_file_source, f32_file_source, wav_iq_source,
+    SdrSource, SyntheticSdrSource, enumerate_devices, open_sdr,
+)
+from .io.sinks import (
+    RawFileSink, StdoutSink, AudioFileSink, ConstellationPlotSink,
+    ChannelFileSinks, NullSink, CollectSink,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,420 @@
+"""DSP block library — Block-protocol equivalents of every liquid-dsp stage
+the reference exports (/root/reference/src/ComposableSDR/Liquid.chs:2-25,
+inventory in SURVEY.md §2b).
+
+Reference export          → here
+------------------------------------------------------------------
+resampler r as            → resampler(rate, as_db)
+symTracker m k            → sym_tracker(m, k)            (models/symsync.py)
+symSyncC m k              → sym_sync_c(m, k)             (models/symsync.py)
+symSyncR k m beta nf      → sym_sync_r(k, m, beta, nf)   (models/symsync.py)
+mixUp f / mixDown f       → mix_up(f) / mix_down(f)
+fmDemodulator kf          → fm_demodulator(kf)
+wbFMDemodulator qr d      → wbfm_demodulator(quad_rate, decim)
+stereoFMDecoder           → models/stereo.py
+amDemodulator             → am_demodulator()
+fskDemodulator m k bw     → fsk_demodulator(m, k, bw)
+gmskDemodulator m k bw    → gmsk_demodulator(m, k, bw)
+fmDemWithSync k           → fm_dem_with_sync(k)          (models/symsync.py)
+firDecimator m            → fir_decimator(m)
+automaticGainControl t    → automatic_gain_control(threshold_db)
+firFilterR / RNyquist     → fir_filter_rnyquist(k, m, beta, mu)
+iirFilter n fc ...        → iir_filter(order, fc)
+iirCFilter n fc ...       → iir_cfilter(order, fc)
+dcBlocker                 → dc_blocker()
+firpfbchChannelizer n     → firpfbch_channelizer(nch)
+realToComplex             → real_to_complex()
+complexToReal             → complex_to_real()
+firFilterCKaiser n fc ... → fir_filter_c_kaiser(n, fc, as_db, mu)
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.block import Block, Chain, Lambda, chain
+from ..ops import agc as agc_ops
+from ..ops import demod as demod_ops
+from ..ops import fir as fir_ops
+from ..ops import hilbert as hilbert_ops
+from ..ops import iir as iir_ops
+from ..ops import nco as nco_ops
+from ..ops import pfb as pfb_ops
+from ..ops import resamp as resamp_ops
+from ..utils import firdes, iirdes
+
+__all__ = [
+    "mix_up", "mix_down", "fm_demodulator", "am_demodulator", "fsk_demodulator",
+    "fir_decimator", "fir_interpolator", "automatic_gain_control", "dc_blocker",
+    "iir_filter", "iir_cfilter", "fir_filter_c_kaiser", "fir_filter",
+    "fir_filter_rnyquist", "real_to_complex", "complex_to_real",
+    "firpfbch_channelizer", "resampler", "wbfm_demodulator",
+]
+
+
+class Mixer(Block):
+    """NCO frequency shift (reference mixUp/mixDown, Liquid.chs:744-809).
+    ``omega`` in radians/sample."""
+
+    def __init__(self, omega: float, up: bool):
+        self.omega = float(omega)
+        self.up = up
+        self.name = f"mix_{'up' if up else 'down'}({omega:.6g})"
+
+    def init(self):
+        return jnp.zeros((), dtype=jnp.float32)
+
+    def apply(self, state, x):
+        return nco_ops.mix_stream(state, x, self.omega, self.up)
+
+
+def mix_up(omega: float) -> Block:
+    return Mixer(omega, up=True)
+
+
+def mix_down(omega: float) -> Block:
+    return Mixer(omega, up=False)
+
+
+class FMDemod(Block):
+    """FM demodulator (reference fmDemodulator, Liquid.chs:303-334)."""
+
+    def __init__(self, kf: float):
+        self.kf = float(kf)
+        self.name = f"fm_demod({kf})"
+
+    def init(self):
+        return jnp.ones((), dtype=jnp.complex64)  # previous sample, zero phase
+
+    def apply(self, state, x):
+        return demod_ops.freqdem_stream(state, x, self.kf)
+
+
+def fm_demodulator(kf: float) -> Block:
+    return FMDemod(kf)
+
+
+class AMDemod(Block):
+    """AM envelope demodulator, mod index 0.8, DSB, carrier present
+    (reference amDemodulator, Liquid.chs:439-469)."""
+
+    def __init__(self, mod_index: float = 0.8, suppressed: bool = False):
+        self.mod_index = mod_index
+        self.suppressed = suppressed
+        self.name = "am_demod"
+
+    def apply(self, state, x):
+        return state, demod_ops.amdem(x, self.mod_index, self.suppressed)
+
+
+def am_demodulator(mod_index: float = 0.8, suppressed: bool = False) -> Block:
+    return AMDemod(mod_index, suppressed)
+
+
+class FSKDemod(Block):
+    """M-FSK demodulator: k input samples → 1 symbol (uint32)
+    (reference fskDemodulator, Liquid.chs:336-382)."""
+
+    def __init__(self, m_bits: int, k: int, bandwidth: float):
+        self.m_bits, self.k, self.bandwidth = m_bits, k, bandwidth
+        self.rate = Fraction(1, k)
+        self.granule = k
+        self.name = f"fsk_demod(m={m_bits},k={k})"
+
+    def apply(self, state, x):
+        return state, demod_ops.fskdem_block(x, self.m_bits, self.k, self.bandwidth)
+
+
+def fsk_demodulator(m_bits: int, k: int, bandwidth: float) -> Block:
+    return FSKDemod(m_bits, k, bandwidth)
+
+
+class FIRFilter(Block):
+    """Same-rate streaming FIR from an explicit tap vector."""
+
+    def __init__(self, taps: np.ndarray, complex_input: bool, name: str = "fir",
+                 scale: float = 1.0, strategy: str = "auto"):
+        self.taps = np.asarray(taps) * scale
+        self.complex_input = complex_input
+        self.strategy = strategy
+        self.name = name
+
+    def init(self):
+        dt = jnp.complex64 if (self.complex_input or np.iscomplexobj(self.taps)) else jnp.float32
+        return jnp.zeros((len(self.taps) - 1,), dtype=dt)
+
+    def apply(self, state, x):
+        return fir_ops.fir_stream(self.taps, state, x, self.strategy)
+
+    def group_delay(self, f: float = 0.0) -> float:
+        return firdes.group_delay(self.taps.real if np.iscomplexobj(self.taps) else self.taps, f)
+
+
+def fir_filter(taps, complex_input=True, **kw) -> FIRFilter:
+    return FIRFilter(taps, complex_input, **kw)
+
+
+def fir_filter_c_kaiser(n: int, fc: float, as_db: float = 60.0, mu: float = 0.0) -> FIRFilter:
+    """Complex FIR, kaiser design, unity passband (the reference composes
+    liquid's raw design with set_scale(2·fc) — Liquid.chs:889-895; our design
+    folds the scale in)."""
+    taps = firdes.kaiser_lowpass(n, fc, as_db, mu)
+    return FIRFilter(taps, complex_input=True, name=f"fir_kaiser({n},{fc:.4g})")
+
+
+def fir_filter_rnyquist(k: int, m: int, beta: float, mu: float = 0.0) -> FIRFilter:
+    """Real GMSK-RX matched filter scaled by 1/k (reference
+    firFilterRNyquist, Liquid.chs:935-941)."""
+    taps = firdes.gmsk_rx(k, m, max(beta, 0.1))
+    return FIRFilter(taps, complex_input=False, scale=1.0, name=f"fir_gmskrx(k={k},m={m})")
+
+
+class FIRDecim(Block):
+    """Kaiser decimating FIR (reference firDecimator, Liquid.chs:471-501:
+    semi-length 10, 60 dB)."""
+
+    def __init__(self, m: int, semilen: int = 10, as_db: float = 60.0,
+                 complex_input: bool = False):
+        self.m = m
+        self.taps = firdes.firdecim_kaiser(m, semilen, as_db)
+        self.complex_input = complex_input
+        self.rate = Fraction(1, m)
+        self.granule = m
+        self.name = f"fir_decim({m})"
+
+    def init(self):
+        dt = jnp.complex64 if self.complex_input else jnp.float32
+        return jnp.zeros((len(self.taps) - 1,), dtype=dt)
+
+    def apply(self, state, x):
+        return fir_ops.fir_decim_stream(self.taps, self.m, state, x)
+
+
+def fir_decimator(m: int, **kw) -> Block:
+    if m == 1:
+        return Lambda(lambda x: x, name="fir_decim(1)")
+    return FIRDecim(m, **kw)
+
+
+class FIRInterp(Block):
+    """Kaiser interpolating FIR (capability extension; liquid has firinterp
+    but the reference CLI never uses it)."""
+
+    def __init__(self, p: int, semilen: int = 10, as_db: float = 60.0,
+                 complex_input: bool = True):
+        self.p = p
+        h = firdes.firdecim_kaiser(p, semilen, as_db) * p
+        self.taps = h
+        self.complex_input = complex_input
+        self.rate = Fraction(p, 1)
+        self.name = f"fir_interp({p})"
+
+    def init(self):
+        dt = jnp.complex64 if self.complex_input else jnp.float32
+        Lsub = -(-len(self.taps) // self.p)
+        return jnp.zeros((Lsub - 1,), dtype=dt)
+
+    def apply(self, state, x):
+        return fir_ops.fir_interp_stream(self.taps, self.p, state, x)
+
+
+def fir_interpolator(p: int, **kw) -> Block:
+    return FIRInterp(p, **kw)
+
+
+class DCBlocker(Block):
+    """IQ DC-notch (reference dcBlocker α=0.0005, Liquid.chs:575-589,
+    applied at the head of every CLI flow)."""
+
+    def __init__(self, alpha: float = 0.0005, complex_input: bool = True):
+        self.alpha = alpha
+        self.complex_input = complex_input
+        self.name = "dc_blocker"
+
+    def init(self):
+        return iir_ops.dc_blocker_init(self.complex_input)
+
+    def apply(self, state, x):
+        return iir_ops.dc_blocker_stream(state, x, self.alpha)
+
+
+def dc_blocker(alpha: float = 0.0005, complex_input: bool = True) -> Block:
+    return DCBlocker(alpha, complex_input)
+
+
+class IIRFilter(Block):
+    """Butterworth IIR prototype (reference iirFilter/iirCFilter,
+    Liquid.chs:600-651; the CLI only ever uses the Butterworth lowpass with
+    Ap/As = 10/10 which liquid ignores for Butterworth)."""
+
+    def __init__(self, order: int, fc: float, complex_input: bool):
+        self.order, self.fc = order, fc
+        self.complex_input = complex_input
+        self.casc = iirdes.sos_to_onepole(iirdes.butter_sos(order, fc), not complex_input)
+        self.name = f"iir_butter({order},{fc:.4g})"
+
+    def init(self):
+        return iir_ops.onepole_cascade_init(self.casc, self.complex_input)
+
+    def apply(self, state, x):
+        return iir_ops.onepole_cascade_stream(self.casc, state, x)
+
+
+def iir_filter(order: int, fc: float, f0: float = 0.0, ap: float = 10.0,
+               as_db: float = 10.0) -> Block:
+    return IIRFilter(order, fc, complex_input=False)
+
+
+def iir_cfilter(order: int, fc: float, f0: float = 0.0, ap: float = 10.0,
+                as_db: float = 10.0) -> Block:
+    return IIRFilter(order, fc, complex_input=True)
+
+
+class AGC(Block):
+    """AGC with squelch (reference automaticGainControl,
+    Liquid.chs:658-728: bw 0.1, signal level 1e-3, timeout 1000)."""
+
+    def __init__(self, squelch_threshold_db: float | None, bandwidth: float = 0.1,
+                 signal_level: float = 1e-3):
+        self.squelch_threshold_db = squelch_threshold_db
+        self.bandwidth = bandwidth
+        self.signal_level = signal_level
+        self.name = f"agc({squelch_threshold_db})"
+
+    def init(self):
+        return agc_ops.agc_init(self.signal_level)
+
+    def apply(self, state, x):
+        return agc_ops.agc_stream(state, x, self.bandwidth, self.squelch_threshold_db)
+
+
+def automatic_gain_control(threshold_db: float) -> Block:
+    return AGC(threshold_db)
+
+
+class RealToComplex(Block):
+    """Real→IQ Hilbert 2:1 (reference realToComplex, Liquid.chs:503-537)."""
+
+    rate = Fraction(1, 2)
+    granule = 2
+    name = "real_to_complex"
+
+    def init(self):
+        return hilbert_ops.real_to_complex_init()
+
+    def apply(self, state, x):
+        return hilbert_ops.real_to_complex_stream(state, x)
+
+
+class ComplexToReal(Block):
+    """IQ→real Hilbert 1:2 (reference complexToReal, Liquid.chs:539-546)."""
+
+    rate = Fraction(2, 1)
+    name = "complex_to_real"
+
+    def init(self):
+        return hilbert_ops.complex_to_real_init()
+
+    def apply(self, state, x):
+        return hilbert_ops.complex_to_real_stream(state, x)
+
+
+def real_to_complex() -> Block:
+    return RealToComplex()
+
+
+def complex_to_real() -> Block:
+    return ComplexToReal()
+
+
+class PFBChannelizer(Block):
+    """Polyphase filterbank channelizer with the reference's NCO pre-shift
+    (reference firpfbchChannelizer, Liquid.chs:811-866): input (n,) complex →
+    output (nch, n/nch); channel k centered at 2π(k − (nch−1)/2)/nch."""
+
+    def __init__(self, nch: int, m: int = 7, as_db: float = 80.0):
+        self.nch, self.m, self.as_db = nch, m, as_db
+        self.rate = Fraction(1, nch)  # per-channel sample rate
+        self.granule = nch
+        self.name = f"pfb_channelizer({nch})"
+
+    def init(self):
+        return (jnp.zeros((), dtype=jnp.float32), pfb_ops.pfb_analyze_init(self.nch, self.m))
+
+    def apply(self, state, x):
+        phase, pfb_state = state
+        phase, shifted = nco_ops.mix_stream(phase, x, pfb_ops.pfb_offset(self.nch), up=False)
+        pfb_state, y = pfb_ops.pfb_analyze_stream(pfb_state, shifted, self.nch, self.m, self.as_db)
+        return (phase, pfb_state), y
+
+
+def firpfbch_channelizer(nch: int, **kw) -> Block:
+    return PFBChannelizer(nch, **kw)
+
+
+class RationalResampler(Block):
+    def __init__(self, P: int, Q: int, as_db: float = 60.0, complex_input: bool = True):
+        self.P, self.Q, self.as_db = P, Q, as_db
+        self.complex_input = complex_input
+        self.rate = Fraction(P, Q)
+        self.granule = Q
+        self.name = f"resamp({P}/{Q})"
+
+    def init(self):
+        dt = jnp.complex64 if self.complex_input else jnp.float32
+        return resamp_ops.rational_resample_init(self.P, self.Q, self.as_db, dt)
+
+    def apply(self, state, x):
+        return resamp_ops.rational_resample_stream(state, x, self.P, self.Q, self.as_db)
+
+
+class HalfbandDecim(Block):
+    """2:1 half-band decimator — one stage of the multi-stage resampler."""
+
+    rate = Fraction(1, 2)
+    granule = 2
+
+    def __init__(self, as_db: float = 60.0, semilen: int = 12, complex_input: bool = True):
+        self.taps = firdes.halfband_kaiser(semilen, as_db) * 2.0
+        self.complex_input = complex_input
+        self.name = "halfband_decim"
+
+    def init(self):
+        dt = jnp.complex64 if self.complex_input else jnp.float32
+        return jnp.zeros((len(self.taps) - 1,), dtype=dt)
+
+    def apply(self, state, x):
+        return fir_ops.fir_decim_stream(self.taps, 2, state, x)
+
+
+def resampler(rate: float, as_db: float = 60.0, complex_input: bool = True) -> Block:
+    """Arbitrary-rate resampler (reference `resampler r as`,
+    Liquid.chs:100-117 wrapping msresamp_crcf): half-band 2:1 stages bring the
+    remaining ratio into (0.5, 1]; a rational polyphase stage finishes.  The
+    requested rate is realized exactly as a rational (SURVEY.md §7 hard part
+    #1: static shapes beat data-dependent output counts)."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    stages: list[Block] = []
+    r = float(rate)
+    while r <= 0.5:
+        stages.append(HalfbandDecim(as_db, complex_input=complex_input))
+        r *= 2.0
+    frac = resamp_ops.rational_approx(r)
+    if frac != 1:
+        stages.append(RationalResampler(frac.numerator, frac.denominator, as_db,
+                                        complex_input))
+    if not stages:
+        return Lambda(lambda x: x, name="resamp(1)")
+    return chain(*stages) if len(stages) > 1 else stages[0]
+
+
+def wbfm_demodulator(quad_rate: float, decim: int) -> Block:
+    """Wideband FM receiver chain (reference wbFMDemodulator,
+    Liquid.chs:653-656): freqdem(kf=0.6) → order-2 Butterworth de-emphasis at
+    5 kHz/quad_rate → kaiser decimator."""
+    deemph = iir_filter(2, 5000.0 / quad_rate)
+    return chain(fm_demodulator(0.6), deemph, fir_decimator(decim))

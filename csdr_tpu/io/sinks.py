@@ -1,0 +1,150 @@
+"""Sample sinks (reference layer L5, /root/reference/src/ComposableSDR/
+Sink.hs): raw CF32/F32 writers, stdout, float WAV/AU audio, constellation-plot
+Octave script.  Sinks are callables fed trimmed numpy pytrees by the runtime;
+`close()` finalizes headers/footers (the runtime's bracketIO equivalent)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from . import wav as wavio
+
+__all__ = [
+    "RawFileSink", "StdoutSink", "AudioFileSink", "ConstellationPlotSink",
+    "ChannelFileSinks", "NullSink", "CollectSink",
+]
+
+
+class SinkBase:
+    def __call__(self, data):
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class RawFileSink(SinkBase):
+    """Raw little-endian sample writer (.cf32 complex64 / .f32 float32) —
+    reference fileSink (Sink.hs:29-34)."""
+
+    def __init__(self, path: str):
+        self.f = open(path, "wb")
+
+    def __call__(self, data):
+        np.asarray(data).tofile(self.f)
+
+    def close(self):
+        self.f.close()
+
+
+class StdoutSink(SinkBase):
+    """reference stdOutSink (Sink.hs:36-39)."""
+
+    def __call__(self, data):
+        sys.stdout.buffer.write(np.asarray(data).tobytes())
+
+    def close(self):
+        sys.stdout.buffer.flush()
+
+
+class AudioFileSink(SinkBase):
+    """Float WAV/AU writer (reference audioFileSink, Sink.hs:64-74).
+    ``fmt`` in {"wav", "au"}; interleaves (n,) mono, (n, ch), or a tuple of
+    per-channel arrays."""
+
+    def __init__(self, path: str, sample_rate: int, channels: int = 1, fmt: str = "wav"):
+        cls = wavio.WavWriter if fmt.lower() == "wav" else wavio.AuWriter
+        ext = "." + fmt.lower()
+        if not path.endswith(ext):
+            path += ext
+        self.w = cls(path, sample_rate, channels)
+        self.path = path
+
+    def __call__(self, data):
+        if isinstance(data, tuple):
+            data = np.stack([np.asarray(d) for d in data], axis=-1)
+        self.w.write(np.asarray(data))
+
+    def close(self):
+        self.w.close()
+
+
+class ConstellationPlotSink(SinkBase):
+    """Emit a GNU Octave scatter-plot script of IQ samples (reference
+    constellationPlotSink, Sink.hs:76-104)."""
+
+    def __init__(self, path: str, max_points: int = 20000):
+        self.f = open(path, "w")
+        self.f.write("clear all; close all;\nv = [];\n")
+        self.base = os.path.splitext(os.path.basename(path))[0]
+        self.left = max_points
+
+    def __call__(self, data):
+        data = np.asarray(data).reshape(-1)
+        take = data[: max(self.left, 0)]
+        self.left -= len(take)
+        for s in take:
+            self.f.write(f"v(end+1) = {s.real:12.4e} + j*{s.imag:12.4e};\n")
+
+    def close(self):
+        self.f.write(
+            "n = length(v);\n"
+            "figure('color','white','position',[100 100 1200 400]);\n"
+            "plot(real(v), imag(v), 'x', 'Color',[0 0.2 0.4]);\n"
+            "xlabel('In-Phase');\nylabel('Quadrature');\ngrid on;\n"
+            f'print -dpng -color "-S1200,600" {self.base}.png\n'
+        )
+        self.f.close()
+
+
+class ChannelFileSinks(SinkBase):
+    """Fan a (nch, n) channelized block to per-channel sinks — the runtime
+    equivalent of the reference's `distribute_ sinks`
+    (apps/SoapySDR.hs:224-225: files named name_ch1..name_chN)."""
+
+    def __init__(self, make_sink, nch: int):
+        self.sinks = [make_sink(i) for i in range(nch)]
+
+    def __call__(self, data):
+        arr = np.asarray(data)
+        for i, s in enumerate(self.sinks):
+            s(arr[i])
+
+    def close(self):
+        for s in self.sinks:
+            s.close()
+
+
+class NullSink(SinkBase):
+    def __init__(self):
+        self.samples = 0
+
+    def __call__(self, data):
+        import jax
+
+        for leaf in jax.tree.leaves(data):
+            self.samples += np.asarray(leaf).shape[-1]
+
+
+class CollectSink(SinkBase):
+    """Accumulate outputs in memory (tests)."""
+
+    def __init__(self):
+        self.parts: list = []
+
+    def __call__(self, data):
+        self.parts.append(data)
+
+    def concat(self):
+        import jax
+
+        return jax.tree.map(lambda *xs: np.concatenate(xs, axis=-1), *self.parts)

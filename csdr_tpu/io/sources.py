@@ -1,0 +1,160 @@
+"""Sample sources.
+
+Reference layer L4 (/root/reference/src/ComposableSDR/Source.chs): SoapySDR
+device streams, raw CF32 files, and WAV audio files lifted to IQ.  Here every
+source is a plain iterator of numpy arrays feeding core/runtime.Pipeline; the
+native C++ double-buffered file reader (native/csdr_io.cpp) is used when built,
+with a numpy fallback.
+
+The SDR-device source is a pluggable interface: real SoapySDR hardware does
+not exist in a TPU pod, so `SdrSource` defines the protocol (open/read/close,
+MTU-sized reads, CF32) and `SyntheticSdrSource` provides a deterministic
+stand-in used by tests and demos.  A SoapySDR-backed implementation can
+register via `register_sdr_driver`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator
+
+import numpy as np
+
+from . import wav as wavio
+
+__all__ = [
+    "cf32_file_source",
+    "f32_file_source",
+    "wav_iq_source",
+    "SdrSource",
+    "SyntheticSdrSource",
+    "register_sdr_driver",
+    "enumerate_devices",
+    "open_sdr",
+]
+
+_CHUNK = 1 << 18
+
+
+def cf32_file_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]:
+    """Stream complex64 samples from a raw .cf32 file (reference
+    readFromFile, Source.chs:259-271; default chunk 1024 there — we default
+    much larger because the consumer re-blocks anyway)."""
+    try:
+        from .native import native_cf32_source
+        yield from native_cf32_source(path, chunk_size)
+        return
+    except Exception:
+        pass
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(chunk_size * 8)
+            if not raw:
+                return
+            yield np.frombuffer(raw, dtype=np.complex64)
+
+
+def f32_file_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]:
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(chunk_size * 4)
+            if not raw:
+                return
+            yield np.frombuffer(raw, dtype=np.float32)
+
+
+def wav_iq_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]:
+    """Mono WAV → IQ: Hilbert real→complex (2:1) then mix by π, exactly the
+    reference's audio-file source (Source.chs:273-307: realToComplex then
+    mixUp(2π·0.5)).  Raises on non-mono input like the reference
+    (Source.chs:283)."""
+    import jax.numpy as jnp
+    from ..core.block import chain
+    from ..blocks import real_to_complex, mix_up
+
+    data, _sr = wavio.read_wav(path)
+    if data.ndim != 1:
+        raise ValueError("wav_iq_source: only mono WAV supported (like the reference)")
+    blk = chain(real_to_complex(), mix_up(np.pi))
+    state = blk.init()
+    n = (chunk_size * 2 // blk.granule) * blk.granule
+    for i in range(0, len(data), n):
+        seg = data[i:i + n]
+        pad = (-len(seg)) % blk.granule
+        valid = len(seg) // 2
+        if pad:
+            seg = np.pad(seg, (0, pad))
+        state, y = blk.apply(state, jnp.asarray(seg))
+        yield np.asarray(y)[:valid]
+
+
+class SdrSource:
+    """Device-source protocol (reference SoapySDR wrapper,
+    Source.chs:103-257: enumerate/open/configure, CF32 stream, MTU reads,
+    1 s timeout, graceful end-of-stream on timeout)."""
+
+    mtu: int = 1 << 17
+
+    def read(self) -> np.ndarray | None:
+        """One MTU-sized CF32 chunk, or None on timeout (ends the stream —
+        matching the reference's timeout semantics, Source.chs:226-233)."""
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            chunk = self.read()
+            if chunk is None or len(chunk) == 0:
+                self.close()
+                return
+            yield chunk
+
+
+class SyntheticSdrSource(SdrSource):
+    """Deterministic multi-tone + noise 'device' for tests/demos."""
+
+    def __init__(self, sample_rate: float = 2.56e6, frequency: float = 100e6,
+                 gain: float = 0.0, total_samples: int = 1 << 22, seed: int = 0,
+                 tones: tuple[float, ...] = (-0.3, -0.05, 0.1, 0.27)):
+        self.sample_rate = sample_rate
+        self.frequency = frequency
+        self.gain = gain
+        self.remaining = total_samples
+        self.rng = np.random.default_rng(seed)
+        self.tones = tones
+        self.n = 0
+
+    def read(self):
+        if self.remaining <= 0:
+            return None
+        m = min(self.mtu, self.remaining)
+        t = np.arange(self.n, self.n + m)
+        x = np.zeros(m, dtype=np.complex128)
+        for i, f in enumerate(self.tones):
+            x += (0.5 / (i + 1)) * np.exp(2j * np.pi * np.mod(f * t, 1.0))
+        x += 0.01 * (self.rng.normal(size=m) + 1j * self.rng.normal(size=m))
+        self.n += m
+        self.remaining -= m
+        return x.astype(np.complex64)
+
+
+_DRIVERS: dict[str, Callable[..., SdrSource]] = {"synthetic": SyntheticSdrSource}
+
+
+def register_sdr_driver(name: str, factory: Callable[..., SdrSource]):
+    _DRIVERS[name] = factory
+
+
+def enumerate_devices() -> list[dict]:
+    """List available 'devices' (reference CS.enumerate, Source.chs:109-121)."""
+    devs = [{"driver": name} for name in _DRIVERS]
+    return devs
+
+
+def open_sdr(devname: str, sample_rate: float, frequency: float, gain: float,
+             **kw) -> SdrSource:
+    if devname not in _DRIVERS:
+        raise KeyError(f"SDR driver {devname!r} not found; have {list(_DRIVERS)}")
+    return _DRIVERS[devname](sample_rate=sample_rate, frequency=frequency, gain=gain, **kw)

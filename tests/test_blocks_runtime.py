@@ -1,0 +1,135 @@
+"""Block composition, rate algebra, and the streaming runtime end-to-end."""
+
+import numpy as np
+import pytest
+from fractions import Fraction
+
+import jax.numpy as jnp
+
+import csdr_tpu as cs
+from csdr_tpu.core.runtime import Pipeline, rechunk, take_n
+from csdr_tpu.utils import testsig
+
+
+def test_rechunk_exact_blocks():
+    chunks = [np.arange(i * 10, i * 10 + 10) for i in range(10)]
+    out = list(rechunk(iter(chunks), 32))
+    assert [len(c) for c in out] == [32, 32, 32, 4]
+    assert np.array_equal(np.concatenate(out), np.arange(100))
+
+
+def test_take_n():
+    chunks = [np.arange(50)] * 3
+    out = np.concatenate(list(take_n(iter(chunks), 120)))
+    assert len(out) == 120
+
+
+def test_chain_rate_and_granule():
+    g = cs.chain(cs.fir_decimator(4), cs.fir_decimator(5))
+    assert g.rate == Fraction(1, 20)
+    assert g.granule == 20
+    g2 = cs.chain(cs.firpfbch_channelizer(8), cs.fir_decimator(2, complex_input=True))
+    assert g2.granule == 16
+    assert g2.rate == Fraction(1, 16)
+
+
+def test_pipeline_decim_chain_sample_accounting():
+    """Exact sample accounting through a rate-changing graph — the analogue of
+    the reference's 6,400,000-byte invariant (README.md:191-192)."""
+    n_in = 100_000
+    blk = cs.chain(cs.dc_blocker(), cs.fm_demodulator(0.6), cs.fir_decimator(8))
+    pipe = Pipeline(blk, block_size=1 << 14)
+    src = (np.ones(3000, np.complex64) for _ in range(40))  # 120k samples
+    sink = cs.CollectSink()
+    total = pipe.run(src, sink, num_samples=n_in)
+    assert total == n_in // 8
+    out = sink.concat()
+    assert out.shape[-1] == n_in // 8
+
+
+def test_pipeline_wbfm_end_to_end_snr():
+    """Config-1 slice (BASELINE.json): FM mod → [dcBlocker → WBFM demod chain]
+    → audio, SNR-verified."""
+    fs = 256_000.0
+    decim = 8
+    rng = np.random.default_rng(0)
+    n = 1 << 18
+    from scipy.signal import firwin, lfilter
+    msg = lfilter(firwin(301, 2 * 3000.0 / fs), [1.0], rng.normal(size=n))
+    msg = (msg / (3.0 * np.max(np.abs(msg)))).astype(np.float32)
+    iq = testsig.fm_mod(msg, 0.6)
+
+    blk = cs.chain(cs.dc_blocker(), cs.wbfm_demodulator(fs, decim))
+    pipe = Pipeline(blk, block_size=1 << 15)
+    sink = cs.CollectSink()
+    total = pipe.run(iter([iq]), sink)
+    audio = np.asarray(sink.concat())
+    assert total == n // decim
+
+    # oracle: demod + de-emphasis + decimating filter in float64
+    import scipy.signal as sig
+    from csdr_tpu.utils.iirdes import butter_sos
+    from csdr_tpu.utils.firdes import firdecim_kaiser
+    d = np.angle(iq[1:] * np.conj(iq[:-1])) / (2 * np.pi * 0.6)
+    d = np.concatenate([[0.0], d])
+    de = sig.sosfilt(butter_sos(2, 5000.0 / fs), d)
+    ref = sig.lfilter(firdecim_kaiser(decim, 10, 60.0), [1.0], de)[::decim]
+    snr = testsig.snr_db(ref[100:], audio[100:])
+    assert snr > 40.0, snr
+
+
+def test_channelizer_pipeline_with_per_channel_demod():
+    """Channelize 4 channels, vmap FM demod per channel, mix to one stream
+    (the reference's --mix path, apps/SoapySDR.hs:218-222)."""
+    nch = 4
+    n = nch * 4 * 4096
+    # tone in channel 2, FM-modulated
+    rng = np.random.default_rng(1)
+    from scipy.signal import firwin, lfilter
+    msg = lfilter(firwin(101, 0.1), [1.0], rng.normal(size=n // nch))
+    msg = (msg / (4 * np.max(np.abs(msg)))).astype(np.float32)
+    bb = testsig.fm_mod(msg, 0.3)
+    f2 = (2 - (nch - 1) / 2.0) / nch
+    t = np.arange(n)
+    iq = (np.repeat(bb, nch)[:n] * np.exp(2j * np.pi * np.mod(f2 * t, 1.0))).astype(np.complex64)
+    # NOTE: repeating bb by nch gives it narrow bandwidth at the full rate
+
+    graph = cs.chain(
+        cs.firpfbch_channelizer(nch),
+        cs.PerChannel(cs.fm_demodulator(0.3), nch),
+    )
+    pipe = Pipeline(graph, block_size=1 << 14)
+    sink = cs.CollectSink()
+    pipe.run(iter([iq]), sink)
+    y = sink.concat()
+    assert y.shape[0] == nch
+    # channel 2 should carry the message
+    snr = testsig.snr_db(msg[200:], np.asarray(y[2])[200:])
+    assert snr > 15.0, snr
+
+
+def test_mix_channels_block():
+    nch, F = 4, 128
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(nch, F)).astype(np.float32))
+    blk = cs.MixChannels()
+    _, y = blk.apply((), x)
+    assert np.allclose(np.asarray(y), np.asarray(x).sum(axis=0))
+
+
+def test_delay_block_pairs_with_delayed_copy():
+    d = cs.Delay(3)
+    st = d.init()
+    x1 = jnp.arange(8, dtype=jnp.float32)
+    st, (a, b) = d.apply(st, x1)
+    assert np.array_equal(np.asarray(b), [0, 0, 0, 0, 1, 2, 3, 4])
+    x2 = jnp.arange(8, 16, dtype=jnp.float32)
+    st, (a2, b2) = d.apply(st, x2)
+    assert np.array_equal(np.asarray(b2), [5, 6, 7, 8, 9, 10, 11, 12])
+
+
+def test_tee_block():
+    t = cs.Tee(cs.fm_demodulator(0.5), cs.am_demodulator())
+    st = t.init()
+    x = jnp.asarray(testsig.tone(64, 0.1))
+    st, (y1, y2) = t.apply(st, x)
+    assert y1.shape == y2.shape == (64,)

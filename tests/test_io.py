@@ -1,0 +1,87 @@
+"""WAV/AU codecs, file sources/sinks, synthetic SDR source."""
+
+import numpy as np
+
+import csdr_tpu as cs
+from csdr_tpu.io import wav as wavio
+
+
+def test_wav_roundtrip_mono(tmp_path):
+    p = str(tmp_path / "t.wav")
+    x = np.random.default_rng(0).normal(size=1000).astype(np.float32) * 0.5
+    wavio.write_wav(p, x, 48000)
+    y, sr = wavio.read_wav(p)
+    assert sr == 48000
+    assert np.array_equal(x, y)
+
+
+def test_wav_roundtrip_stereo(tmp_path):
+    p = str(tmp_path / "t2.wav")
+    x = np.random.default_rng(1).normal(size=(500, 2)).astype(np.float32) * 0.5
+    wavio.write_wav(p, x, 24000)
+    y, sr = wavio.read_wav(p)
+    assert y.shape == (500, 2)
+    assert np.array_equal(x, y)
+
+
+def test_au_roundtrip(tmp_path):
+    p = str(tmp_path / "t.au")
+    x = np.random.default_rng(2).normal(size=256).astype(np.float32)
+    wavio.write_au(p, x, 8000)
+    y, sr = wavio.read_au(p)
+    assert sr == 8000
+    assert np.array_equal(x, y)
+
+
+def test_cf32_source_sink_roundtrip(tmp_path):
+    p = str(tmp_path / "x.cf32")
+    x = (np.random.default_rng(3).normal(size=5000)
+         + 1j * np.random.default_rng(4).normal(size=5000)).astype(np.complex64)
+    with cs.RawFileSink(p) as sink:
+        sink(x)
+    got = np.concatenate(list(cs.cf32_file_source(p, chunk_size=777)))
+    assert np.array_equal(got, x)
+
+
+def test_wav_iq_source(tmp_path):
+    from csdr_tpu.utils import testsig
+    p = str(tmp_path / "audio.wav")
+    x = testsig.tone(8192, 0.1, complex_out=False) * 0.5
+    wavio.write_wav(p, x, 48000)
+    iq = np.concatenate(list(cs.wav_iq_source(p, chunk_size=1024)))
+    assert iq.shape[0] == 4096
+    assert iq.dtype == np.complex64
+    # tone at 0.1 of original rate → (0.2 of new rate, then mixed by π → 0.2-0.5 → -0.3)
+    spec = np.abs(np.fft.fft(iq[512:4096 + 512 - 1024]))
+    f = np.fft.fftfreq(len(spec))
+    peak_f = f[np.argmax(spec)]
+    assert abs(peak_f - (-0.3)) < 0.01, peak_f
+
+
+def test_synthetic_sdr_source():
+    devs = cs.enumerate_devices()
+    assert {"driver": "synthetic"} in devs
+    src = cs.open_sdr("synthetic", 2.56e6, 100e6, 0.0, total_samples=300_000)
+    total = sum(len(c) for c in src)
+    assert total == 300_000
+
+
+def test_channel_file_sinks(tmp_path):
+    nch = 4
+    sink = cs.ChannelFileSinks(
+        lambda i: cs.RawFileSink(str(tmp_path / f"out_ch{i + 1}.cf32")), nch)
+    data = np.arange(nch * 100).reshape(nch, 100).astype(np.complex64)
+    sink(data)
+    sink.close()
+    for i in range(nch):
+        got = np.fromfile(str(tmp_path / f"out_ch{i + 1}.cf32"), dtype=np.complex64)
+        assert np.array_equal(got, data[i])
+
+
+def test_constellation_sink(tmp_path):
+    p = str(tmp_path / "c.m")
+    with cs.ConstellationPlotSink(p, max_points=10) as sink:
+        sink(np.ones(20, np.complex64))
+    text = open(p).read()
+    assert text.count("v(end+1)") == 10
+    assert "print -dpng" in text
