@@ -1,0 +1,254 @@
+"""Multi-chip sharded channelized receiver step.
+
+The reference is strictly single-threaded (SURVEY.md §2c); the TPU build's
+north star (BASELINE.json) shards the 64-channel channelize+demod pipeline
+over a device mesh:
+
+  * axis 'time': the input block is split into contiguous time segments, one
+    per device (the sequence-parallel/data-parallel axis).  Every stateful
+    stage needs its left neighbor's tail — exchanged with ONE
+    `lax.ppermute` halo per stage, riding ICI.
+  * axis 'ch':  the DFT across PFB branches is a matmul against W (nch×nch);
+    each device multiplies only its column shard → channels end up sharded
+    (the tensor-parallel axis), and the per-channel demod/audio chain runs on
+    local channels only.
+
+Recurrences (DC blocker) cross device boundaries exactly: each device solves
+with zero carry, the per-device end values are all-gathered ('time' — d
+scalars), and the true incoming carry is reconstructed in closed form
+(y_in[i] = a^{n·i}·y₀ + Σ_{j<i} a^{n(i−1−j)}·w_end[j]) — the distributed
+extension of ops/linrec's blocked algorithm.
+
+The carried global state is replicated; after the step each tail is taken
+from the *last* time-device (mask + psum) so streaming across successive
+blocks is exact regardless of the mesh shape — verified against the
+single-device Pipeline in tests/test_sharding.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import linrec as linrec_ops
+from ..ops import pfb as pfb_ops
+from ..ops.nco import phase_ramp, phase_increment
+from ..utils.firdes import firdecim_kaiser
+
+__all__ = ["ShardedChannelizedFM", "make_mesh"]
+
+_TWO_PI = 2.0 * np.pi
+
+
+def make_mesh(n_devices: int | None = None, time_axis: int | None = None):
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if time_axis is None:
+        # prefer more time-shards than channel-shards
+        ch = 1
+        for c in (4, 2, 1):
+            if n % c == 0 and c <= n:
+                ch = c
+                break
+        time_axis = n // ch
+    ch = n // time_axis
+    return Mesh(np.asarray(devs).reshape(time_axis, ch), ("time", "ch"))
+
+
+@dataclass
+class ShardedChannelizedFM:
+    """dcBlocker → NCO pre-shift → PFB(nch) → per-channel FM demod
+    (→ per-channel audio decimator), sharded over Mesh('time','ch')."""
+
+    mesh: Mesh
+    nch: int
+    block_size: int          # global samples per step
+    kf: float = 0.6
+    m: int = 7               # PFB taps/branch semi-length (reference spec 7)
+    as_db: float = 80.0
+    audio_decim: int = 1
+    dc_alpha: float = 0.0005
+
+    def __post_init__(self):
+        self.dt = self.mesh.shape["time"]
+        self.dc = self.mesh.shape["ch"]
+        assert self.nch % self.dc == 0, (self.nch, self.dc)
+        self.nloc = self.block_size // self.dt
+        assert self.block_size % (self.dt * self.nch * self.audio_decim) == 0
+        assert self.nloc % self.nch == 0
+        self.nch_loc = self.nch // self.dc
+        self.L = 2 * self.m
+        self.pfb_halo = self.L * self.nch - 1  # (nch−1) frame + (L−1) branch frames
+        self.fir_taps = (firdecim_kaiser(self.audio_decim, 10, 60.0).astype(np.float32)
+                         if self.audio_decim > 1 else None)
+        # single-ppermute halo exchange requires each stage's halo to fit in
+        # one neighbor segment
+        assert self.nloc >= self.pfb_halo, (self.nloc, self.pfb_halo)
+        if self.fir_taps is not None:
+            f_loc = self.nloc // self.nch
+            assert f_loc >= len(self.fir_taps) - 1, (f_loc, len(self.fir_taps))
+        self._step = jax.jit(
+            jax.shard_map(
+                self._local_step,
+                mesh=self.mesh,
+                in_specs=(P(), P("time")),
+                out_specs=(P(), P("ch", "time")),
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+
+    # ---- state ------------------------------------------------------------
+    def init(self):
+        K = len(self.fir_taps) - 1 if self.fir_taps is not None else 0
+        return dict(
+            dc_x=jnp.zeros((), jnp.complex64),
+            dc_y=jnp.zeros((), jnp.complex64),
+            phase=jnp.zeros((), jnp.float32),
+            pfb_tail=jnp.zeros((self.pfb_halo,), jnp.complex64),
+            demod_last=jnp.ones((self.nch,), jnp.complex64),
+            fir_tail=jnp.zeros((self.nch, K), jnp.float32),
+        )
+
+    def input_sharding(self):
+        return NamedSharding(self.mesh, P("time"))
+
+    def output_sharding(self):
+        return NamedSharding(self.mesh, P("ch", "time"))
+
+    def step(self, state, x):
+        """x: (block_size,) complex64 sharded P('time') →
+        (state, audio (nch, block_size/nch/audio_decim) sharded P('ch','time'))."""
+        return self._step(state, x)
+
+    # ---- helpers ----------------------------------------------------------
+    def _left_halo(self, x_local, tail_carry, halo: int):
+        """Last `halo` samples of the left time-neighbor (device 0 gets the
+        carried global tail).  x_local: (..., nloc_like) — 1-D only here."""
+        ti = jax.lax.axis_index("time")
+        tail = x_local[-halo:]
+        left = jax.lax.ppermute(tail, "time", [(j, j + 1) for j in range(self.dt - 1)])
+        return jnp.where(ti == 0, tail_carry, left)
+
+    def _from_last_device(self, val):
+        """Replicate `val` taken from the last time-device (and ch 0)."""
+        ti = jax.lax.axis_index("time")
+        ci = jax.lax.axis_index("ch")
+        masked = jnp.where(jnp.logical_and(ti == self.dt - 1, ci == 0), val,
+                           jnp.zeros_like(val))
+        return jax.lax.psum(jax.lax.psum(masked, "time"), "ch")
+
+    # ---- the sharded step -------------------------------------------------
+    def _local_step(self, state, x):
+        ti = jax.lax.axis_index("time")
+        ci = jax.lax.axis_index("ch")
+        nloc = self.nloc
+
+        # ---- DC blocker (distributed linear recurrence) ----
+        r = 1.0 - self.dc_alpha
+        g = np.float32((1.0 + r) / 2.0)
+        prev_last = self._left_halo(x, state["dc_x"][None], 1)
+        prev = jnp.concatenate([prev_last, x[:-1]])
+        forcing = g * (x - prev)
+        w = linrec_ops.linrec(forcing, float(r), jnp.zeros((), jnp.complex64))
+        w_end = w[-1]
+        ends = jax.lax.all_gather(w_end, "time")  # (dt,)
+        j = jnp.arange(self.dt)
+        expo = jnp.maximum((ti - 1 - j) * nloc, 0)
+        coef = jnp.where(j < ti, jnp.power(np.float32(r), expo.astype(jnp.float32)), 0.0)
+        y_in = jnp.power(np.float32(r), (ti * nloc).astype(jnp.float32)) * state["dc_y"] \
+            + jnp.sum(coef.astype(jnp.complex64) * ends)
+        apow = jnp.asarray(_apow_vec(float(r), nloc))
+        xdc = w + apow.astype(jnp.complex64) * y_in
+        new_dc_x = self._from_last_device(x[-1])
+        new_dc_y = self._from_last_device(xdc[-1])
+
+        # ---- NCO pre-shift (global phase from axis index) ----
+        omega = pfb_ops.pfb_offset(self.nch)
+        ramp = jnp.asarray(phase_ramp(float(omega), nloc))
+        delta = np.float32(phase_increment(float(omega), nloc))
+        theta = state["phase"] + delta * ti.astype(jnp.float32) + ramp
+        xs = xdc * jnp.exp(-1j * theta).astype(jnp.complex64)
+        new_phase = jnp.mod(state["phase"] + delta * np.float32(self.dt), _TWO_PI)
+
+        # ---- PFB polyphase + sharded DFT matmul ----
+        halo = self._left_halo(xs, state["pfb_tail"], self.pfb_halo)
+        xfull = jnp.concatenate([halo[-(self.nch - 1):] if self.nch > 1 else halo[:0], xs])
+        F = nloc // self.nch
+        v = xfull[: F * self.nch].reshape(F, self.nch)[:, ::-1]
+        # branch FIR history from halo: build previous (L−1) frames
+        vh_src = jnp.concatenate([halo, xs])  # pfb_halo + nloc samples
+        # frames immediately before our segment: take the nch-aligned frames in halo
+        prev_frames = vh_src[: (self.L - 1) * self.nch + self.nch - 1]
+        vprev = prev_frames[: (self.L - 1) * self.nch].reshape(self.L - 1, self.nch)[:, ::-1]
+        taps = jnp.asarray(pfb_ops.pfb_taps(self.nch, self.m, self.as_db))
+        vfull = jnp.concatenate([vprev, v], axis=0)
+        u = None
+        for l in range(self.L):
+            seg = vfull[self.L - 1 - l: self.L - 1 - l + F]
+            term = seg * taps[l][None, :]
+            u = term if u is None else u + term
+        W = jnp.asarray(pfb_ops.pfb_dft_matrix(self.nch))
+        Wshard = jax.lax.dynamic_slice_in_dim(W, ci * self.nch_loc, self.nch_loc, axis=1)
+        d = (u @ Wshard).T  # (nch_loc, F)
+        new_pfb_tail = self._from_last_device(xs[-self.pfb_halo:])
+
+        # ---- per-channel FM demod (1-frame halo) ----
+        dml = jax.lax.dynamic_slice_in_dim(state["demod_last"], ci * self.nch_loc,
+                                           self.nch_loc, axis=0)
+        last_frame = jax.lax.ppermute(d[:, -1], "time",
+                                      [(jj, jj + 1) for jj in range(self.dt - 1)])
+        prev0 = jnp.where(ti == 0, dml, last_frame)
+        prevs = jnp.concatenate([prev0[:, None], d[:, :-1]], axis=1)
+        audio = jnp.angle(d * jnp.conj(prevs)) * np.float32(1.0 / (_TWO_PI * self.kf))
+        # reassemble the full demod_last (nch,) from channel shards
+        dl_shards = jax.lax.all_gather(d[:, -1], "ch")  # (dc, nch_loc)
+        new_demod_last = self._from_last_device_time_only(dl_shards.reshape(self.nch))
+
+        # ---- optional per-channel audio decimator ----
+        if self.fir_taps is not None:
+            K = len(self.fir_taps)
+            ft = jax.lax.dynamic_slice_in_dim(state["fir_tail"], ci * self.nch_loc,
+                                              self.nch_loc, axis=0)
+            tail = audio[:, -(K - 1):]
+            left = jax.lax.ppermute(tail, "time", [(jj, jj + 1) for jj in range(self.dt - 1)])
+            hist = jnp.where(ti == 0, ft, left)
+            afull = jnp.concatenate([hist, audio], axis=1)
+            M = self.audio_decim
+            nout = audio.shape[1] // M
+            acc = None
+            for k in range(K):
+                seg = afull[:, K - 1 - k: K - 1 - k + audio.shape[1]:M][:, :nout]
+                term = seg * np.float32(self.fir_taps[k])
+                acc = term if acc is None else acc + term
+            tails = jax.lax.all_gather(audio[:, -(K - 1):], "ch")  # (dc, nch_loc, K-1)
+            new_fir_tail = self._from_last_device_time_only(
+                tails.reshape(self.nch, K - 1))
+            audio = acc
+        else:
+            new_fir_tail = state["fir_tail"]
+
+        new_state = dict(
+            dc_x=new_dc_x, dc_y=new_dc_y, phase=new_phase,
+            pfb_tail=new_pfb_tail, demod_last=new_demod_last,
+            fir_tail=new_fir_tail,
+        )
+        return new_state, audio
+
+    def _from_last_device_time_only(self, val):
+        ti = jax.lax.axis_index("time")
+        masked = jnp.where(ti == self.dt - 1, val, jnp.zeros_like(val))
+        s = jax.lax.psum(masked, "time")
+        # already identical across 'ch' (all_gather'ed) — divide not needed
+        return s
+
+
+@functools.lru_cache(maxsize=None)
+def _apow_vec(a: float, n: int) -> np.ndarray:
+    return np.power(a, np.arange(1, n + 1)).astype(np.float32)
