@@ -1,0 +1,206 @@
+"""soapy-sdr — the reference CLI re-implemented on the TPU runtime.
+
+Drop-in flag surface of /root/reference/apps/SoapySDR.hs:60-143, including the
+Haskell-`Read`-style --demod strings:
+
+    --demod "DeNBFM 0.6 WAV" | "DeWBFM 8 WAV" | "DeFMS 8 WAV"
+            | "DeNBFMSync 10" | "DeAM AU" | "DeNo"
+
+Flow assembly mirrors sdrProcess/assembleFold (apps/SoapySDR.hs:181-283):
+source → offset mixer → resampler → takeN → dcBlocker →
+{demod | channelizer → per-channel (agc→demod) → per-channel sinks | mix}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .. import blocks as B
+from ..core.block import Lambda, MixChannels, PerChannel, chain
+from ..core.runtime import Pipeline
+from ..io import sinks as S
+from ..io import sources as SRC
+
+__all__ = ["main", "build_parser", "run_opts"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="soapy-sdr",
+        description="Process samples from an SDR (or IQ/WAV file) — TPU-native",
+    )
+    p.add_argument("--filename", metavar="NAME", help="Input (CF32) file name")
+    p.add_argument("--chunksize", type=int, default=1024, metavar="INT",
+                   help="Chunk size in CF32 samples")
+    p.add_argument("--devname", default="rtlsdr", metavar="NAME",
+                   help="Soapy device/driver name")
+    p.add_argument("-f", "--frequency", type=float, default=100.0e6, metavar="DOUBLE",
+                   help="Rx frequency in Hz")
+    p.add_argument("-g", "--gain", type=float, default=0.0, metavar="DOUBLE",
+                   help="SDR gain level (0 = auto)")
+    p.add_argument("-s", "--samplerate", type=float, default=2.56e6, metavar="DOUBLE",
+                   help="Sample rate in Hz")
+    p.add_argument("--offset", type=float, default=0.0, metavar="DOUBLE",
+                   help="Offset frequency in Hz")
+    p.add_argument("-b", "--bandwidth", type=float, default=0.0, metavar="DOUBLE",
+                   help="Desired output bandwidth in Hz (0 = samplerate = no resampling)")
+    p.add_argument("-n", "--numsamples", type=int, default=1024, metavar="INT",
+                   help="Number of samples to capture")
+    p.add_argument("-o", "--output", default="output", metavar="FILENAME",
+                   help="Output file(s) name (without extension)")
+    p.add_argument("--demod", default="DeNo", metavar="DEMOD",
+                   help='Demodulation type, e.g. "DeNBFM 0.6 WAV"')
+    p.add_argument("-a", "--agc", type=float, default=0.0, metavar="DOUBLE",
+                   help="Enable AGC with squelch threshold in dB (0 = no AGC)")
+    p.add_argument("-c", "--channels", type=int, default=1, metavar="INT",
+                   help="Number of channels to split the signal into")
+    p.add_argument("-m", "--mix", action="store_true",
+                   help="Mix the channels into one output instead of per-channel files")
+    p.add_argument("--blocksize", type=int, default=1 << 20,
+                   help="Device block size in samples (TPU-side; not in the reference)")
+    return p
+
+
+def parse_demod(s: str):
+    """Parse the reference's Haskell-Read Demod syntax
+    (apps/SoapySDR.hs:19-29)."""
+    toks = s.replace("(", " ").replace(")", " ").split()
+    if not toks:
+        return ("DeNo",)
+    kind = toks[0]
+    if kind == "DeNo":
+        return ("DeNo",)
+    if kind == "DeNBFM":
+        return ("DeNBFM", float(toks[1]), toks[2].upper())
+    if kind == "DeWBFM":
+        return ("DeWBFM", int(toks[1]), toks[2].upper())
+    if kind == "DeFMS":
+        return ("DeFMS", int(toks[1]), toks[2].upper())
+    if kind == "DeNBFMSync":
+        return ("DeNBFMSync", int(toks[1]))
+    if kind == "DeAM":
+        return ("DeAM", toks[1].upper())
+    raise ValueError(f"unknown demod {s!r}")
+
+
+def _open_source(opts):
+    """Source selection with device-enumeration fallback
+    (apps/SoapySDR.hs:155-179)."""
+    if opts.filename:
+        if opts.filename.endswith(".wav"):
+            return SRC.wav_iq_source(opts.filename, opts.chunksize)
+        return SRC.cf32_file_source(opts.filename, opts.chunksize)
+    devs = [d.get("driver") for d in SRC.enumerate_devices()]
+    if not devs:
+        print("No SDR devices detected")
+        return None
+    print(f"Available devices: {devs}")
+    if opts.devname not in devs:
+        print(f"Device {opts.devname} not found")
+        return None
+    print(f"Using device: {opts.devname}")
+    return iter(SRC.open_sdr(opts.devname, opts.samplerate, opts.frequency, opts.gain))
+
+
+def run_opts(opts) -> int:
+    demod = parse_demod(opts.demod)
+    nch = opts.channels
+    out_bw = opts.bandwidth if opts.bandwidth else opts.samplerate
+    agc_t = opts.agc if opts.agc != 0.0 else None
+
+    src = _open_source(opts)
+    if src is None:
+        print(f"Unable to open source")
+        return 1
+
+    # front end: offset mixer + resampler, then exact-N trim (the reference's
+    # prep = takeNArr ns . process, apps/SoapySDR.hs:206-207)
+    from ..models.receivers import front_end
+    fe_stages = front_end(opts.samplerate, opts.offset, opts.bandwidth)
+    if fe_stages:
+        fe = chain(*fe_stages) if len(fe_stages) > 1 else fe_stages[0]
+        fe_pipe = Pipeline(fe, block_size=opts.blocksize)
+        stream = fe_pipe.stream(src)
+    else:
+        stream = src
+    from ..core.runtime import take_n
+    stream = take_n(stream, opts.numsamples)
+
+    agc_blocks = [B.automatic_gain_control(agc_t)] if agc_t else []
+
+    def audio_sink_rate(decim: int) -> int:
+        return int(round(out_bw)) // decim // nch
+
+    kind = demod[0]
+    per_sample_rate = None
+    if kind == "DeNo":
+        per = chain(*agc_blocks) if agc_blocks else None
+        make_sink = lambda name: S.RawFileSink(name + ".cf32")
+    elif kind == "DeNBFM":
+        _, kf, fmt = demod
+        per = chain(*agc_blocks, B.fm_demodulator(kf))
+        make_sink = lambda name: S.AudioFileSink(name, audio_sink_rate(1), 1, fmt.lower())
+    elif kind == "DeWBFM":
+        _, decim, fmt = demod
+        per = chain(*agc_blocks, B.wbfm_demodulator(out_bw, decim))
+        make_sink = lambda name: S.AudioFileSink(name, audio_sink_rate(decim), 1, fmt.lower())
+    elif kind == "DeAM":
+        _, fmt = demod
+        per = chain(*agc_blocks, B.am_demodulator())
+        make_sink = lambda name: S.AudioFileSink(name, audio_sink_rate(1), 1, fmt.lower())
+    elif kind == "DeNBFMSync":
+        _, k = demod
+        from ..models.symsync import fm_dem_with_sync
+        per = chain(*agc_blocks, fm_dem_with_sync(k))
+        make_sink = lambda name: S.RawFileSink(name + ".f32")
+    elif kind == "DeFMS":
+        _, decim, fmt = demod
+        from ..models.stereo import stereo_fm_decoder
+        if nch != 1:
+            print("DeFMS does not support channel splitting")
+            return 1
+        per = chain(*agc_blocks, B.fm_demodulator(0.8),
+                    stereo_fm_decoder(out_bw, decim))
+        sink = S.AudioFileSink(opts.output, audio_sink_rate(decim), 2, fmt.lower())
+        graph = chain(B.dc_blocker(), per)
+        pipe = Pipeline(graph, block_size=opts.blocksize)
+        with sink:
+            pipe.run(stream, sink)
+        return 0
+    else:
+        raise AssertionError(kind)
+
+    stages = [B.dc_blocker()]
+    if nch > 1:
+        stages.append(B.firpfbch_channelizer(nch))
+        if per is not None:
+            stages.append(PerChannel(per, nch))
+        if opts.mix:
+            stages.append(MixChannels())
+            sink = make_sink(opts.output)
+        else:
+            sink = S.ChannelFileSinks(
+                lambda i: make_sink(f"{opts.output}_ch{i + 1}"), nch)
+    else:
+        if per is not None:
+            stages.append(per)
+        sink = make_sink(opts.output)
+
+    graph = chain(*stages)
+    pipe = Pipeline(graph, block_size=opts.blocksize)
+    with sink:
+        total = pipe.run(stream, sink)
+    print(f"Wrote {total} output samples per stream")
+    return 0
+
+
+def main(argv=None) -> int:
+    opts = build_parser().parse_args(argv)
+    return run_opts(opts)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,6 +88,25 @@ class Pipeline:
         self.state, y = self._step(self.state, x)
         return y
 
+    def stream(self, source: Iterable[np.ndarray],
+               num_samples: int | None = None) -> Iterator[np.ndarray]:
+        """Generator form of run(): yields trimmed numpy output blocks.  Used
+        to chain pipelines host-side (the reference materializes its front-end
+        Pipe the same way via unPipe, Types.hs:109-115)."""
+        n = self.block_size
+        it: Iterable[np.ndarray] = source
+        if num_samples is not None:
+            it = take_n(it, num_samples)
+        r = self.block.rate
+        for chunk in rechunk(it, n):
+            valid = len(chunk)
+            if valid < n:
+                chunk = np.pad(chunk, [(0, n - valid)] + [(0, 0)] * (chunk.ndim - 1))
+            y = self.process_block(jnp.asarray(chunk))
+            valid_out = (valid * r.numerator) // r.denominator
+            arr = np.asarray(y)
+            yield arr[..., :valid_out] if arr.ndim >= 2 else arr[:valid_out]
+
     def run(self, source: Iterable[np.ndarray], sink: Callable[[np.ndarray], None],
             num_samples: int | None = None, progress: Callable | None = None):
         """Stream source → graph → sink.  Returns total output samples.

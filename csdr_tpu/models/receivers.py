@@ -97,15 +97,18 @@ def channelized_receiver(nch: int, per_channel: Block | None, mix: bool = False,
                          agc_threshold_db: float | None = None) -> Block:
     """PFB split into nch channels with an optional per-channel demod chain;
     mix=True sums demodulated channels into one stream (the reference's
-    assembleFold channel paths, apps/SoapySDR.hs:208-226)."""
+    assembleFold channel paths, apps/SoapySDR.hs:208-226).  Like the
+    reference, AGC runs inside the per-channel chain (the `demod` passed to
+    assembleFold is `demodChain . agc`)."""
     stages: list[Block] = [
         *front_end(sample_rate, offset_hz, bandwidth),
         B.dc_blocker(),
-        *_agc(agc_threshold_db),
         B.firpfbch_channelizer(nch),
     ]
-    if per_channel is not None:
-        stages.append(PerChannel(per_channel, nch))
+    per = chain(*_agc(agc_threshold_db), per_channel) if (
+        per_channel is not None and agc_threshold_db) else per_channel
+    if per is not None:
+        stages.append(PerChannel(per, nch))
     if mix:
         stages.append(MixChannels())
     return chain(*stages)

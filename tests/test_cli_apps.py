@@ -1,0 +1,196 @@
+"""CLI (soapy-sdr equivalent), helidecode, GMSK demod."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import csdr_tpu as cs
+from csdr_tpu.apps.soapy_sdr_cli import main as cli_main, parse_demod
+from csdr_tpu.apps import helidecode as hd
+from csdr_tpu.blocks.gmsk import gmsk_demodulator, gmsk_mod
+from csdr_tpu.io import wav as wavio
+from csdr_tpu.utils import testsig
+
+
+def test_parse_demod_strings():
+    assert parse_demod("DeNo") == ("DeNo",)
+    assert parse_demod("DeNBFM 0.6 WAV") == ("DeNBFM", 0.6, "WAV")
+    assert parse_demod("DeWBFM 8 AU") == ("DeWBFM", 8, "AU")
+    assert parse_demod("DeFMS 4 WAV") == ("DeFMS", 4, "WAV")
+    assert parse_demod("DeNBFMSync 10") == ("DeNBFMSync", 10)
+    assert parse_demod("DeAM WAV") == ("DeAM", "WAV")
+
+
+def _write_fm_capture(path, n, fs=256000.0, kf=0.6, seed=0):
+    from scipy.signal import firwin, lfilter
+    rng = np.random.default_rng(seed)
+    msg = lfilter(firwin(301, 2 * 3000.0 / fs), [1.0], rng.normal(size=n))
+    msg = (msg / (3.0 * np.max(np.abs(msg)))).astype(np.float32)
+    iq = testsig.fm_mod(msg, kf)
+    iq.tofile(path)
+    return msg
+
+
+def test_cli_wbfm_mono(tmp_path):
+    os.chdir(tmp_path)
+    n = 1 << 17
+    fs = 256000.0
+    msg = _write_fm_capture("cap.cf32", n, fs)
+    rc = cli_main([
+        "--filename", "cap.cf32", "-s", str(fs), "-n", str(n),
+        "--demod", "DeWBFM 8 WAV", "-o", "radio",
+        "--blocksize", str(1 << 15),
+    ])
+    assert rc == 0
+    audio, sr = wavio.read_wav("radio.wav")
+    assert sr == int(fs) // 8
+    assert len(audio) == n // 8
+    # content check vs oracle (loose: de-emphasized audio correlates with msg)
+    from csdr_tpu.utils.testsig import snr_db
+    import scipy.signal as sig
+    from csdr_tpu.utils.iirdes import butter_sos
+    iq = np.fromfile("cap.cf32", dtype=np.complex64)
+    dd = np.concatenate([[0.0], np.angle(iq[1:] * np.conj(iq[:-1])) / (2 * np.pi * 0.6)])
+    de = sig.sosfilt(butter_sos(2, 5000.0 / fs), dd)
+    from csdr_tpu.utils.firdes import firdecim_kaiser
+    want = sig.lfilter(firdecim_kaiser(8, 10, 60.0), [1.0], de)[::8]
+    assert snr_db(want[100:], audio[100:]) > 35.0
+
+
+def test_cli_channel_split_sample_accounting(tmp_path):
+    """The reference's headline invariant: N samples through a c-channel split
+    produce exactly N/c samples per channel file (README.md:191-192)."""
+    os.chdir(tmp_path)
+    nch = 4
+    n = 1 << 16
+    rng = np.random.default_rng(1)
+    iq = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    iq.tofile("wide.cf32")
+    rc = cli_main([
+        "--filename", "wide.cf32", "-n", str(n), "-c", str(nch),
+        "-o", "split", "--blocksize", str(1 << 14),
+    ])
+    assert rc == 0
+    for i in range(1, nch + 1):
+        sz = os.path.getsize(f"split_ch{i}.cf32")
+        assert sz == (n // nch) * 8, (i, sz)
+
+
+def test_cli_channelize_demod_mix(tmp_path):
+    os.chdir(tmp_path)
+    nch = 4
+    n = 1 << 16
+    rng = np.random.default_rng(2)
+    iq = (0.1 * (rng.normal(size=n) + 1j * rng.normal(size=n))).astype(np.complex64)
+    iq.tofile("wide.cf32")
+    rc = cli_main([
+        "--filename", "wide.cf32", "-n", str(n), "-c", str(nch), "-m",
+        "--demod", "DeNBFM 0.6 WAV", "-o", "mixed",
+        "--blocksize", str(1 << 14),
+    ])
+    assert rc == 0
+    audio, sr = wavio.read_wav("mixed.wav")
+    assert len(audio) == n // nch
+
+
+def test_cli_am_with_agc(tmp_path):
+    os.chdir(tmp_path)
+    n = 1 << 15
+    t = np.arange(n)
+    msg = 0.5 * np.sin(2 * np.pi * 0.003 * t)
+    iq = testsig.am_mod(msg.astype(np.float32), 0.8) * 0.05
+    iq.astype(np.complex64).tofile("am.cf32")
+    rc = cli_main([
+        "--filename", "am.cf32", "-n", str(n),
+        "--demod", "DeAM WAV", "-a", "-70", "-o", "am_out",
+        "--blocksize", str(1 << 14),
+    ])
+    assert rc == 0
+    audio, _ = wavio.read_wav("am_out.wav")
+    assert len(audio) == n
+
+
+def test_cli_synthetic_device(tmp_path):
+    os.chdir(tmp_path)
+    rc = cli_main([
+        "--devname", "synthetic", "-s", "2.56e6", "-n", str(1 << 16),
+        "-o", "dev_cap", "--blocksize", str(1 << 14),
+    ])
+    assert rc == 0
+    assert os.path.getsize("dev_cap.cf32") == (1 << 16) * 8
+
+
+def test_cli_fms_stereo(tmp_path):
+    os.chdir(tmp_path)
+    # FM-modulated stereo MPX
+    quad = 192000.0
+    n = 1 << 16
+    t = np.arange(n) / quad
+    L = 0.6 * np.sin(2 * np.pi * 700.0 * t)
+    R = 0.6 * np.sin(2 * np.pi * 2200.0 * t)
+    pilot = 0.1 * np.cos(2 * np.pi * 19000.0 * t)
+    mpx = 0.45 * (L + R) + pilot + 0.45 * (L - R) * np.cos(2 * np.pi * 38000.0 * t)
+    iq = testsig.fm_mod((0.3 * mpx).astype(np.float32), 0.8)
+    iq.tofile("fms.cf32")
+    rc = cli_main([
+        "--filename", "fms.cf32", "-s", str(quad), "-n", str(n),
+        "--demod", "DeFMS 4 WAV", "-o", "stereo",
+        "--blocksize", str(1 << 14),
+    ])
+    assert rc == 0
+    audio, sr = wavio.read_wav("stereo.wav")
+    assert audio.shape == (n // 4, 2)
+
+
+def test_helidecode_roundtrip(tmp_path):
+    os.chdir(tmp_path)
+    # build frames: "AN 52 3045\r\nBW 21 0030\r\n" repeated to 69 chars + 2 pad
+    text = "AN 52 3045\r\nBW 21 0030\r\n"
+    payload = (b"\xff\xff" + (text * 3).encode("latin1"))[:71]
+    # pad bits "11" like the real air protocol (all-zero pads would collide
+    # with the sync pattern's zero runs; the reference's 10-bit chars carry
+    # non-zero stuffing there too)
+    frame_bits = "".join(
+        "".join("1" if (b >> j) & 1 else "0" for j in range(8)) + "11"
+        for b in payload
+    )
+    assert len(frame_bits) == 710
+    sync = "1100000000" + "0100000000"
+    bits = (sync + frame_bits) * 5 + sync
+    # samples: 2 samples/bit; '0' → +1, '1' → -1 (sign slicing inverted)
+    vals = np.repeat([1.0 if c == "0" else -1.0 for c in bits], 2).astype("<f4")
+    vals.tofile("sync.f32")
+    coords = hd.decode_file("sync.f32", "out.kml", "out.m")
+    # 5 frames × 2 coords, clean() drops the first → 9
+    assert len(coords) >= 9
+    c = coords[0]
+    assert abs(c.lat() - (52 + 30 / 60.0 + (45 / 100.0 * 60.0) / 3600.0)) < 1e-6
+    assert os.path.exists("out.kml") and os.path.exists("out.m")
+    kml = open("out.kml").read()
+    assert "<coordinates>" in kml and "Helo" in kml
+
+
+def test_gmsk_roundtrip():
+    rng = np.random.default_rng(5)
+    k, m = 8, 3
+    nbits = 2048
+    bits = rng.integers(0, 2, nbits)
+    iq = gmsk_mod(bits, k, m, 0.3)
+    blk = gmsk_demodulator(m, k, 0.3)
+    st = blk.init()
+    outs = []
+    half = nbits * k // 2
+    for i in range(2):
+        st, y = blk.apply(st, jnp.asarray(iq[i * half:(i + 1) * half]))
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs)
+    # constant symbol delay from the matched filter: find best alignment
+    best = 0
+    for lag in range(0, 8):
+        a = bits[:nbits - lag - 8]
+        b = got[lag:lag + len(a)]
+        best = max(best, np.mean(a == b))
+    assert best > 0.995, best
