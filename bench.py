@@ -1,9 +1,13 @@
 """Headline benchmark: 64-channel PFB channelize + per-channel FM demod
 throughput on one chip (BASELINE.json metric: Msamples/s/chip).
 
+Runs the full flagship graph (DC blocker → NCO pre-shift → PFB → FM demod)
+with the fused Pallas channelizer kernel; falls back to the pure-XLA path if
+the Pallas build fails.
+
 Baseline: the reference sustains ~1.6-3.2 MSPS end-to-end through a 20-channel
 channelizer pipeline on a desktop CPU core (README.md:182-195); the north-star
-bar is >10x => 32 MSPS/chip.  vs_baseline is measured against 3.2 MSPS.
+bar is >10x ⇒ 32 MSPS/chip.  vs_baseline is measured against 3.2 MSPS.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -15,18 +19,15 @@ import time
 import numpy as np
 
 
-def main():
+def run(backend: str, iters: int):
     import jax
     import jax.numpy as jnp
-
-    sys.path.insert(0, ".")
     from csdr_tpu.models.receivers import channelized_fm_receiver
 
     nch = 64
     block = 1 << 21  # 2 Msamples per step
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 
-    graph = channelized_fm_receiver(nch, kf=0.6)
+    graph = channelized_fm_receiver(nch, kf=0.6, backend=backend)
     step = jax.jit(graph.apply, donate_argnums=(0,))
     state = graph.init()
 
@@ -37,7 +38,6 @@ def main():
               ).astype(np.complex64)
     x = jnp.asarray(host_x)
 
-    # warmup / compile
     state, y = step(state, x)
     jax.block_until_ready(y)
     state, y = step(state, x)
@@ -48,8 +48,23 @@ def main():
         state, y = step(state, x)
     jax.block_until_ready(y)
     dt = time.perf_counter() - t0
+    return iters * block / dt / 1e6
 
-    msps = iters * block / dt / 1e6
+
+def main():
+    sys.path.insert(0, ".")
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    backend = sys.argv[2] if len(sys.argv) > 2 else None
+    if backend is None:
+        try:
+            msps = run("pallas", iters)
+        except Exception as e:
+            print(f"# pallas backend failed ({type(e).__name__}), using xla",
+                  file=sys.stderr)
+            msps = run("xla", iters)
+    else:
+        msps = run(backend, iters)
+
     baseline_msps = 3.2
     print(json.dumps({
         "metric": "pfb64_fm_demod_throughput",

@@ -1,0 +1,115 @@
+"""csdr-package — self-contained application bundler.
+
+The reference ships `cabal2appimage` (/root/reference/apps/Cabal2AppImage.hs):
+walk the ldd closure of the built binaries, prune a system-library exclude
+list, bundle SoapySDR driver modules, emit an AppImage.  The Python/TPU
+equivalent: build a zipapp (.pyz) of the framework + CLI entry points, bundle
+the native IO library plus its pruned ldd closure, and emit a directory with
+a launcher — one artifact deployable to any pod worker with a matching
+python/jax install.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import subprocess
+import sys
+import zipapp
+
+__all__ = ["build_bundle", "ldd_closure", "main"]
+
+# system libraries never bundled (the reference maintains the same idea in
+# excludelist.txt)
+_EXCLUDE = {
+    "linux-vdso", "ld-linux", "libc.so", "libm.so", "libpthread", "libdl.so",
+    "librt.so", "libgcc_s", "libstdc++",
+}
+
+_MAIN = """\
+import sys
+
+def main():
+    prog = sys.argv[1] if len(sys.argv) > 1 else "soapy-sdr"
+    args = sys.argv[2:]
+    if prog in ("soapy-sdr", "soapy_sdr"):
+        from csdr_tpu.apps.soapy_sdr_cli import main as m
+    elif prog == "helidecode":
+        from csdr_tpu.apps.helidecode import main as m
+    else:
+        print("usage: csdr.pyz [soapy-sdr|helidecode] <args...>")
+        return 1
+    return m(args)
+
+if __name__ == "__main__":
+    sys.exit(main())
+"""
+
+
+def ldd_closure(binary: str) -> list[str]:
+    """Transitive shared-library dependencies, minus the exclude list
+    (reference Cabal2AppImage.hs:52-69)."""
+    try:
+        out = subprocess.run(["ldd", binary], capture_output=True, text=True,
+                             timeout=30).stdout
+    except Exception:
+        return []
+    libs = []
+    for line in out.splitlines():
+        m = re.search(r"=>\s*(\S+)\s*\(", line)
+        if not m:
+            continue
+        path = m.group(1)
+        name = os.path.basename(path)
+        if any(name.startswith(e) for e in _EXCLUDE):
+            continue
+        libs.append(path)
+    return libs
+
+
+def build_bundle(out_dir: str, repo_root: str | None = None) -> str:
+    root = repo_root or os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    os.makedirs(out_dir, exist_ok=True)
+    staging = os.path.join(out_dir, "_staging")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    shutil.copytree(os.path.join(root, "csdr_tpu"), os.path.join(staging, "csdr_tpu"),
+                    ignore=shutil.ignore_patterns("__pycache__"))
+    with open(os.path.join(staging, "__main__.py"), "w") as f:
+        f.write(_MAIN)
+    pyz = os.path.join(out_dir, "csdr.pyz")
+    zipapp.create_archive(staging, pyz, interpreter="/usr/bin/env python3")
+    shutil.rmtree(staging)
+
+    # native library + pruned dependency closure
+    libdir = os.path.join(out_dir, "lib")
+    os.makedirs(libdir, exist_ok=True)
+    so = os.path.join(root, "native", "libcsdr_io.so")
+    if os.path.exists(so):
+        shutil.copy2(so, libdir)
+        for dep in ldd_closure(so):
+            try:
+                shutil.copy2(dep, libdir)
+            except OSError:
+                pass
+
+    launcher = os.path.join(out_dir, "csdr")
+    with open(launcher, "w") as f:
+        f.write('#!/bin/sh\nHERE="$(dirname "$(readlink -f "$0")")"\n'
+                'export LD_LIBRARY_PATH="$HERE/lib:$LD_LIBRARY_PATH"\n'
+                'exec python3 "$HERE/csdr.pyz" "$@"\n')
+    os.chmod(launcher, 0o755)
+    return out_dir
+
+
+def main(argv=None) -> int:
+    args = argv if argv is not None else sys.argv[1:]
+    out = args[0] if args else "dist"
+    path = build_bundle(out)
+    print(f"bundle written to {path}/ (launcher: {path}/csdr)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -115,9 +115,28 @@ def channelized_receiver(nch: int, per_channel: Block | None, mix: bool = False,
 
 
 def channelized_fm_receiver(nch: int, kf: float = 0.6, audio_decim: int = 1,
-                            mix: bool = False, **kw) -> Block:
+                            mix: bool = False, backend: str = "xla", **kw) -> Block:
     """The flagship benchmark model (BASELINE.json): nch-channel PFB
-    channelize + per-channel FM demod (+ optional audio decimation)."""
+    channelize + per-channel FM demod (+ optional audio decimation).
+
+    backend="pallas" swaps the channelize+demod stages for the fused
+    single-HBM-pass Pallas kernel (ops/pallas/pfb_fused.py) — ~4× faster on
+    chip; the rest of the graph (front end, DC blocker, audio decim, mix)
+    stays XLA."""
+    if backend == "pallas":
+        from ..blocks.pallas_blocks import PallasChannelizedFM
+
+        stages: list[Block] = [
+            *front_end(kw.get("sample_rate", 2.56e6), kw.get("offset_hz", 0.0),
+                       kw.get("bandwidth", 0.0)),
+            B.dc_blocker(),
+            PallasChannelizedFM(nch, kf),
+        ]
+        if audio_decim > 1:
+            stages.append(PerChannel(B.fir_decimator(audio_decim), nch))
+        if mix:
+            stages.append(MixChannels())
+        return chain(*stages)
     per = B.fm_demodulator(kf) if audio_decim == 1 else chain(
         B.fm_demodulator(kf), B.fir_decimator(audio_decim))
     return channelized_receiver(nch, per, mix=mix, **kw)

@@ -1,0 +1,166 @@
+"""Fused Pallas TPU kernel: PFB polyphase FIR + DFT matmul + FM demod.
+
+The XLA path (ops/pfb.py + ops/demod.py) runs these as separate fused
+clusters, each re-reading HBM.  This kernel does branch FIR → complex DFT
+(two real MXU matmuls per side) → phase-differentiation FM demod in ONE pass
+over VMEM-resident tiles, so the channelize+demod pipeline reads the input
+once and writes the audio once — the "speed-of-light per chip" target of
+BASELINE.json.
+
+Complex data is carried as split re/im float32 planes (Pallas TPU has no
+complex dtype).  atan2 is not lowered by Mosaic, so the kernel carries its
+own polynomial arctangent (|err| < 1e-5 rad ⇒ ≈ −100 dB demod error floor,
+far below the stop-band of every filter in the chain).
+
+Layout: frames on the sublane axis, channels on the lane axis — the DFT is
+then a (tileF, nch) @ (nch, nch) MXU matmul per tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..pfb import pfb_taps, pfb_dft_matrix, pfb_offset
+from ..nco import phase_ramp, phase_increment
+
+__all__ = ["pfb_fm_fused", "ChannelizedFMState", "channelized_fm_pallas_init",
+           "channelized_fm_pallas_step"]
+
+_TWO_PI = 2.0 * np.pi
+
+
+def _atan(z):
+    """Polynomial atan on |z| <= 1 (minimax, |err| ~ 1e-5)."""
+    z2 = z * z
+    p = jnp.float32(0.0208351)
+    p = p * z2 - jnp.float32(0.0851330)
+    p = p * z2 + jnp.float32(0.1801410)
+    p = p * z2 - jnp.float32(0.3302995)
+    p = p * z2 + jnp.float32(0.9998660)
+    return z * p
+
+
+def _atan2(y, x):
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.maximum(hi, jnp.float32(1e-30))
+    a = _atan(z)
+    a = jnp.where(ay > ax, jnp.float32(np.pi / 2) - a, a)
+    a = jnp.where(x < 0, jnp.float32(np.pi) - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
+def _kernel(vre_ref, vim_ref, taps_ref, wre_ref, wim_ref, out_ref, *, L, tileF, inv_kf):
+    vre = vre_ref[0]  # (tileF + L, nch)
+    vim = vim_ref[0]
+    taps = taps_ref[:]  # (L, nch)
+
+    # branch FIR: u[t] = Σ_l taps[l] · v[t + L-1 - l], t ∈ [0, tileF]
+    ure = None
+    uim = None
+    for l in range(L):
+        tl = taps[l][None, :]
+        sre = vre[L - 1 - l: L - 1 - l + tileF + 1] * tl
+        sim = vim[L - 1 - l: L - 1 - l + tileF + 1] * tl
+        ure = sre if ure is None else ure + sre
+        uim = sim if uim is None else uim + sim
+
+    wre = wre_ref[:]
+    wim = wim_ref[:]
+    dre = (jnp.dot(ure, wre, preferred_element_type=jnp.float32)
+           - jnp.dot(uim, wim, preferred_element_type=jnp.float32))
+    dim = (jnp.dot(ure, wim, preferred_element_type=jnp.float32)
+           + jnp.dot(uim, wre, preferred_element_type=jnp.float32))
+
+    # FM demod: angle(d[t] · conj(d[t-1])) · 1/(2π·kf)
+    cre = dre[1:] * dre[:-1] + dim[1:] * dim[:-1]
+    cim = dim[1:] * dre[:-1] - dre[1:] * dim[:-1]
+    out_ref[0] = _atan2(cim, cre) * jnp.float32(inv_kf)
+
+
+@functools.partial(jax.jit, static_argnames=("nch", "L", "tileF", "kf", "interpret"))
+def pfb_fm_fused(vfull_re, vfull_im, taps, wre, wim, *, nch: int, L: int,
+                 tileF: int = 512, kf: float = 0.6, interpret: bool = False):
+    """vfull_{re,im}: (F + L, nch) frame panels (L history frames in front,
+    already phase-pre-shifted and frame-reversed — see
+    channelized_fm_pallas_step).  Returns audio (F, nch) float32."""
+    F = vfull_re.shape[0] - L
+    assert F % tileF == 0, (F, tileF)
+    T = F // tileF
+
+    # per-tile overlapping slabs (T, tileF + L, nch) — 3% duplication buys
+    # clean non-overlapping BlockSpecs that Mosaic double-buffers for free
+    starts = np.arange(T)[:, None] * tileF + np.arange(tileF + L)[None, :]
+    idx = jnp.asarray(starts.astype(np.int32))
+    slab_re = vfull_re[idx]
+    slab_im = vfull_im[idx]
+
+    kernel = functools.partial(_kernel, L=L, tileF=tileF, inv_kf=1.0 / (_TWO_PI * kf))
+    grid = (T,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tileF + L, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tileF + L, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, nch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, nch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, nch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, tileF, nch), jnp.float32),
+        interpret=interpret,
+    )(slab_re, slab_im, taps, wre, wim)
+    return out.reshape(F, nch)
+
+
+def channelized_fm_pallas_init(nch: int, m: int = 7):
+    """State: NCO phase + L frames of pre-shifted input history (the extra
+    frame beyond the FIR span feeds the demod's d[t−1])."""
+    L = 2 * m
+    return (
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((nch - 1,), jnp.complex64),
+        jnp.zeros((L, nch), jnp.complex64),  # history v-frames (incl. demod prev)
+    )
+
+
+def channelized_fm_pallas_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
+                               kf: float = 0.6, tileF: int = 512,
+                               interpret: bool = False):
+    """Drop-in fused equivalent of PFBChannelizer >> PerChannel(FMDemod):
+    (state, x (n,) complex64) → (state, audio (nch, n/nch) float32)."""
+    phase, hist_x, hist_v = state
+    n = x.shape[0]
+    F = n // nch
+    L = 2 * m
+
+    # NCO pre-shift (XLA, fuses with the frame reshape below)
+    omega = pfb_offset(nch)
+    ramp = jnp.asarray(phase_ramp(float(omega), int(n)))
+    xs = x * jnp.exp(-1j * (phase + ramp)).astype(jnp.complex64)
+    new_phase = jnp.mod(phase + phase_increment(float(omega), int(n)), _TWO_PI)
+
+    # frame panels v[i, p] = xs[i·nch − p] (reversed frames)
+    xfull = jnp.concatenate([hist_x, xs])
+    v = xfull[: F * nch].reshape(F, nch)[:, ::-1]
+    vfull = jnp.concatenate([hist_v, v], axis=0)  # (F + L, nch)
+
+    taps = jnp.asarray(pfb_taps(nch, m, as_db))
+    W = pfb_dft_matrix(nch)
+    wre = jnp.asarray(W.real.astype(np.float32))
+    wim = jnp.asarray(W.imag.astype(np.float32))
+
+    audio = pfb_fm_fused(jnp.real(vfull), jnp.imag(vfull), taps, wre, wim,
+                         nch=nch, L=L, tileF=tileF, kf=kf, interpret=interpret)
+
+    new_state = (new_phase, xfull[F * nch:], vfull[F:])
+    return new_state, audio.T

@@ -1,0 +1,53 @@
+"""Fused Pallas PFB+FM kernel vs the XLA block path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import csdr_tpu as cs
+from csdr_tpu.ops.pallas.pfb_fused import (
+    channelized_fm_pallas_init,
+    channelized_fm_pallas_step,
+)
+
+
+def xla_reference(iq, nch, kf, blocks):
+    graph = cs.chain(
+        cs.firpfbch_channelizer(nch),
+        cs.PerChannel(cs.fm_demodulator(kf), nch),
+    )
+    st = graph.init()
+    outs = []
+    n = len(iq) // blocks
+    for i in range(blocks):
+        st, y = graph.apply(st, jnp.asarray(iq[i * n:(i + 1) * n]))
+        outs.append(np.asarray(y))
+    return np.concatenate(outs, axis=1)
+
+
+@pytest.mark.parametrize("nch,tileF", [(8, 64), (16, 32)])
+def test_fused_matches_xla_path(nch, tileF):
+    rng = np.random.default_rng(0)
+    n = nch * tileF * 8
+    t = np.arange(n)
+    iq = (0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+          + np.exp(2j * np.pi * np.mod(0.13 * t, 1.0))).astype(np.complex64)
+
+    want = xla_reference(iq, nch, 0.6, blocks=2)
+
+    st = channelized_fm_pallas_init(nch)
+    outs = []
+    half = n // 2
+    for i in range(2):
+        st, y = channelized_fm_pallas_step(
+            st, jnp.asarray(iq[i * half:(i + 1) * half]),
+            nch=nch, kf=0.6, tileF=tileF, interpret=True)
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=1)
+
+    assert got.shape == want.shape
+    # first frame differs by design (XLA seeds demod prev=1+0j; kernel uses
+    # the true zero history) — compare from frame 1
+    err = np.max(np.abs(got[:, 1:] - want[:, 1:]))
+    assert err < 2e-4, err
