@@ -23,6 +23,7 @@ def run(backend: str, iters: int):
     import jax
     import jax.numpy as jnp
     from csdr_tpu.models.receivers import channelized_fm_receiver
+    from csdr_tpu.core.runtime import to_device
 
     nch = 64
     block = 1 << 21  # 2 Msamples per step
@@ -36,7 +37,7 @@ def run(backend: str, iters: int):
     host_x = (0.5 * np.exp(2j * np.pi * np.mod(0.1237 * t, 1.0))
               + 0.05 * (rng.normal(size=block) + 1j * rng.normal(size=block))
               ).astype(np.complex64)
-    x = jnp.asarray(host_x)
+    x = to_device(host_x)
 
     state, y = step(state, x)
     jax.block_until_ready(y)

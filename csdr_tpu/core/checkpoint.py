@@ -17,6 +17,8 @@ import json
 import numpy as np
 import jax
 
+from .runtime import to_host, to_device
+
 __all__ = ["save_state", "load_state", "save_pipeline", "resume_pipeline"]
 
 _META_KEY = "__csdr_meta__"
@@ -24,7 +26,7 @@ _META_KEY = "__csdr_meta__"
 
 def save_state(path: str, state, *, position: int = 0, signature: str = ""):
     leaves, treedef = jax.tree.flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays = {f"leaf_{i}": to_host(x) for i, x in enumerate(leaves)}
     meta = dict(position=position, signature=signature, n_leaves=len(leaves),
                 treedef=str(treedef))
     arrays[_META_KEY] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
@@ -51,7 +53,7 @@ def load_state(path: str, like_state, *, signature: str = ""):
             if arr.shape != ref_arr.shape or arr.dtype != ref_arr.dtype:
                 raise ValueError(f"leaf {i}: {arr.shape}/{arr.dtype} != "
                                  f"{ref_arr.shape}/{ref_arr.dtype}")
-            new_leaves.append(arr)
+            new_leaves.append(to_device(arr))
         return jax.tree.unflatten(treedef, new_leaves), meta["position"]
 
 

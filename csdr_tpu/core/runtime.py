@@ -25,9 +25,44 @@ import jax.numpy as jnp
 
 from .block import Block
 
-__all__ = ["Pipeline", "rechunk", "take_n"]
+__all__ = ["Pipeline", "rechunk", "take_n", "to_host", "to_device"]
 
 DEFAULT_BLOCK = 1 << 20
+
+
+@jax.jit
+def _split_complex(a):
+    return jnp.stack([jnp.real(a), jnp.imag(a)], axis=-1)
+
+
+@jax.jit
+def _join_complex(f):
+    return jax.lax.complex(f[..., 0], f[..., 1])
+
+
+def to_host(a) -> np.ndarray:
+    """Device→host transfer that never moves complex64 over the wire.
+
+    This environment's TPU backend raises UNIMPLEMENTED on complex64
+    transfers — and a single failed complex transfer poisons every later
+    transfer in the process.  Complex arrays are therefore split to float32
+    (re, im) pairs on device and recombined host-side.
+    """
+    if isinstance(a, np.ndarray):
+        return a
+    if jnp.iscomplexobj(a):
+        f = np.asarray(_split_complex(a))
+        return (f[..., 0] + 1j * f[..., 1]).astype(np.complex64)
+    return np.asarray(a)
+
+
+def to_device(x, device=None):
+    """Host→device transfer with the same complex64 split (see to_host)."""
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        f = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+        return _join_complex(jnp.asarray(f))
+    return jnp.asarray(x)
 
 
 def rechunk(chunks: Iterable[np.ndarray], size: int) -> Iterator[np.ndarray]:
@@ -102,9 +137,9 @@ class Pipeline:
             valid = len(chunk)
             if valid < n:
                 chunk = np.pad(chunk, [(0, n - valid)] + [(0, 0)] * (chunk.ndim - 1))
-            y = self.process_block(jnp.asarray(chunk))
+            y = self.process_block(to_device(chunk))
             valid_out = (valid * r.numerator) // r.denominator
-            arr = np.asarray(y)
+            arr = to_host(y)
             yield arr[..., :valid_out] if arr.ndim >= 2 else arr[:valid_out]
 
     def run(self, source: Iterable[np.ndarray], sink: Callable[[np.ndarray], None],
@@ -127,7 +162,7 @@ class Pipeline:
             valid = len(chunk)
             if valid < n:
                 chunk = np.pad(chunk, [(0, n - valid)] + [(0, 0)] * (chunk.ndim - 1))
-            y = self.process_block(jnp.asarray(chunk))
+            y = self.process_block(to_device(chunk))
             r = self.block.rate
             valid_out = (valid * r.numerator) // r.denominator
             if pending is not None:
@@ -144,7 +179,7 @@ def _drain(y, valid_out: int, sink: Callable[[np.ndarray], None]) -> int:
     """Trim device output pytree to valid_out samples (along the last axis for
     channelized (nch, n) outputs, leading axis otherwise) and hand to sink."""
     def trim(a):
-        a = np.asarray(a)
+        a = to_host(a)
         if a.ndim >= 2:
             return a[..., :valid_out]
         return a[:valid_out]

@@ -70,6 +70,7 @@ def wav_iq_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]:
     (Source.chs:283)."""
     import jax.numpy as jnp
     from ..core.block import chain
+    from ..core.runtime import to_host
     from ..blocks import real_to_complex, mix_up
 
     data, _sr = wavio.read_wav(path)
@@ -85,7 +86,7 @@ def wav_iq_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]:
         if pad:
             seg = np.pad(seg, (0, pad))
         state, y = blk.apply(state, jnp.asarray(seg))
-        yield np.asarray(y)[:valid]
+        yield to_host(y)[:valid]
 
 
 class SdrSource:

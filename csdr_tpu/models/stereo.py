@@ -36,13 +36,41 @@ __all__ = ["StereoFMDecoder", "stereo_fm_decoder"]
 _TWO_PI = 2.0 * np.pi
 
 
+def fms_pll_scan(p_a: jnp.ndarray, state, omega: float, bw: float):
+    """Reference-faithful per-sample pilot PLL (liquid fmsPll,
+    Liquid.chs:959-1002): 2nd-order loop tracking the analytic pilot p_a,
+    returning the regenerated 38 kHz subcarrier e^{j2φ[n]}.
+
+    This is the serial lax.scan counterpart of the default closed-form
+    regeneration — available for fidelity comparisons (`pll_mode='scan'`);
+    the open-loop path is the TPU-fast default.
+    """
+    import jax
+
+    alpha = np.float32(4.0 * bw)        # proportional gain
+    beta = np.float32(4.0 * bw * bw)    # integrator gain (critically damped-ish)
+    omega = np.float32(omega)
+
+    def step(carry, p):
+        theta, freq = carry
+        rot = jnp.exp(-1j * theta).astype(jnp.complex64)
+        e = jnp.angle(p * rot)
+        freq = freq + beta * e
+        theta_n = theta + omega + freq + alpha * e
+        return (jnp.mod(theta_n, np.float32(_TWO_PI)), freq), theta
+
+    (theta, freq), thetas = jax.lax.scan(step, state, p_a)
+    sub38 = jnp.exp(2j * thetas).astype(jnp.complex64)
+    return (theta, freq), sub38
+
+
 class StereoFMDecoder(Block):
     def __init__(self, quad_rate: float, decim: int,
                  pilot_hz: float = 19000.0,
                  pilot_fir_halfband_hz: float = 800.0,
                  audio_cutoff_hz: float = 15000.0,
                  deemph_order: int = 2, deemph_cutoff_hz: float = 5000.0,
-                 stereo_gain: float = 2.0):
+                 stereo_gain: float = 2.0, pll_mode: str = "closed_form"):
         self.quad_rate = quad_rate
         self.decim = decim
         self.omega19 = _TWO_PI * pilot_hz / quad_rate
@@ -51,6 +79,8 @@ class StereoFMDecoder(Block):
         self.h_audio = firdes.kaiser_lowpass(nfir, audio_cutoff_hz / quad_rate, 60.0)
         self.gdelay = int(round(firdes.group_delay(self.h_pilot, 100.0 / quad_rate)))
         self.stereo_gain = stereo_gain
+        self.pll_mode = pll_mode
+        self.pll_bw = 9.0 / quad_rate  # reference kPLLBandwidthHz = 9 Hz
         self.deemph = iirdes.sos_to_onepole(
             iirdes.butter_sos(deemph_order, deemph_cutoff_hz / quad_rate), real_io=True)
         self.h_decim = (firdes.firdecim_kaiser(decim, 10, 60.0) if decim > 1 else None)
@@ -69,6 +99,7 @@ class StereoFMDecoder(Block):
             lmr_hist=jnp.zeros((Ka - 1,), jnp.complex64),
             deemph_l=iir_ops.onepole_cascade_init(self.deemph, False),
             deemph_r=iir_ops.onepole_cascade_init(self.deemph, False),
+            pll=(jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
         )
         if self.h_decim is not None:
             Kd = len(self.h_decim)
@@ -90,8 +121,11 @@ class StereoFMDecoder(Block):
         # analytic pilot at the delayed time base: e^{+jω19(n−gd)}
         gd_phase = np.float32(np.mod(self.omega19 * self.gdelay, _TWO_PI))
         p_a = pilot_bb * jnp.exp(1j * (theta - gd_phase)).astype(jnp.complex64)
-        u = p_a / (jnp.abs(p_a) + 1e-12)
-        sub38 = u * u  # e^{j(2ω19(n−gd)+2θp)} — regenerated 38 kHz subcarrier
+        if self.pll_mode == "scan":
+            s["pll"], sub38 = fms_pll_scan(p_a, s["pll"], self.omega19, self.pll_bw)
+        else:
+            u = p_a / (jnp.abs(p_a) + 1e-12)
+            sub38 = u * u  # e^{j(2ω19(n−gd)+2θp)} — regenerated 38 kHz subcarrier
 
         # --- delayed composite (group-delay compensation, Trans.delay) ---
         full = jnp.concatenate([s["delay_buf"], c])

@@ -46,7 +46,6 @@ def onepole_cascade_stream(casc: OnePoleCascade, state, x: jnp.ndarray):
             # single real (or absent) pole
             if p0 == 0.0:
                 y = (v * np.float32(r0.real)) if not complex_input else v * np.complex64(r0)
-                u0 = carries[0]
                 new_carries = carries
             else:
                 u = linrec(v, complex(p0) if abs(p0.imag) > 0 else float(p0.real),

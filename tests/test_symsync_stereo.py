@@ -129,6 +129,29 @@ def test_sym_tracker_bpsk():
     assert best > 0.95, best
 
 
+def test_stereo_fm_decoder_scan_pll_separation():
+    """The reference-faithful per-sample PLL mode (liquid fmsPll) must also
+    separate channels once the 9 Hz loop has pulled in."""
+    quad = 192000.0
+    n = 1 << 17
+    t = np.arange(n) / quad
+    fL, fR = 800.0, 2500.0
+    L = 0.8 * np.sin(2 * np.pi * fL * t)
+    R = 0.8 * np.sin(2 * np.pi * fR * t)
+    pilot = 0.1 * np.cos(2 * np.pi * 19000.0 * t + 0.7)
+    sub = np.cos(2 * np.pi * 38000.0 * t + 1.4)
+    mpx = 0.45 * (L + R) + pilot + 0.45 * (L - R) * sub
+    dec = stereo_fm_decoder(quad, 4, pll_mode="scan")
+    out = run_block(dec, mpx.astype(np.float32), nblocks=1)
+    fs_out = quad / 4
+    y = out[0][len(out[0]) // 2:]  # after pull-in
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y)))) ** 2
+    freqs = np.fft.rfftfreq(len(y), 1 / fs_out)
+    pw = lambda f0: spec[(freqs > f0 - 100) & (freqs < f0 + 100)].max()
+    sep = 10 * np.log10(pw(fL) / pw(fR))
+    assert sep > 15.0, sep
+
+
 def test_stereo_fm_decoder_separation():
     quad = 192000.0
     decim = 4
