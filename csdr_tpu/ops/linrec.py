@@ -54,8 +54,8 @@ def linrec(b: jax.Array, a: complex | float, y0: jax.Array, block: int = _DEF_L)
     same shape/dtype promotion of (b, a, y0).
     """
     n = b.shape[0]
-    is_complex = isinstance(a, complex) and a.imag != 0.0
-    out_complex = is_complex or jnp.iscomplexobj(b) or jnp.iscomplexobj(y0)
+    a_complex = isinstance(a, complex) and a.imag != 0.0
+    out_complex = a_complex or jnp.iscomplexobj(b) or jnp.iscomplexobj(y0)
     dt = jnp.complex64 if out_complex else jnp.float32
     b = b.astype(dt)
     y0 = jnp.asarray(y0, dtype=dt)
@@ -67,12 +67,19 @@ def linrec(b: jax.Array, a: complex | float, y0: jax.Array, block: int = _DEF_L)
         b = jnp.concatenate([b, jnp.zeros((pad,), dtype=dt)])
     bb = b.reshape(B, L)
 
-    T_np, apow_np = _decay_matrices(complex(a) if out_complex else float(a), L, out_complex)
+    # real coefficient ⇒ real decay matrix even for complex forcing: two real
+    # matmuls instead of a complex one (DC blocker / AGC on IQ hot path)
+    T_np, apow_np = _decay_matrices(complex(a) if a_complex else float(a), L, a_complex)
     T = jnp.asarray(T_np)
-    apow = jnp.asarray(apow_np)
+    apow = jnp.asarray(apow_np).astype(dt)
 
     # within-block solution with zero carry (MXU matmul)
-    w = bb @ T.T  # (B, L); w[k, i] = sum_{j<=i} a^(i-j) b[k, j]
+    if out_complex and not a_complex:
+        w_re = jnp.real(bb) @ T.T
+        w_im = jnp.imag(bb) @ T.T
+        w = jax.lax.complex(w_re, w_im)
+    else:
+        w = bb @ T.T  # (B, L); w[k, i] = sum_{j<=i} a^(i-j) b[k, j]
 
     # block-carry recurrence over B blocks: g[k] = aL·g[k-1] + w[k, L-1]
     aL = apow[-1]  # a^L

@@ -1,0 +1,121 @@
+"""The five BASELINE.json benchmark configurations as end-to-end tests.
+
+1. CF32 IQ file → msresamp decimate to 200 kHz → WBFM demod → mono WAV
+2. NBFM/AM demod with AGC + squelch on a recorded (synthetic) capture
+3. 4-channel PFB split of a 2.56 Msps capture to per-channel CF32 files
+4. 16-channel channelize + per-channel FM demod + mix to one stream
+5. 64-channel channelizer + demod over a device mesh (tests/test_sharding.py
+   covers the mesh path; here the single-chip graph at full channel count)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from csdr_tpu.apps.soapy_sdr_cli import main as cli_main
+from csdr_tpu.io import wav as wavio
+from csdr_tpu.utils import testsig
+
+
+def test_config1_resample_wbfm_wav(tmp_path):
+    os.chdir(tmp_path)
+    fs, bw, decim = 2.56e6, 200e3, 8
+    n = 1 << 19
+    from scipy.signal import firwin, lfilter
+    rng = np.random.default_rng(0)
+    # audio message at the quad rate (200 kHz), FM-modulated narrow then
+    # upsampled to the capture rate by repetition (test oracle only)
+    up = int(fs // bw)  # 12.8 → not integer; use smooth upsample instead
+    msg_q = lfilter(firwin(301, 2 * 3000.0 / bw), [1.0], rng.normal(size=n // 10))
+    msg_q /= 3 * np.max(np.abs(msg_q))
+    # modulate directly at capture rate with a correspondingly narrow kf
+    from scipy.signal import resample_poly
+    msg_fs = resample_poly(msg_q, 64, 5)[:n].astype(np.float32)  # 200k→2.56M
+    iq = testsig.fm_mod(msg_fs, 0.6 * 5 / 64)
+    iq.tofile("cap.cf32")
+
+    ns = n * 5 // 64  # post-resample samples at 200 kHz
+    rc = cli_main([
+        "--filename", "cap.cf32", "-s", str(fs), "-b", str(bw), "-n", str(ns),
+        "--demod", "DeWBFM 8 WAV", "-o", "radio", "--blocksize", str(1 << 17),
+    ])
+    assert rc == 0
+    audio, sr = wavio.read_wav("radio.wav")
+    assert sr == int(bw) // decim
+    assert len(audio) == ns // decim
+    want = resample_poly(msg_q, 1, 8)[: len(audio)]
+    snr = testsig.snr_db(want[500:-500], audio[500:-500])
+    assert snr > 15.0, snr
+
+
+def test_config2_nbfm_agc_squelch(tmp_path):
+    os.chdir(tmp_path)
+    n = 1 << 16
+    rng = np.random.default_rng(1)
+    from scipy.signal import firwin, lfilter
+    msg = lfilter(firwin(101, 0.02), [1.0], rng.normal(size=n // 2))
+    msg = (msg / (3 * np.max(np.abs(msg)))).astype(np.float32)
+    strong = 0.5 * testsig.fm_mod(msg, 0.3)
+    weak = 1e-5 * (rng.normal(size=n // 2) + 1j * rng.normal(size=n // 2))
+    iq = np.concatenate([weak.astype(np.complex64), strong])
+    iq.tofile("ism.cf32")
+    rc = cli_main([
+        "--filename", "ism.cf32", "-n", str(n), "--demod", "DeNBFM 0.3 WAV",
+        "-a", "-60", "-o", "nbfm", "--blocksize", str(1 << 15),
+    ])
+    assert rc == 0
+    audio, _ = wavio.read_wav("nbfm.wav")
+    assert len(audio) == n
+    # squelched half ~silent, strong half carries the message
+    assert np.max(np.abs(audio[2000:n // 2 - 2000])) < 1e-3
+    snr = testsig.snr_db(msg[4000:], audio[n // 2 + 4000:])
+    assert snr > 20.0, snr
+
+
+def test_config3_4ch_split_accounting(tmp_path):
+    os.chdir(tmp_path)
+    nch, n = 4, 1 << 18
+    rng = np.random.default_rng(2)
+    (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64).tofile("w.cf32")
+    rc = cli_main(["--filename", "w.cf32", "-n", str(n), "-c", str(nch),
+                   "-o", "split", "--blocksize", str(1 << 16)])
+    assert rc == 0
+    for i in range(1, nch + 1):
+        assert os.path.getsize(f"split_ch{i}.cf32") == (n // nch) * 8
+
+
+def test_config4_16ch_demod_mix(tmp_path):
+    os.chdir(tmp_path)
+    nch, n = 16, 1 << 18
+    rng = np.random.default_rng(3)
+    t = np.arange(n)
+    # FM carriers in several channels
+    iq = np.zeros(n, dtype=np.complex128)
+    for k in (2, 7, 11):
+        f = (k - (nch - 1) / 2.0) / nch
+        from scipy.signal import firwin, lfilter
+        m = lfilter(firwin(101, 0.2), [1.0], rng.normal(size=n // nch))
+        m /= 4 * np.max(np.abs(m))
+        bb = testsig.fm_mod(np.repeat(m, nch)[:n] / nch, 0.3)
+        iq += bb * np.exp(2j * np.pi * np.mod(f * t, 1.0))
+    iq = (iq / np.max(np.abs(iq))).astype(np.complex64)
+    iq.tofile("w16.cf32")
+    rc = cli_main(["--filename", "w16.cf32", "-n", str(n), "-c", str(nch), "-m",
+                   "--demod", "DeNBFM 0.3 WAV", "-o", "mix16",
+                   "--blocksize", str(1 << 16)])
+    assert rc == 0
+    audio, _ = wavio.read_wav("mix16.wav")
+    assert len(audio) == n // nch
+
+
+def test_config5_64ch_graph_single_chip():
+    import jax.numpy as jnp
+    import csdr_tpu as cs
+    nch = 64
+    n = nch * 512
+    g = cs.chain(cs.dc_blocker(), cs.firpfbch_channelizer(nch),
+                 cs.PerChannel(cs.fm_demodulator(0.6), nch))
+    st = g.init()
+    st, y = g.apply(st, jnp.ones((n,), jnp.complex64))
+    assert y.shape == (nch, n // nch)
