@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..core.block import Block, chain
 from .. import blocks as B
 from ..utils import firdes
+from ..ops.constants import jnp_const
 
 __all__ = ["SymSync", "sym_sync_r", "sym_sync_c", "sym_tracker", "fm_dem_with_sync"]
 
@@ -99,7 +100,7 @@ class SymSync(Block):
 
         # --- square-law timing-tone estimate over the whole block ---
         s = jnp.abs(x) ** 2 if self.complex_input else x * x
-        rot = jnp.asarray(_timing_rotator(k, int(n)))
+        rot = jnp_const(_timing_rotator(k, int(n)))
         T = jnp.sum(s.astype(jnp.complex64) * rot)
         tau_est = jnp.mod(-jnp.angle(T) * (k / _TWO_PI), float(k)).astype(jnp.float32)
         # unwrap against carried estimate (continuity between blocks)

@@ -17,6 +17,8 @@ import functools
 import numpy as np
 import jax.numpy as jnp
 
+from .constants import jnp_const
+
 __all__ = ["freqdem_stream", "amdem", "fsk_tone_matrix", "fskdem_block"]
 
 _TWO_PI = 2.0 * np.pi
@@ -67,7 +69,7 @@ def fskdem_block(x: jnp.ndarray, m_bits: int, k: int, bandwidth: float) -> jnp.n
     n = x.shape[0]
     nsym = n // k
     xs = x[: nsym * k].reshape(nsym, k)
-    E = jnp.asarray(fsk_tone_matrix(m_bits, int(k), float(bandwidth)))
+    E = jnp_const(fsk_tone_matrix(m_bits, int(k), float(bandwidth)))
     corr = xs @ E  # (nsym, M) complex — MXU
     sym = jnp.argmax(jnp.abs(corr) ** 2, axis=-1)
     return sym.astype(jnp.uint32)

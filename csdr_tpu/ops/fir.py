@@ -27,6 +27,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from .constants import jnp_const
+
 __all__ = [
     "conv_valid",
     "fir_stream",
@@ -72,13 +74,13 @@ def _conv_valid_fft(xfull: jnp.ndarray, taps: np.ndarray, seg: int = 16384) -> j
     complex_in = jnp.iscomplexobj(xfull) or np.iscomplexobj(taps)
     if complex_in:
         H = np.fft.fft(np.asarray(taps, dtype=np.complex128), S).astype(np.complex64)
-        Y = jnp.fft.ifft(jnp.fft.fft(segs, axis=-1) * jnp.asarray(H)[None, :], axis=-1)
+        Y = jnp.fft.ifft(jnp.fft.fft(segs, axis=-1) * jnp_const(H)[None, :], axis=-1)
         if not jnp.iscomplexobj(xfull):
             # real data, complex taps: caller keeps complex output
             pass
     else:
         H = np.fft.rfft(np.asarray(taps, dtype=np.float64), S).astype(np.complex64)
-        Y = jnp.fft.irfft(jnp.fft.rfft(segs, axis=-1) * jnp.asarray(H)[None, :], n=S, axis=-1)
+        Y = jnp.fft.irfft(jnp.fft.rfft(segs, axis=-1) * jnp_const(H)[None, :], n=S, axis=-1)
     y = Y[:, K - 1 :].reshape(-1)[:n]
     out_dtype = jnp.complex64 if complex_in else xfull.dtype
     return y.astype(out_dtype)

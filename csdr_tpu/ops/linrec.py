@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .constants import jnp_const
+
 __all__ = ["linrec", "linrec_ref"]
 
 _DEF_L = 128
@@ -70,8 +72,8 @@ def linrec(b: jax.Array, a: complex | float, y0: jax.Array, block: int = _DEF_L)
     # real coefficient ⇒ real decay matrix even for complex forcing: two real
     # matmuls instead of a complex one (DC blocker / AGC on IQ hot path)
     T_np, apow_np = _decay_matrices(complex(a) if a_complex else float(a), L, a_complex)
-    T = jnp.asarray(T_np)
-    apow = jnp.asarray(apow_np).astype(dt)
+    T = jnp_const(T_np)
+    apow = jnp_const(apow_np).astype(dt)
 
     # within-block solution with zero carry (MXU matmul)
     if out_complex and not a_complex:

@@ -27,6 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..utils.firdes import pfb_kaiser_prototype
+from .constants import jnp_const
 
 __all__ = ["pfb_taps", "pfb_dft_matrix", "pfb_analyze_init", "pfb_analyze_stream", "pfb_offset"]
 
@@ -85,7 +86,7 @@ def pfb_analyze_stream(state, x: jnp.ndarray, nch: int, m: int = 7, as_db: float
         term = seg * t
         u = term if u is None else u + term
 
-    W = jnp.asarray(pfb_dft_matrix(nch))
+    W = jnp_const(pfb_dft_matrix(nch))
     d = u @ W  # (F, nch) complex matmul — MXU
 
     new_state = (xfull[F * nch :], vfull[F:])

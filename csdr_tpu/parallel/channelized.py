@@ -39,6 +39,7 @@ from ..ops import linrec as linrec_ops
 from ..ops import pfb as pfb_ops
 from ..ops.nco import phase_ramp, phase_increment
 from ..utils.firdes import firdecim_kaiser
+from ..ops.constants import jnp_const
 
 __all__ = ["ShardedChannelizedFM", "make_mesh"]
 
@@ -194,7 +195,7 @@ class ShardedChannelizedFM:
             seg = vfull[self.L - 1 - l: self.L - 1 - l + F]
             term = seg * taps[l][None, :]
             u = term if u is None else u + term
-        W = jnp.asarray(pfb_ops.pfb_dft_matrix(self.nch))
+        W = jnp_const(pfb_ops.pfb_dft_matrix(self.nch))
         Wshard = jax.lax.dynamic_slice_in_dim(W, ci * self.nch_loc, self.nch_loc, axis=1)
         d = (u @ Wshard).T  # (nch_loc, F)
         new_pfb_tail = self._from_last_device(xs[-self.pfb_halo:])

@@ -113,6 +113,19 @@ def test_cli_am_with_agc(tmp_path):
     assert len(audio) == n
 
 
+def test_cli_au_output(tmp_path):
+    os.chdir(tmp_path)
+    n = 1 << 14
+    t = np.arange(n)
+    iq = testsig.am_mod((0.5 * np.sin(2 * np.pi * 0.01 * t)).astype(np.float32), 0.8)
+    iq.astype(np.complex64).tofile("am.cf32")
+    rc = cli_main(["--filename", "am.cf32", "-n", str(n), "--demod", "DeAM AU",
+                   "-o", "am_au", "--blocksize", str(1 << 13)])
+    assert rc == 0
+    audio, sr = wavio.read_au("am_au.au")
+    assert len(audio) == n
+
+
 def test_cli_synthetic_device(tmp_path):
     os.chdir(tmp_path)
     rc = cli_main([
