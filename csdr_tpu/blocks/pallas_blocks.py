@@ -10,7 +10,31 @@ from ..ops.pallas.pfb_fused import (
     channelized_fm_pallas_step,
 )
 
-__all__ = ["PallasChannelizedFM"]
+__all__ = ["PallasChannelizedFM", "FlagshipFused"]
+
+
+class FlagshipFused(Block):
+    """dcBlocker >> PFB >> PerChannel(FMDemod) as ONE Pallas kernel pass
+    (ops/pallas/flagship_fused.py)."""
+
+    def __init__(self, nch: int, kf: float = 0.6, m: int = 7, as_db: float = 80.0,
+                 tileF: int = 1024, dc_alpha: float = 0.0005, interpret: bool = False):
+        from fractions import Fraction
+        from ..ops.pallas.flagship_fused import flagship_fused_init, flagship_fused_step
+
+        self._init = lambda: flagship_fused_init(nch, m)
+        self._step = lambda st, x: flagship_fused_step(
+            st, x, nch=nch, m=m, as_db=as_db, kf=kf, tileF=tileF,
+            dc_alpha=dc_alpha, interpret=interpret)
+        self.rate = Fraction(1, nch)
+        self.granule = nch * tileF
+        self.name = f"flagship_fused({nch})"
+
+    def init(self):
+        return self._init()
+
+    def apply(self, state, x):
+        return self._step(state, x)
 
 
 class PallasChannelizedFM(Block):

@@ -123,15 +123,19 @@ def channelized_fm_receiver(nch: int, kf: float = 0.6, audio_decim: int = 1,
     single-HBM-pass Pallas kernel (ops/pallas/pfb_fused.py) — ~4× faster on
     chip; the rest of the graph (front end, DC blocker, audio decim, mix)
     stays XLA."""
-    if backend == "pallas":
-        from ..blocks.pallas_blocks import PallasChannelizedFM
+    if backend in ("pallas", "pallas_full"):
+        from ..blocks.pallas_blocks import PallasChannelizedFM, FlagshipFused
 
         stages: list[Block] = [
             *front_end(kw.get("sample_rate", 2.56e6), kw.get("offset_hz", 0.0),
                        kw.get("bandwidth", 0.0)),
-            B.dc_blocker(),
-            PallasChannelizedFM(nch, kf),
         ]
+        if backend == "pallas_full":
+            # DC blocker is inside the fused kernel
+            stages.append(FlagshipFused(nch, kf))
+        else:
+            stages.append(B.dc_blocker())
+            stages.append(PallasChannelizedFM(nch, kf))
         if audio_decim > 1:
             stages.append(PerChannel(B.fir_decimator(audio_decim), nch))
         if mix:

@@ -95,7 +95,7 @@ def linrec(b: jax.Array, a: complex | float, y0: jax.Array, block: int = _DEF_L)
 
     acc_a, acc_b = jax.lax.associative_scan(combine, (elems_a, elems_b))
     g = acc_a * y0 + acc_b  # g[k] = y value at end of block k
-    g_prev = jnp.concatenate([jnp.asarray([1.0], dtype=dt) * y0, g[:-1]])
+    g_prev = jnp.concatenate([jnp.reshape(y0, (1,)), g[:-1]])
 
     y = w + apow[None, :] * g_prev[:, None]
     y = y.reshape(B * L)

@@ -1,0 +1,287 @@
+"""Fully-fused flagship kernel: DC blocker → NCO pre-shift → PFB → DFT →
+FM demod in ONE Pallas pass.
+
+ops/pallas/pfb_fused.py fuses PFB+DFT+demod but leaves the DC blocker and
+mixer to XLA (≈3 extra HBM round-trips of the 16 MB input block).  This
+kernel keeps the tile resident in VMEM for the whole chain:
+
+  * the DC-blocker recurrence y[n] = r·y[n-1] + g·(x[n]−x[n-1]) is solved
+    with a THREE-LEVEL blocked decay-matmul pyramid inside the kernel
+    (lanes → rows → super-rows), carries crossing grid tiles through VMEM/SMEM
+    scratch (the TPU grid executes sequentially, so scratch is a legal
+    carry);
+  * the NCO pre-shift consumes a static phase-ramp panel plus the carried
+    scalar phase (cos/sin on the VPU);
+  * the PFB frame reversal is ALGEBRAIC: v[i,p] = x̂[i·nch−p] is re-expressed
+    over natural frame panels ŝ[f,q] = x̂[f·nch+q] via host-precomputed
+    permuted taps T̂[J,q] and DFT rows Ŵ[q,k] = W[(nch−q)%nch, k] — no
+    in-kernel lane reversal;
+  * demod is the in-kernel polynomial atan2 from pfb_fused.
+
+Streaming state (carried between blocks at the Block level): scalar phase,
+raw-input last sample, DC output last sample, and L+1 processed history
+frames.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..pfb import pfb_taps, pfb_dft_matrix, pfb_offset
+from ..nco import phase_ramp, phase_increment
+from .pfb_fused import _atan2
+
+__all__ = ["flagship_fused_init", "flagship_fused_step"]
+
+_TWO_PI = 2.0 * np.pi
+
+
+@functools.lru_cache(maxsize=None)
+def _permuted_tap_panel(nch: int, m: int, as_db: float) -> np.ndarray:
+    """(L+1, nch) panel T̂ with û[i,q] = Σ_J T̂[J,q]·ŝ[i−J, q] equal to the
+    PFB branch output u[i, p=(nch−q)%nch]."""
+    taps = pfb_taps(nch, m, as_db)  # (L, nch); taps[l, p]
+    L = taps.shape[0]
+    That = np.zeros((L + 1, nch), dtype=np.float32)
+    # q = 0 ↔ p = 0: v[i−l, 0] = ŝ[i−l, 0] → J = l  (J = 0..L−1)
+    That[:L, 0] = taps[:, 0]
+    # q ≥ 1 ↔ p = nch−q: v[i−l, p] = ŝ[i−l−1, q] → J = l+1 (J = 1..L)
+    for q in range(1, nch):
+        That[1:L + 1, q] = taps[:, nch - q]
+    return That
+
+
+@functools.lru_cache(maxsize=None)
+def _permuted_dft(nch: int):
+    W = pfb_dft_matrix(nch)  # W[p, k]
+    q = np.arange(nch)
+    Whet = W[(nch - q) % nch, :]  # Ŵ[q, k]
+    return (np.ascontiguousarray(Whet.real).astype(np.float32),
+            np.ascontiguousarray(Whet.imag).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _decay(a: float, n: int) -> np.ndarray:
+    i = np.arange(n)
+    e = i[:, None] - i[None, :]
+    return np.where(e >= 0, np.power(a, np.maximum(e, 0)), 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _powvec(a: float, n: int) -> np.ndarray:
+    return np.power(a, np.arange(1, n + 1)).astype(np.float32)[None, :]
+
+
+def _dc_solve(f_comp, T1, T2, T3, p1, p2, p3, g_in, nch, tileF, W2, R2):
+    """Solve y = a·y₋₁ + f over the flattened (tileF, nch) panel for one real
+    component; g_in is the entering carry (scalar).  Three-level pyramid:
+    lanes (width nch) → rows (groups of W2) → super-rows (R2 of them).
+    Returns (y, y_last)."""
+    w = jnp.dot(f_comp, T1.T, preferred_element_type=jnp.float32)   # (tileF, nch)
+    c = w[:, nch - 1].reshape(R2, W2)
+    G = jnp.dot(c, T2.T, preferred_element_type=jnp.float32)        # (R2, W2)
+    c3 = G[:, W2 - 1].reshape(1, R2)
+    H3 = jnp.dot(c3, T3.T, preferred_element_type=jnp.float32)      # (1, R2)
+    E = H3 + p3 * g_in                                              # end of super-rows
+    E_prev = pltpu.roll(E, 1, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, R2), 1)
+    E_prev = jnp.where(col == 0, g_in, E_prev)                      # entering super-rows
+    g_full = (G + E_prev.T * p2).reshape(tileF, 1)                  # end of each row
+    g_prev = pltpu.roll(g_full, 1, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tileF, 1), 0)
+    g_prev = jnp.where(row == 0, g_in, g_prev)                      # entering rows
+    y = w + p1 * g_prev
+    return y, g_full[tileF - 1, 0]
+
+
+def _kernel(xre_ref, xim_ref, ramp_ref, T64_ref, T2_ref, T3_ref,
+            p64_ref, p64r_ref, p4096r_ref, That_ref, wre_ref, wim_ref,
+            phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
+            audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
+            hist_re_scr, hist_im_scr, scal_scr,
+            *, nch, L, tileF, W2, R2, r_coef, g_gain, inv_kf):
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        hist_re_scr[:] = hist_in_re_ref[:]
+        hist_im_scr[:] = hist_in_im_ref[:]
+        scal_scr[:] = scal_in_ref[:]
+
+    xre = xre_ref[0]  # (tileF, nch)
+    xim = xim_ref[0]
+
+    # ---- x_prev: one-sample shift over flattened order ----
+    xpre = pltpu.roll(xre, 1, axis=1)
+    xpim = pltpu.roll(xim, 1, axis=1)
+    col_prev_re = pltpu.roll(xre[:, nch - 1:nch], 1, axis=0)
+    col_prev_im = pltpu.roll(xim[:, nch - 1:nch], 1, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tileF, 1), 0)
+    col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
+    col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tileF, nch), 1)
+    xpre = jnp.where(lane == 0, col_prev_re, xpre)
+    xpim = jnp.where(lane == 0, col_prev_im, xpim)
+
+    fre = jnp.float32(g_gain) * (xre - xpre)
+    fim = jnp.float32(g_gain) * (xim - xpim)
+
+    # ---- DC blocker (three-level blocked recurrence) ----
+    T64 = T64_ref[:]
+    T2 = T2_ref[:]
+    T3 = T3_ref[:]
+    p64 = p64_ref[:]
+    p64r = p64r_ref[:]
+    p4096r = p4096r_ref[:]
+    ydc_re, glast_re = _dc_solve(fre, T64, T2, T3, p64, p64r, p4096r,
+                                 scal_scr[2], nch, tileF, W2, R2)
+    ydc_im, glast_im = _dc_solve(fim, T64, T2, T3, p64, p64r, p4096r,
+                                 scal_scr[3], nch, tileF, W2, R2)
+
+    # ---- NCO pre-shift: multiply by e^{-jθ} ----
+    theta = ramp_ref[0] + phase_ref[0, 0]
+    cth = jnp.cos(theta)
+    sth = jnp.sin(theta)
+    sre = ydc_re * cth + ydc_im * sth
+    sim = ydc_im * cth - ydc_re * sth
+
+    # ---- PFB branch FIR over natural frame panels (permuted taps) ----
+    ext_re = jnp.concatenate([hist_re_scr[:], sre], axis=0)  # (tileF + L + 1, nch)
+    ext_im = jnp.concatenate([hist_im_scr[:], sim], axis=0)
+    That = That_ref[:]
+    ure = None
+    uim = None
+    for J in range(L + 1):
+        tj = That[J][None, :]
+        # û_t = Σ_J T̂[J]·ŝ_ext[t + L − J],  t ∈ [0, tileF+1)
+        seg_re = ext_re[L - J: L - J + tileF + 1] * tj
+        seg_im = ext_im[L - J: L - J + tileF + 1] * tj
+        ure = seg_re if ure is None else ure + seg_re
+        uim = seg_im if uim is None else uim + seg_im
+
+    wre = wre_ref[:]
+    wim = wim_ref[:]
+    dre = (jnp.dot(ure, wre, preferred_element_type=jnp.float32)
+           - jnp.dot(uim, wim, preferred_element_type=jnp.float32))
+    dim = (jnp.dot(ure, wim, preferred_element_type=jnp.float32)
+           + jnp.dot(uim, wre, preferred_element_type=jnp.float32))
+
+    # ---- FM demod ----
+    cre = dre[1:] * dre[:-1] + dim[1:] * dim[:-1]
+    cim = dim[1:] * dre[:-1] - dre[1:] * dim[:-1]
+    audio_ref[0] = _atan2(cim, cre) * jnp.float32(inv_kf)
+
+    # ---- carry updates ----
+    hist_re_scr[:] = ext_re[tileF:]
+    hist_im_scr[:] = ext_im[tileF:]
+    scal_scr[0] = xre[tileF - 1, nch - 1]
+    scal_scr[1] = xim[tileF - 1, nch - 1]
+    scal_scr[2] = glast_re
+    scal_scr[3] = glast_im
+
+    @pl.when(i == T - 1)
+    def _():
+        hist_out_re_ref[:] = hist_re_scr[:]
+        hist_out_im_ref[:] = hist_im_scr[:]
+        scal_out_ref[:] = scal_scr[:]
+
+
+def flagship_fused_init(nch: int, m: int = 7):
+    L = 2 * m
+    return dict(
+        phase=jnp.zeros((), jnp.float32),
+        hist_re=jnp.zeros((L + 1, nch), jnp.float32),
+        hist_im=jnp.zeros((L + 1, nch), jnp.float32),
+        scal=jnp.zeros((4,), jnp.float32),  # x_last re/im, dc y_last re/im
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nch", "m", "as_db", "kf", "tileF",
+                                             "dc_alpha", "interpret"))
+def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
+                        kf: float = 0.6, tileF: int = 1024,
+                        dc_alpha: float = 0.0005, interpret: bool = False):
+    """(state, x (n,) complex64) → (state, audio (nch, n/nch) float32).
+
+    Drop-in fused equivalent of dcBlocker >> PFBChannelizer >>
+    PerChannel(FMDemod) — the whole flagship compute in one kernel pass.
+    """
+    n = x.shape[0]
+    F = n // nch
+    L = 2 * m
+    assert F % tileF == 0, (F, tileF)
+    W2 = 64 if tileF % 64 == 0 else tileF
+    R2 = tileF // W2
+    T = F // tileF
+    r = 1.0 - dc_alpha
+    g = (1.0 + r) / 2.0
+
+    xre = jnp.real(x).reshape(T, tileF, nch)
+    xim = jnp.imag(x).reshape(T, tileF, nch)
+    omega = pfb_offset(nch)
+    ramp = jnp.asarray(phase_ramp(float(omega), int(n))).reshape(T, tileF, nch)
+
+    That = jnp.asarray(_permuted_tap_panel(nch, m, as_db))
+    wre_np, wim_np = _permuted_dft(nch)
+    wre = jnp.asarray(wre_np)
+    wim = jnp.asarray(wim_np)
+    T64 = jnp.asarray(_decay(r, nch))
+    a_row = float(r ** nch)
+    T2 = jnp.asarray(_decay(a_row, W2))
+    T3 = jnp.asarray(_decay(float(a_row ** W2), R2))
+    p64 = jnp.asarray(_powvec(r, nch))           # (1, nch): a^(i+1)
+    p64r = jnp.asarray(_powvec(a_row, W2))       # (1, W2): (a^nch)^(j+1)
+    p4096r = jnp.asarray(_powvec(float(a_row ** W2), R2))  # (1, R2)
+    phase = state["phase"].reshape(1, 1)
+
+    kernel = functools.partial(
+        _kernel, nch=nch, L=L, tileF=tileF, W2=W2, R2=R2, r_coef=r, g_gain=g,
+        inv_kf=1.0 / (_TWO_PI * kf))
+
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                        memory_space=pltpu.VMEM)
+    audio, hist_re, hist_im, scal = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const2((nch, nch)), const2((W2, W2)), const2((R2, R2)),
+            const2((1, nch)), const2((1, W2)), const2((1, R2)),
+            const2((L + 1, nch)), const2((nch, nch)), const2((nch, nch)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            const2((L + 1, nch)), const2((L + 1, nch)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const2((L + 1, nch)), const2((L + 1, nch)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, tileF, nch), jnp.float32),
+            jax.ShapeDtypeStruct((L + 1, nch), jnp.float32),
+            jax.ShapeDtypeStruct((L + 1, nch), jnp.float32),
+            jax.ShapeDtypeStruct((4,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((L + 1, nch), jnp.float32),
+            pltpu.VMEM((L + 1, nch), jnp.float32),
+            pltpu.SMEM((4,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xre, xim, ramp, T64, T2, T3, p64, p64r, p4096r, That, wre, wim, phase,
+      state["hist_re"], state["hist_im"], state["scal"])
+
+    new_phase = jnp.mod(state["phase"] + phase_increment(float(omega), int(n)),
+                        np.float32(_TWO_PI))
+    new_state = dict(phase=new_phase, hist_re=hist_re, hist_im=hist_im, scal=scal)
+    return new_state, audio.reshape(F, nch).T
