@@ -57,12 +57,16 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     backend = sys.argv[2] if len(sys.argv) > 2 else None
     if backend is None:
-        try:
-            msps = run("pallas", iters)
-        except Exception as e:
-            print(f"# pallas backend failed ({type(e).__name__}), using xla",
-                  file=sys.stderr)
-            msps = run("xla", iters)
+        msps = None
+        for be in ("pallas_full", "pallas", "xla"):
+            try:
+                msps = run(be, iters)
+                break
+            except Exception as e:
+                print(f"# backend {be} failed ({type(e).__name__}: {e})"[:200],
+                      file=sys.stderr)
+        if msps is None:
+            raise SystemExit("all backends failed")
     else:
         msps = run(backend, iters)
 

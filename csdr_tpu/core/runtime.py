@@ -143,19 +143,26 @@ class Pipeline:
             yield arr[..., :valid_out] if arr.ndim >= 2 else arr[:valid_out]
 
     def run(self, source: Iterable[np.ndarray], sink: Callable[[np.ndarray], None],
-            num_samples: int | None = None, progress: Callable | None = None):
+            num_samples: int | None = None, progress: Callable | None = None,
+            checkpoint_path: str | None = None, checkpoint_every: int = 0):
         """Stream source → graph → sink.  Returns total output samples.
 
         The final short block is zero-padded to the full static block size
         (shapes stay static under jit) and its outputs trimmed to the exact
         rational-rate sample count — this preserves the reference's exact
         sample accounting (README.md:191-192 byte-count invariant).
+
+        ``checkpoint_path`` + ``checkpoint_every`` (input samples): write a
+        resumable state checkpoint periodically (core/checkpoint.py) — the
+        subsystem the reference entirely lacks (SURVEY.md §5).
         """
         n = self.block_size
         it: Iterable[np.ndarray] = source
         if num_samples is not None:
             it = take_n(it, num_samples)
         total_out = 0
+        total_in = 0
+        last_ckpt = 0
         pending = None  # (device result, valid_out) — drain one step late to
         # overlap host IO with device compute
         for chunk in rechunk(it, n):
@@ -168,8 +175,15 @@ class Pipeline:
             if pending is not None:
                 total_out += _drain(pending[0], pending[1], sink)
             pending = (y, valid_out)
+            total_in += valid
             if progress is not None:
                 progress(valid)
+            if (checkpoint_path and checkpoint_every
+                    and total_in - last_ckpt >= checkpoint_every):
+                from .checkpoint import save_pipeline
+
+                save_pipeline(checkpoint_path, self, position=total_in)
+                last_ckpt = total_in
         if pending is not None:
             total_out += _drain(pending[0], pending[1], sink)
         return total_out

@@ -59,6 +59,7 @@ def _atan2(y, x):
 
 
 def _kernel(vre_ref, vim_ref, taps_ref, wre_ref, wim_ref, out_ref, *, L, tileF, inv_kf):
+    # wre/wim may be column shards (nch, ncho) for channel-sharded meshes
     vre = vre_ref[0]  # (tileF + L, nch)
     vim = vim_ref[0]
     taps = taps_ref[:]  # (L, nch)
@@ -91,8 +92,11 @@ def pfb_fm_fused(vfull_re, vfull_im, taps, wre, wim, *, nch: int, L: int,
                  tileF: int = 512, kf: float = 0.6, interpret: bool = False):
     """vfull_{re,im}: (F + L, nch) frame panels (L history frames in front,
     already phase-pre-shifted and frame-reversed — see
-    channelized_fm_pallas_step).  Returns audio (F, nch) float32."""
+    channelized_fm_pallas_step).  Returns audio (F, ncho) float32, where
+    ncho = wre.shape[1] (a column shard of the DFT matrix on channel-sharded
+    meshes, the full nch otherwise)."""
     F = vfull_re.shape[0] - L
+    ncho = wre.shape[1]
     assert F % tileF == 0, (F, tileF)
     T = F // tileF
 
@@ -112,14 +116,14 @@ def pfb_fm_fused(vfull_re, vfull_im, taps, wre, wim, *, nch: int, L: int,
             pl.BlockSpec((1, tileF + L, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tileF + L, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, nch), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nch, nch), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nch, nch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, ncho), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, ncho), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, tileF, nch), jnp.float32),
+        out_specs=pl.BlockSpec((1, tileF, ncho), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, tileF, ncho), jnp.float32),
         interpret=interpret,
     )(slab_re, slab_im, taps, wre, wim)
-    return out.reshape(F, nch)
+    return out.reshape(F, ncho)
 
 
 def channelized_fm_pallas_init(nch: int, m: int = 7):

@@ -75,6 +75,9 @@ class ShardedChannelizedFM:
     as_db: float = 80.0
     audio_decim: int = 1
     dc_alpha: float = 0.0005
+    use_fused: bool = False  # run PFB+DFT+demod as the fused Pallas kernel
+    tileF: int = 512         # fused-kernel tile (frames); F_local must divide
+    interpret: bool = False  # pallas interpret mode (CPU tests)
 
     def __post_init__(self):
         self.dt = self.mesh.shape["time"]
@@ -85,7 +88,13 @@ class ShardedChannelizedFM:
         assert self.nloc % self.nch == 0
         self.nch_loc = self.nch // self.dc
         self.L = 2 * self.m
-        self.pfb_halo = self.L * self.nch - 1  # (nch−1) frame + (L−1) branch frames
+        # fused kernel needs one extra history frame (the demod's d[t−1])
+        self.pfb_halo = (self.L * self.nch + self.nch - 1 if self.use_fused
+                         else self.L * self.nch - 1)
+        if self.use_fused:
+            f_loc = self.nloc // self.nch
+            self.tileF = min(self.tileF, f_loc)
+            assert f_loc % self.tileF == 0, (f_loc, self.tileF)
         self.fir_taps = (firdecim_kaiser(self.audio_decim, 10, 60.0).astype(np.float32)
                          if self.audio_decim > 1 else None)
         # single-ppermute halo exchange requires each stage's halo to fit in
@@ -179,6 +188,8 @@ class ShardedChannelizedFM:
         new_phase = jnp.mod(state["phase"] + delta * np.float32(self.dt), _TWO_PI)
 
         # ---- PFB polyphase + sharded DFT matmul ----
+        if self.use_fused:
+            return self._fused_tail(state, x, xs, ti, ci, new_dc_x, new_dc_y, new_phase)
         halo = self._left_halo(xs, state["pfb_tail"], self.pfb_halo)
         xfull = jnp.concatenate([halo[-(self.nch - 1):] if self.nch > 1 else halo[:0], xs])
         F = nloc // self.nch
@@ -238,6 +249,60 @@ class ShardedChannelizedFM:
         new_state = dict(
             dc_x=new_dc_x, dc_y=new_dc_y, phase=new_phase,
             pfb_tail=new_pfb_tail, demod_last=new_demod_last,
+            fir_tail=new_fir_tail,
+        )
+        return new_state, audio
+
+    def _fused_tail(self, state, x, xs, ti, ci, new_dc_x, new_dc_y, new_phase):
+        """PFB+DFT+demod via the fused Pallas kernel on the local shard,
+        channel-sharded through a DFT column slice."""
+        from ..ops.pallas.pfb_fused import pfb_fm_fused
+
+        nch, L, nloc = self.nch, self.L, self.nloc
+        F = nloc // nch
+        halo = self._left_halo(xs, state["pfb_tail"], self.pfb_halo)  # L·nch+nch−1
+        xfull2 = jnp.concatenate([halo[L * nch:], xs])        # (nch−1) + nloc
+        v = xfull2[: F * nch].reshape(F, nch)[:, ::-1]
+        vprev = halo[: L * nch].reshape(L, nch)[:, ::-1]      # L frames incl demod prev
+        vfull = jnp.concatenate([vprev, v], axis=0)           # (F + L, nch)
+
+        taps = jnp.asarray(pfb_ops.pfb_taps(nch, self.m, self.as_db))
+        W = pfb_ops.pfb_dft_matrix(nch)
+        wre_full = jnp.asarray(np.ascontiguousarray(W.real).astype(np.float32))
+        wim_full = jnp.asarray(np.ascontiguousarray(W.imag).astype(np.float32))
+        wre = jax.lax.dynamic_slice_in_dim(wre_full, ci * self.nch_loc, self.nch_loc, 1)
+        wim = jax.lax.dynamic_slice_in_dim(wim_full, ci * self.nch_loc, self.nch_loc, 1)
+
+        audio = pfb_fm_fused(jnp.real(vfull), jnp.imag(vfull), taps, wre, wim,
+                             nch=nch, L=L, tileF=self.tileF, kf=self.kf,
+                             interpret=self.interpret).T  # (nch_loc, F)
+        new_pfb_tail = self._from_last_device(xs[-self.pfb_halo:])
+
+        if self.fir_taps is not None:
+            K = len(self.fir_taps)
+            ft = jax.lax.dynamic_slice_in_dim(state["fir_tail"], ci * self.nch_loc,
+                                              self.nch_loc, axis=0)
+            tail = audio[:, -(K - 1):]
+            left = jax.lax.ppermute(tail, "time", [(jj, jj + 1) for jj in range(self.dt - 1)])
+            hist = jnp.where(ti == 0, ft, left)
+            afull = jnp.concatenate([hist, audio], axis=1)
+            M = self.audio_decim
+            nout = audio.shape[1] // M
+            acc = None
+            for k in range(K):
+                seg = afull[:, K - 1 - k: K - 1 - k + audio.shape[1]:M][:, :nout]
+                term = seg * np.float32(self.fir_taps[k])
+                acc = term if acc is None else acc + term
+            tails = jax.lax.all_gather(audio[:, -(K - 1):], "ch")
+            new_fir_tail = self._from_last_device_time_only(
+                tails.reshape(self.nch, K - 1))
+            audio = acc
+        else:
+            new_fir_tail = state["fir_tail"]
+
+        new_state = dict(
+            dc_x=new_dc_x, dc_y=new_dc_y, phase=new_phase,
+            pfb_tail=new_pfb_tail, demod_last=state["demod_last"],
             fir_tail=new_fir_tail,
         )
         return new_state, audio

@@ -77,3 +77,37 @@ def test_sharded_matches_single_device(mesh_shape, audio_decim):
 def test_make_mesh():
     m = make_mesh(8)
     assert m.shape["time"] * m.shape["ch"] == 8
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 2), (1, 4)])
+def test_sharded_fused_kernel_matches_single_device(mesh_shape):
+    """The fused Pallas kernel inside shard_map (interpret mode on the CPU
+    mesh): multi-chip speed-of-light path."""
+    dt, dc = mesh_shape
+    ndev = dt * dc
+    if ndev > len(jax.devices()):
+        pytest.skip("not enough devices")
+    nch = 8
+    n_blocks = 2
+    block = dt * nch * 256
+    n = n_blocks * block
+    iq = make_input(n, seed=7)
+
+    want = reference_output(iq, nch, 1, n_blocks)
+
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]).reshape(dt, dc), ("time", "ch"))
+    sh = ShardedChannelizedFM(mesh=mesh, nch=nch, block_size=block,
+                              use_fused=True, tileF=64, interpret=True)
+    state = sh.init()
+    outs = []
+    for b in range(n_blocks):
+        xb = jax.device_put(jnp.asarray(iq[b * block:(b + 1) * block]), sh.input_sharding())
+        state, y = sh.step(state, xb)
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=1)
+
+    assert got.shape == want.shape
+    err = np.max(np.abs(got[:, 1:] - want[:, 1:]))  # frame 0: demod seed
+    scale = np.max(np.abs(want)) + 1e-12
+    assert err / scale < 2e-3, err / scale
