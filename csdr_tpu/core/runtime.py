@@ -16,8 +16,7 @@ Reference equivalent: the Streamly fold driver `runFold = S.fold fdl (prep src)`
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Iterable, Iterator, Sequence
+from typing import Callable, Iterable, Iterator
 
 import numpy as np
 import jax

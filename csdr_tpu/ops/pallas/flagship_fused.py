@@ -105,7 +105,7 @@ def _kernel(xre_ref, xim_ref, ramp_ref, T64_ref, T2_ref, T3_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
             hist_re_scr, hist_im_scr, scal_scr,
-            *, nch, L, tileF, W2, R2, r_coef, g_gain, inv_kf):
+            *, nch, L, tileF, W2, R2, g_gain, inv_kf):
     i = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -242,7 +242,7 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
     phase = state["phase"].reshape(1, 1)
 
     kernel = functools.partial(
-        _kernel, nch=nch, L=L, tileF=tileF, W2=W2, R2=R2, r_coef=r, g_gain=g,
+        _kernel, nch=nch, L=L, tileF=tileF, W2=W2, R2=R2, g_gain=g,
         inv_kf=1.0 / (_TWO_PI * kf))
 
     const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),

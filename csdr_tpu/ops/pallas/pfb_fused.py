@@ -29,8 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..pfb import pfb_taps, pfb_dft_matrix, pfb_offset
 from ..nco import phase_ramp, phase_increment
 
-__all__ = ["pfb_fm_fused", "ChannelizedFMState", "channelized_fm_pallas_init",
-           "channelized_fm_pallas_step"]
+__all__ = ["pfb_fm_fused", "channelized_fm_pallas_init", "channelized_fm_pallas_step"]
 
 _TWO_PI = 2.0 * np.pi
 
