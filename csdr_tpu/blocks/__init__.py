@@ -87,7 +87,7 @@ class FMDemod(Block):
         self.name = f"fm_demod({kf})"
 
     def init(self):
-        return jnp.ones((), dtype=jnp.complex64)  # previous sample, zero phase
+        return jnp.ones((1,), dtype=jnp.complex64)  # previous sample, zero phase
 
     def apply(self, state, x):
         return demod_ops.freqdem_stream(state, x, self.kf)

@@ -38,7 +38,7 @@ class GMSKDemod(Block):
         self.offset = (2 * m * k) % k
 
     def init(self):
-        return (jnp.ones((), jnp.complex64),
+        return (jnp.ones((1,), jnp.complex64),
                 jnp.zeros((len(self.taps) - 1,), jnp.float32))
 
     def apply(self, state, x):

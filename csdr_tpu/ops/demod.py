@@ -25,12 +25,13 @@ _TWO_PI = 2.0 * np.pi
 
 
 def freqdem_stream(last: jnp.ndarray, x: jnp.ndarray, kf: float):
-    """FM demodulate; ``last`` is the previous block's final sample (complex
-    scalar array).  Returns (new_last, y) with len(y) == len(x)."""
-    prev = jnp.concatenate([last[None], x[:-1]])
+    """FM demodulate; ``last`` is the previous block's final sample, shaped
+    (1,) (0-d complex state upsets this TPU backend).  Returns (new_last, y)
+    with len(y) == len(x)."""
+    prev = jnp.concatenate([last, x[:-1]])
     d = x * jnp.conj(prev)
     y = jnp.angle(d) * np.float32(1.0 / (_TWO_PI * kf))
-    return x[-1], y.astype(jnp.float32)
+    return x[-1:], y.astype(jnp.float32)
 
 
 def amdem(x: jnp.ndarray, mod_index: float = 0.8, suppressed: bool = False) -> jnp.ndarray:

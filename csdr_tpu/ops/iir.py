@@ -77,8 +77,10 @@ def onepole_cascade_stream(casc: OnePoleCascade, state, x: jnp.ndarray):
 
 
 def dc_blocker_init(complex_input: bool = True):
+    # NOTE: (1,)-shaped, not 0-d — this environment's TPU backend misbehaves
+    # after executables with 0-d complex parameters/results run
     xdt = jnp.complex64 if complex_input else jnp.float32
-    return (jnp.zeros((), dtype=xdt), jnp.zeros((), dtype=xdt))
+    return (jnp.zeros((1,), dtype=xdt), jnp.zeros((1,), dtype=xdt))
 
 
 def dc_blocker_stream(state, x: jnp.ndarray, alpha: float = 0.0005):
@@ -89,7 +91,7 @@ def dc_blocker_stream(state, x: jnp.ndarray, alpha: float = 0.0005):
     x_prev_last, y_last = state
     r = 1.0 - alpha
     g = np.float32((1.0 + r) / 2.0)
-    prev = jnp.concatenate([x_prev_last[None], x[:-1]])
+    prev = jnp.concatenate([x_prev_last, x[:-1]])
     forcing = g * (x - prev)
-    y = linrec(forcing, float(r), y_last)
-    return (x[-1], y[-1]), y
+    y = linrec(forcing, float(r), y_last[0])
+    return (x[-1:], y[-1:]), y

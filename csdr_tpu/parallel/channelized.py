@@ -75,6 +75,8 @@ class ShardedChannelizedFM:
     as_db: float = 80.0
     audio_decim: int = 1
     dc_alpha: float = 0.0005
+    agc_threshold_db: float | None = None  # per-channel AGC + squelch
+    agc_signal_level: float = 1e-3
     use_fused: bool = False  # run PFB+DFT+demod as the fused Pallas kernel
     tileF: int = 512         # fused-kernel tile (frames); F_local must divide
     interpret: bool = False  # pallas interpret mode (CPU tests)
@@ -95,6 +97,8 @@ class ShardedChannelizedFM:
             f_loc = self.nloc // self.nch
             self.tileF = min(self.tileF, f_loc)
             assert f_loc % self.tileF == 0, (f_loc, self.tileF)
+            assert self.agc_threshold_db is None, \
+                "per-channel AGC is not supported with use_fused yet"
         self.fir_taps = (firdecim_kaiser(self.audio_decim, 10, 60.0).astype(np.float32)
                          if self.audio_decim > 1 else None)
         # single-ppermute halo exchange requires each stage's halo to fit in
@@ -118,12 +122,14 @@ class ShardedChannelizedFM:
     def init(self):
         K = len(self.fir_taps) - 1 if self.fir_taps is not None else 0
         return dict(
-            dc_x=jnp.zeros((), jnp.complex64),
-            dc_y=jnp.zeros((), jnp.complex64),
+            dc_x=jnp.zeros((1,), jnp.complex64),
+            dc_y=jnp.zeros((1,), jnp.complex64),
             phase=jnp.zeros((), jnp.float32),
             pfb_tail=jnp.zeros((self.pfb_halo,), jnp.complex64),
             demod_last=jnp.ones((self.nch,), jnp.complex64),
             fir_tail=jnp.zeros((self.nch, K), jnp.float32),
+            agc_lng=jnp.full((self.nch,), np.float32(np.log(1.0 / self.agc_signal_level))),
+            agc_above=jnp.zeros((self.nch,), jnp.bool_),
         )
 
     def input_sharding(self):
@@ -163,21 +169,21 @@ class ShardedChannelizedFM:
         # ---- DC blocker (distributed linear recurrence) ----
         r = 1.0 - self.dc_alpha
         g = np.float32((1.0 + r) / 2.0)
-        prev_last = self._left_halo(x, state["dc_x"][None], 1)
+        prev_last = self._left_halo(x, state["dc_x"], 1)
         prev = jnp.concatenate([prev_last, x[:-1]])
         forcing = g * (x - prev)
-        w = linrec_ops.linrec(forcing, float(r), jnp.zeros((), jnp.complex64))
+        w = linrec_ops.linrec(forcing, float(r), jnp.zeros((1,), jnp.complex64)[0])
         w_end = w[-1]
         ends = jax.lax.all_gather(w_end, "time")  # (dt,)
         j = jnp.arange(self.dt)
         expo = jnp.maximum((ti - 1 - j) * nloc, 0)
         coef = jnp.where(j < ti, jnp.power(np.float32(r), expo.astype(jnp.float32)), 0.0)
-        y_in = jnp.power(np.float32(r), (ti * nloc).astype(jnp.float32)) * state["dc_y"] \
+        y_in = jnp.power(np.float32(r), (ti * nloc).astype(jnp.float32)) * state["dc_y"][0] \
             + jnp.sum(coef.astype(jnp.complex64) * ends)
         apow = jnp.asarray(_apow_vec(float(r), nloc))
         xdc = w + apow.astype(jnp.complex64) * y_in
-        new_dc_x = self._from_last_device(x[-1])
-        new_dc_y = self._from_last_device(xdc[-1])
+        new_dc_x = self._from_last_device(x[-1:])
+        new_dc_y = self._from_last_device(xdc[-1:])
 
         # ---- NCO pre-shift (global phase from axis index) ----
         omega = pfb_ops.pfb_offset(self.nch)
@@ -210,6 +216,13 @@ class ShardedChannelizedFM:
         Wshard = jax.lax.dynamic_slice_in_dim(W, ci * self.nch_loc, self.nch_loc, axis=1)
         d = (u @ Wshard).T  # (nch_loc, F)
         new_pfb_tail = self._from_last_device(xs[-self.pfb_halo:])
+
+        # ---- optional per-channel AGC + squelch (distributed recurrence) ----
+        if self.agc_threshold_db is not None:
+            d, new_agc_lng, new_agc_above = self._agc(state, d, ti, ci)
+        else:
+            new_agc_lng = state["agc_lng"]
+            new_agc_above = state["agc_above"]
 
         # ---- per-channel FM demod (1-frame halo) ----
         dml = jax.lax.dynamic_slice_in_dim(state["demod_last"], ci * self.nch_loc,
@@ -249,9 +262,51 @@ class ShardedChannelizedFM:
         new_state = dict(
             dc_x=new_dc_x, dc_y=new_dc_y, phase=new_phase,
             pfb_tail=new_pfb_tail, demod_last=new_demod_last,
-            fir_tail=new_fir_tail,
+            fir_tail=new_fir_tail, agc_lng=new_agc_lng, agc_above=new_agc_above,
         )
         return new_state, audio
+
+    def _agc(self, state, d, ti, ci):
+        """Per-channel AGC + squelch across the time mesh: the log-gain
+        recurrence solved locally with zero carry, per-channel end values
+        all-gathered over 'time', incoming carries reconstructed in closed
+        form (same algebra as the DC blocker; vmapped over local channels).
+        Reference behavior: ops/agc.py (liquid agc bw 0.1, level 1e-3,
+        pass only steady SIGNALHI samples)."""
+        alpha = 0.1
+        a = 1.0 - alpha
+        nch_loc, F = d.shape
+        lng = jax.lax.dynamic_slice_in_dim(state["agc_lng"], ci * self.nch_loc,
+                                           self.nch_loc, axis=0)
+        prev_above = jax.lax.dynamic_slice_in_dim(
+            state["agc_above"], ci * self.nch_loc, self.nch_loc, axis=0)
+        b = (-0.5 * alpha) * jnp.log(jnp.abs(d) ** 2 + 1e-30)
+        w = jax.vmap(lambda bb: linrec_ops.linrec(bb, float(a),
+                                                  jnp.zeros((), jnp.float32)))(b)
+        w_end = w[:, -1]                                   # (nch_loc,)
+        ends = jax.lax.all_gather(w_end, "time")           # (dt, nch_loc)
+        j = jnp.arange(self.dt)
+        expo = jnp.maximum((ti - 1 - j) * F, 0).astype(jnp.float32)
+        coef = jnp.where(j < ti, jnp.power(np.float32(a), expo), 0.0)
+        lng_in = jnp.power(np.float32(a), (ti * F).astype(jnp.float32)) * lng \
+            + (coef[:, None] * ends).sum(axis=0)           # (nch_loc,)
+        apow = jnp.asarray(_apow_vec(float(a), F))
+        lng_next = w + apow[None, :] * lng_in[:, None]     # ln g[n+1]
+        lng_applied = jnp.concatenate([lng_in[:, None], lng_next[:, :-1]], axis=1)
+        g = jnp.exp(lng_applied)
+        y = d * g.astype(jnp.float32)
+        rssi = -lng_applied * np.float32(20.0 / np.log(10.0))
+        above = rssi > np.float32(self.agc_threshold_db)
+        left_above = jax.lax.ppermute(above[:, -1], "time",
+                                      [(jj, jj + 1) for jj in range(self.dt - 1)])
+        above0 = jnp.where(ti == 0, prev_above, left_above)
+        above_prev = jnp.concatenate([above0[:, None], above[:, :-1]], axis=1)
+        y = jnp.where(jnp.logical_and(above, above_prev), y,
+                      jnp.zeros((), dtype=y.dtype))
+        lng_sh = jax.lax.all_gather(lng_next[:, -1], "ch").reshape(self.nch)
+        ab_sh = jax.lax.all_gather(above[:, -1], "ch").reshape(self.nch)
+        return y, self._from_last_device_time_only(lng_sh), \
+            self._from_last_device_time_only(ab_sh)
 
     def _fused_tail(self, state, x, xs, ti, ci, new_dc_x, new_dc_y, new_phase):
         """PFB+DFT+demod via the fused Pallas kernel on the local shard,
@@ -303,16 +358,20 @@ class ShardedChannelizedFM:
         new_state = dict(
             dc_x=new_dc_x, dc_y=new_dc_y, phase=new_phase,
             pfb_tail=new_pfb_tail, demod_last=state["demod_last"],
-            fir_tail=new_fir_tail,
+            fir_tail=new_fir_tail, agc_lng=state["agc_lng"],
+            agc_above=state["agc_above"],
         )
         return new_state, audio
 
     def _from_last_device_time_only(self, val):
         ti = jax.lax.axis_index("time")
+        is_bool = val.dtype == jnp.bool_
+        if is_bool:
+            val = val.astype(jnp.int32)
         masked = jnp.where(ti == self.dt - 1, val, jnp.zeros_like(val))
         s = jax.lax.psum(masked, "time")
         # already identical across 'ch' (all_gather'ed) — divide not needed
-        return s
+        return s > 0 if is_bool else s
 
 
 @functools.lru_cache(maxsize=None)

@@ -49,7 +49,7 @@ def test_fm_mod_demod_roundtrip():
     kf = 0.6
     x = testsig.fm_mod(msg, kf)
     # streaming demod over blocks; initial "previous sample" = 1+0j (zero phase)
-    last = jnp.zeros((), jnp.complex64) + 1.0
+    last = jnp.ones((1,), jnp.complex64)
     outs = []
     for i in range(0, n, 8192):
         last, y = freqdem_stream(last, jnp.asarray(x[i:i + 8192]), kf)

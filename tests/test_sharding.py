@@ -79,6 +79,51 @@ def test_make_mesh():
     assert m.shape["time"] * m.shape["ch"] == 8
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 1)])
+def test_sharded_agc_squelch_matches_single_device(mesh_shape):
+    """Per-channel AGC+squelch across the mesh (distributed log-gain
+    recurrence) vs the single-device graph."""
+    dt, dc = mesh_shape
+    ndev = dt * dc
+    if ndev > len(jax.devices()):
+        pytest.skip("not enough devices")
+    nch = 8
+    thr = -60.0
+    n_blocks = 2
+    block = dt * nch * 512
+    n = n_blocks * block
+    iq = make_input(n, seed=11) * 0.05
+
+    graph = cs.chain(
+        cs.dc_blocker(),
+        cs.firpfbch_channelizer(nch),
+        cs.PerChannel(cs.chain(cs.automatic_gain_control(thr),
+                               cs.fm_demodulator(0.6)), nch),
+    )
+    pipe = Pipeline(graph, block_size=block, donate=False)
+    sink = cs.CollectSink()
+    pipe.run(iter([iq]), sink)
+    want = np.asarray(sink.concat())
+
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]).reshape(dt, dc), ("time", "ch"))
+    sh = ShardedChannelizedFM(mesh=mesh, nch=nch, block_size=block,
+                              agc_threshold_db=thr)
+    state = sh.init()
+    outs = []
+    for b in range(n_blocks):
+        xb = jax.device_put(jnp.asarray(iq[b * block:(b + 1) * block]),
+                            sh.input_sharding())
+        state, y = sh.step(state, xb)
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=1)
+
+    assert got.shape == want.shape
+    err = np.max(np.abs(got - want))
+    scale = np.max(np.abs(want)) + 1e-12
+    assert err / scale < 5e-3, err / scale
+
+
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 2), (1, 4)])
 def test_sharded_fused_kernel_matches_single_device(mesh_shape):
     """The fused Pallas kernel inside shard_map (interpret mode on the CPU
