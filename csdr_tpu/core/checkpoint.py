@@ -66,7 +66,9 @@ def save_pipeline(path: str, pipeline, position: int):
 def resume_pipeline(path: str, pipeline) -> int:
     """Restore a Pipeline's state; returns the stream position (input samples
     already consumed) so the caller can seek its source."""
-    state, position = load_state(path, pipeline.block.init(),
-                                 signature=pipeline.block.name)
+    from .runtime import encode_tree
+
+    like = encode_tree(pipeline.block.init())  # pipelines hold encoded state
+    state, position = load_state(path, like, signature=pipeline.block.name)
     pipeline.state = jax.tree.map(lambda x: x, state)
     return position

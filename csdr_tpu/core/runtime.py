@@ -16,7 +16,7 @@ Reference equivalent: the Streamly fold driver `runFold = S.fold fdl (prep src)`
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Iterator
+from typing import Callable, Iterable, Iterator, NamedTuple
 
 import numpy as np
 import jax
@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from .block import Block
 
-__all__ = ["Pipeline", "rechunk", "take_n", "to_host", "to_device"]
+__all__ = ["Pipeline", "rechunk", "take_n", "to_host", "to_device",
+           "CEnc", "encode_tree", "decode_tree", "decode_tree_host"]
 
 DEFAULT_BLOCK = 1 << 20
 
@@ -64,6 +65,59 @@ def to_device(x, device=None):
     return jnp.asarray(x)
 
 
+class CEnc(NamedTuple):
+    """Marker node: a complex array encoded as float32 (…, 2) re/im planes.
+
+    On this TPU backend, *executing* a jitted program that takes small complex
+    arrays as parameters leaves the runtime in a state where subsequent
+    host↔device transfers fail (UNIMPLEMENTED) — so the Pipeline keeps its
+    whole jit boundary complex-free: complex state/input/output leaves cross
+    as CEnc-wrapped float planes and are joined/split *inside* the program.
+    """
+
+    ri: object
+
+
+def encode_tree(t):
+    """Complex leaves → CEnc(float32 (…, 2)).  Works on traced or concrete
+    pytrees."""
+    return jax.tree.map(
+        lambda l: CEnc(jnp.stack([jnp.real(l), jnp.imag(l)], axis=-1))
+        if jnp.iscomplexobj(l) else l, t)
+
+
+def decode_tree(t):
+    """Inverse of encode_tree (device-side join for CEnc leaves)."""
+    return jax.tree.map(
+        lambda l: jax.lax.complex(l.ri[..., 0], l.ri[..., 1])
+        if isinstance(l, CEnc) else l,
+        t, is_leaf=lambda l: isinstance(l, CEnc))
+
+
+def decode_tree_host(t):
+    """Host-side decode: CEnc leaves → numpy complex64 (no device ops)."""
+    def dec(l):
+        if isinstance(l, CEnc):
+            f = np.asarray(l.ri)
+            return (f[..., 0] + 1j * f[..., 1]).astype(np.complex64)
+        return np.asarray(l)
+    return jax.tree.map(dec, t, is_leaf=lambda l: isinstance(l, CEnc))
+
+
+def _encode_host(x):
+    """Host (or device) array → encoded jit argument (never complex)."""
+    if isinstance(x, CEnc):
+        return x
+    if isinstance(x, np.ndarray):
+        if np.iscomplexobj(x):
+            f = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+            return CEnc(jnp.asarray(f))
+        return jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        return CEnc(jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1))
+    return x
+
+
 def rechunk(chunks: Iterable[np.ndarray], size: int) -> Iterator[np.ndarray]:
     """Re-block a stream of arbitrary-size arrays into exact ``size`` arrays
     (final short remainder is emitted as-is).  Host-side `compact`
@@ -101,7 +155,10 @@ def take_n(chunks: Iterable[np.ndarray], n: int) -> Iterator[np.ndarray]:
 
 
 class Pipeline:
-    """Jit-compiled streaming executor for a Block graph."""
+    """Jit-compiled streaming executor for a Block graph.
+
+    The jitted step's arguments and results are kept complex-free (CEnc
+    encoding); block.apply itself runs on ordinary complex arrays."""
 
     def __init__(self, block: Block, block_size: int = DEFAULT_BLOCK,
                  donate: bool = True, device=None):
@@ -109,18 +166,23 @@ class Pipeline:
         self.block = block
         self.block_size = max(g, (block_size // g) * g)
         self.device = device
-        self._step = jax.jit(
-            lambda s, x: block.apply(s, x),
-            donate_argnums=(0,) if donate else (),
-        )
-        self.state = block.init()
+
+        def step(s_enc, x_enc):
+            s, x = decode_tree(s_enc), decode_tree(x_enc)
+            s2, y = block.apply(s, x)
+            return encode_tree(s2), encode_tree(y)
+
+        self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        self.state = encode_tree(block.init())
 
     def reset(self):
-        self.state = self.block.init()
+        self.state = encode_tree(self.block.init())
 
-    def process_block(self, x: jax.Array):
-        self.state, y = self._step(self.state, x)
-        return y
+    def process_block(self, x):
+        """x: numpy or device array (complex allowed — encoded internally).
+        Returns the DECODED host-side output pytree."""
+        self.state, y_enc = self._step(self.state, _encode_host(x))
+        return y_enc
 
     def stream(self, source: Iterable[np.ndarray],
                num_samples: int | None = None) -> Iterator[np.ndarray]:
@@ -136,9 +198,9 @@ class Pipeline:
             valid = len(chunk)
             if valid < n:
                 chunk = np.pad(chunk, [(0, n - valid)] + [(0, 0)] * (chunk.ndim - 1))
-            y = self.process_block(to_device(chunk))
+            y_enc = self.process_block(chunk)
             valid_out = (valid * r.numerator) // r.denominator
-            arr = to_host(y)
+            arr = decode_tree_host(y_enc)
             yield arr[..., :valid_out] if arr.ndim >= 2 else arr[:valid_out]
 
     def run(self, source: Iterable[np.ndarray], sink: Callable[[np.ndarray], None],
@@ -168,7 +230,7 @@ class Pipeline:
             valid = len(chunk)
             if valid < n:
                 chunk = np.pad(chunk, [(0, n - valid)] + [(0, 0)] * (chunk.ndim - 1))
-            y = self.process_block(to_device(chunk))
+            y = self.process_block(chunk)
             r = self.block.rate
             valid_out = (valid * r.numerator) // r.denominator
             if pending is not None:
@@ -188,11 +250,13 @@ class Pipeline:
         return total_out
 
 
-def _drain(y, valid_out: int, sink: Callable[[np.ndarray], None]) -> int:
-    """Trim device output pytree to valid_out samples (along the last axis for
-    channelized (nch, n) outputs, leading axis otherwise) and hand to sink."""
+def _drain(y_enc, valid_out: int, sink: Callable[[np.ndarray], None]) -> int:
+    """Decode + trim the output pytree to valid_out samples (along the last
+    axis for channelized (nch, n) outputs, leading axis otherwise) and hand
+    to sink."""
+    y = decode_tree_host(y_enc)
+
     def trim(a):
-        a = to_host(a)
         if a.ndim >= 2:
             return a[..., :valid_out]
         return a[:valid_out]
