@@ -57,14 +57,20 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     backend = sys.argv[2] if len(sys.argv) > 2 else None
     if backend is None:
+        # the tunneled TPU in this environment can take minutes to grant a
+        # claim after a previous session died — retry patiently
         msps = None
-        for be in ("pallas_full", "pallas", "xla"):
-            try:
-                msps = run(be, iters)
+        for attempt in range(4):
+            for be in ("pallas_full", "pallas", "xla"):
+                try:
+                    msps = run(be, iters)
+                    break
+                except Exception as e:
+                    print(f"# backend {be} failed ({type(e).__name__}: {e})"[:200],
+                          file=sys.stderr)
+            if msps is not None:
                 break
-            except Exception as e:
-                print(f"# backend {be} failed ({type(e).__name__}: {e})"[:200],
-                      file=sys.stderr)
+            time.sleep(120)
         if msps is None:
             raise SystemExit("all backends failed")
     else:
