@@ -40,6 +40,7 @@ from ..ops import pfb as pfb_ops
 from ..ops.nco import phase_ramp, phase_increment
 from ..utils.firdes import firdecim_kaiser
 from ..ops.constants import jnp_const
+from ..core.runtime import CEnc, encode_tree, decode_tree, _encode_host
 
 __all__ = ["ShardedChannelizedFM", "make_mesh"]
 
@@ -107,19 +108,27 @@ class ShardedChannelizedFM:
         if self.fir_taps is not None:
             f_loc = self.nloc // self.nch
             assert f_loc >= len(self.fir_taps) - 1, (f_loc, len(self.fir_taps))
-        self._step = jax.jit(
-            jax.shard_map(
-                self._local_step,
-                mesh=self.mesh,
-                in_specs=(P(), P("time")),
-                out_specs=(P(), P("ch", "time")),
-                check_vma=False,
-            ),
-            donate_argnums=(0,),
+        self._shmap = jax.shard_map(
+            self._local_step,
+            mesh=self.mesh,
+            in_specs=(P(), P("time")),
+            out_specs=(P(), P("ch", "time")),
+            check_vma=False,
         )
+
+        # complex-free jit boundary (see core/runtime.CEnc)
+        def _enc_step(state_enc, x_enc):
+            s, x = decode_tree(state_enc), decode_tree(x_enc)
+            s2, y = self._shmap(s, x)
+            return encode_tree(s2), y  # audio output is float32 already
+
+        self._step = jax.jit(_enc_step, donate_argnums=(0,))
 
     # ---- state ------------------------------------------------------------
     def init(self):
+        return encode_tree(self._raw_init())
+
+    def _raw_init(self):
         K = len(self.fir_taps) - 1 if self.fir_taps is not None else 0
         return dict(
             dc_x=jnp.zeros((1,), jnp.complex64),
@@ -139,9 +148,11 @@ class ShardedChannelizedFM:
         return NamedSharding(self.mesh, P("ch", "time"))
 
     def step(self, state, x):
-        """x: (block_size,) complex64 sharded P('time') →
-        (state, audio (nch, block_size/nch/audio_decim) sharded P('ch','time'))."""
-        return self._step(state, x)
+        """x: (block_size,) complex64 sharded P('time') (or already
+        CEnc-encoded) → (state, audio (nch, block/nch/audio_decim) float32
+        sharded P('ch','time')).  State is carried in encoded (complex-free)
+        form."""
+        return self._step(state, _encode_host(x))
 
     # ---- helpers ----------------------------------------------------------
     def _left_halo(self, x_local, tail_carry, halo: int):
