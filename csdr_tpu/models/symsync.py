@@ -98,14 +98,38 @@ class SymSync(Block):
         nout = (n // k) * self.out_per_sym
         xfull = jnp.concatenate([hist, x])
 
-        # --- square-law timing-tone estimate over the whole block ---
-        s = jnp.abs(x) ** 2 if self.complex_input else x * x
+        # --- transition-energy timing tone |x[n]−x[n−1]|² (works for both
+        # matched-filtered and unshaped NRZ signals, unlike |x|² which is
+        # constant for NRZ), estimated per sub-window and fitted with a line
+        # so constant clock-rate offsets are tracked within the block (the
+        # parallel analogue of liquid's closed timing loop).  The tone peaks
+        # at symbol BOUNDARIES; centers sit k/2 later. ---
+        d = x[1:] - x[:-1]
+        s = jnp.abs(d) ** 2 if self.complex_input else d * d
+        s = jnp.concatenate([s[:1], s])  # keep length n for the rotator
         rot = jnp_const(_timing_rotator(k, int(n)))
-        T = jnp.sum(s.astype(jnp.complex64) * rot)
-        tau_est = jnp.mod(-jnp.angle(T) * (k / _TWO_PI), float(k)).astype(jnp.float32)
-        # unwrap against carried estimate (continuity between blocks)
-        delta = jnp.mod(tau_est - tau_prev + k / 2.0, float(k)) - k / 2.0
-        tau = jnp.where(tau_valid, tau_prev + delta, tau_est)
+        z = s.astype(jnp.complex64) * rot
+        nw = max(1, min(8, n // (64 * k)))  # sub-windows (≥64 symbols each)
+        wlen = n // nw
+        Tw = z[: nw * wlen].reshape(nw, wlen).sum(axis=1)       # (nw,)
+        tau_w = -jnp.angle(Tw) * (k / _TWO_PI)                  # mod k
+        # unwrap: first window vs carried estimate, then successive windows
+        t0 = jnp.mod(tau_w[0], float(k))
+        d0 = jnp.mod(t0 - tau_prev + k / 2.0, float(k)) - k / 2.0
+        t0 = jnp.where(tau_valid, tau_prev + d0, t0)
+        steps = jnp.mod(tau_w[1:] - tau_w[:-1] + k / 2.0, float(k)) - k / 2.0
+        tau_seq = t0 + jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                        jnp.cumsum(steps)])      # (nw,)
+        # weighted least-squares line through (window center, tau)
+        centers = jnp.asarray((np.arange(nw) + 0.5) * (n // nw), dtype=jnp.float32)
+        wgt = jnp.abs(Tw) + 1e-12
+        wsum = wgt.sum()
+        cm = (wgt * centers).sum() / wsum
+        tm = (wgt * tau_seq).sum() / wsum
+        var = (wgt * (centers - cm) ** 2).sum() + 1e-6
+        slope = jnp.where(nw > 1, (wgt * (centers - cm) * (tau_seq - tm)).sum() / var,
+                          jnp.zeros((), jnp.float32))
+        slope = jnp.clip(slope, -0.2, 0.2)  # sanity: ≤ 0.2 samples drift/sample
 
         # --- parallel interpolation of all output samples ---
         bank = jnp.asarray(_interp_bank(k, m, npfb, self.ftype, self.beta))
@@ -113,6 +137,8 @@ class SymSync(Block):
         start = self.H - (m * k + k)  # constant processing delay
         base = jnp.asarray((start + np.arange(nout) * (k / self.out_per_sym))
                            .astype(np.float32))
+        # τ(n) = tm + slope·(n − cm) marks boundaries; centers are k/2 later
+        tau = tm + slope * (base - cm) + np.float32(k / 2.0)
         pos = base + tau
         ipos = jnp.floor(pos).astype(jnp.int32)
         frac = pos - ipos.astype(jnp.float32)
@@ -123,7 +149,8 @@ class SymSync(Block):
         y = jnp.sum(win * taps.astype(win.dtype), axis=-1)
 
         new_hist = xfull[-self.H:]
-        return (new_hist, tau, jnp.ones((), jnp.bool_)), y
+        tau_carry = tm + slope * (np.float32(n) - cm)  # τ at the block end
+        return (new_hist, tau_carry, jnp.ones((), jnp.bool_)), y
 
 
 def sym_sync_r(k: int, m: int = 4, beta: float = 0.0, npfb: int = 64) -> Block:

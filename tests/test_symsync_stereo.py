@@ -102,6 +102,31 @@ def test_fm_dem_with_sync_roundtrip():
     assert best[0] > 0.99, best
 
 
+def test_sym_sync_r_tracks_clock_offset():
+    """A 200 ppm symbol-clock offset drifts timing by many samples over the
+    block; the windowed linear-fit estimator must track it (liquid's closed
+    loop does; a single per-block estimate cannot)."""
+    rng = np.random.default_rng(9)
+    k, nsym = 10, 20000
+    eps = 2e-4  # 200 ppm
+    bits = rng.integers(0, 2, nsym) * 2 - 1
+    # dense (8x) pulse train sampled at k·(1+eps) samples/symbol
+    dense = np.repeat(bits.astype(np.float64), 8 * k)
+    t_rx = np.arange(int(nsym * k / (1 + eps) - 16)) * (1 + eps)
+    x = np.interp(t_rx * 8, np.arange(len(dense)), dense)
+    x = np.convolve(x, np.hanning(7) / np.hanning(7).sum(), mode="same")
+    blk = sym_sync_r(k, 4, 0.0, 64)
+    y = run_block(blk, x.astype(np.float32), nblocks=4)
+    centers = np.sign(y[0::2])
+    best = 0
+    for lag in range(-8, 9):
+        a = bits[max(0, lag):]
+        b = centers[max(0, -lag):]
+        mm = min(len(a), len(b)) - 10
+        best = max(best, np.mean(a[:mm] == b[:mm]))
+    assert best > 0.99, best
+
+
 def test_sym_tracker_bpsk():
     rng = np.random.default_rng(3)
     k, m, nsym = 4, 3, 8192
