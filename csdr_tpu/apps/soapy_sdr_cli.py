@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Mix the channels into one output instead of per-channel files")
     p.add_argument("--blocksize", type=int, default=1 << 20,
                    help="Device block size in samples (TPU-side; not in the reference)")
+    p.add_argument("--mesh", default=None, metavar="TxC",
+                   help="Run the channelized FM path on a device mesh, e.g. "
+                        "'4x2' = 4 time-shards x 2 channel-shards "
+                        "(requires -c N and --demod 'DeNBFM kf')")
     return p
 
 
@@ -129,6 +133,9 @@ def run_opts(opts) -> int:
     from ..core.runtime import take_n
     stream = take_n(stream, opts.numsamples)
 
+    if opts.mesh:
+        return _run_sharded(opts, demod, stream, out_bw, agc_t)
+
     agc_blocks = [B.automatic_gain_control(agc_t)] if agc_t else []
 
     def audio_sink_rate(decim: int) -> int:
@@ -194,6 +201,40 @@ def run_opts(opts) -> int:
     with sink:
         total = pipe.run(stream, sink)
     print(f"Wrote {total} output samples per stream")
+    return 0
+
+
+def _run_sharded(opts, demod, stream, out_bw, agc_t) -> int:
+    """Multi-device channelized FM receive over a Mesh('time','ch')
+    (parallel/channelized.py) — the reference has no equivalent."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    from ..parallel.channelized import ShardedChannelizedFM
+    from ..parallel.runner import ShardedPipeline
+
+    if demod[0] != "DeNBFM" or opts.channels < 2:
+        print("--mesh requires -c N (>1) and --demod 'DeNBFM kf <fmt>'")
+        return 1
+    _, kf, fmt = demod
+    dt, dc = (int(v) for v in opts.mesh.lower().split("x"))
+    devs = jax.devices()
+    if dt * dc > len(devs):
+        print(f"mesh {opts.mesh} needs {dt*dc} devices, have {len(devs)}")
+        return 1
+    mesh = Mesh(np.asarray(devs[:dt * dc]).reshape(dt, dc), ("time", "ch"))
+    nch = opts.channels
+    block = max(opts.blocksize // (dt * nch), 64) * dt * nch
+    sh = ShardedChannelizedFM(mesh=mesh, nch=nch, block_size=block, kf=kf,
+                              agc_threshold_db=agc_t)
+    sink = S.ChannelFileSinks(
+        lambda i: S.AudioFileSink(f"{opts.output}_ch{i + 1}",
+                                  int(round(out_bw)) // nch, 1, fmt.lower()),
+        nch)
+    runner = ShardedPipeline(sh)
+    with sink:
+        total = runner.run(stream, sink)
+    print(f"Wrote {total} output samples per channel over mesh {dt}x{dc}")
     return 0
 
 

@@ -158,6 +158,34 @@ def test_cli_fms_stereo(tmp_path):
     assert audio.shape == (n // 4, 2)
 
 
+def test_cli_mesh_channelized(tmp_path):
+    """--mesh 4x2 runs the sharded multi-device path; outputs must match the
+    single-device CLI run."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    os.chdir(tmp_path)
+    nch = 8
+    n = 1 << 17
+    rng = np.random.default_rng(21)
+    iq = (0.2 * (rng.normal(size=n) + 1j * rng.normal(size=n))).astype(np.complex64)
+    iq.tofile("w.cf32")
+    rc = cli_main(["--filename", "w.cf32", "-n", str(n), "-c", str(nch),
+                   "--demod", "DeNBFM 0.6 WAV", "-o", "single",
+                   "--blocksize", str(1 << 15)])
+    assert rc == 0
+    rc = cli_main(["--filename", "w.cf32", "-n", str(n), "-c", str(nch),
+                   "--demod", "DeNBFM 0.6 WAV", "-o", "meshed",
+                   "--mesh", "4x2", "--blocksize", str(1 << 15)])
+    assert rc == 0
+    for chn in (1, nch // 2, nch):
+        a, _ = wavio.read_wav(f"single_ch{chn}.wav")
+        b, _ = wavio.read_wav(f"meshed_ch{chn}.wav")
+        assert len(a) == len(b) == n // nch
+        assert np.max(np.abs(a[1:] - b[1:])) < 2e-3, chn
+
+
 def test_helidecode_roundtrip(tmp_path):
     os.chdir(tmp_path)
     # build frames: "AN 52 3045\r\nBW 21 0030\r\n" repeated to 69 chars + 2 pad
