@@ -19,7 +19,7 @@ import sys
 import numpy as np
 
 from .. import blocks as B
-from ..core.block import Lambda, MixChannels, PerChannel, chain
+from ..core.block import MixChannels, PerChannel, chain
 from ..core.runtime import Pipeline
 from ..io import sinks as S
 from ..io import sources as SRC
@@ -142,7 +142,6 @@ def run_opts(opts) -> int:
         return int(round(out_bw)) // decim // nch
 
     kind = demod[0]
-    per_sample_rate = None
     if kind == "DeNo":
         per = chain(*agc_blocks) if agc_blocks else None
         make_sink = lambda name: S.RawFileSink(name + ".cf32")

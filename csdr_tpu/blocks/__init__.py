@@ -35,7 +35,7 @@ from fractions import Fraction
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.block import Block, Chain, Lambda, chain
+from ..core.block import Block, Lambda, chain
 from ..ops import agc as agc_ops
 from ..ops import demod as demod_ops
 from ..ops import fir as fir_ops

@@ -15,7 +15,6 @@ register via `register_sdr_driver`.
 
 from __future__ import annotations
 
-import os
 from typing import Callable, Iterator
 
 import numpy as np

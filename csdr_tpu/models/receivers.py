@@ -9,11 +9,9 @@ per-channel FM demod (+ optional mix-down), the benchmark target.
 
 from __future__ import annotations
 
-from fractions import Fraction
-
 import numpy as np
 
-from ..core.block import Block, Lambda, MixChannels, PerChannel, chain
+from ..core.block import Block, MixChannels, PerChannel, chain
 from .. import blocks as B
 
 __all__ = [
