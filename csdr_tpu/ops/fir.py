@@ -87,7 +87,12 @@ def _conv_valid_fft(xfull: jnp.ndarray, taps: np.ndarray, seg: int = 16384) -> j
 
 
 def conv_valid(xfull: jnp.ndarray, taps: np.ndarray, strategy: str = "auto") -> jnp.ndarray:
-    """Causal valid convolution: input length n + K - 1 → output length n."""
+    """Causal valid convolution: input length n + K - 1 → output length n.
+
+    Strategies: "slices" (unrolled VPU FMAs), "fft" (batched overlap-save),
+    "pallas_mxu" (Toeplitz row-block matmuls on the MXU — real taps only,
+    best for long filters on TPU), "auto".
+    """
     taps = np.asarray(taps)
     if strategy == "auto":
         nz = int(np.count_nonzero(taps))
@@ -96,6 +101,12 @@ def conv_valid(xfull: jnp.ndarray, taps: np.ndarray, strategy: str = "auto") -> 
         return _conv_valid_slices(xfull, taps)
     if strategy == "fft":
         return _conv_valid_fft(xfull, taps)
+    if strategy == "pallas_mxu":
+        from .pallas.fir_kernel import pallas_fir_valid
+
+        if np.iscomplexobj(taps):
+            raise ValueError("pallas_mxu strategy supports real taps only")
+        return pallas_fir_valid(xfull, taps)
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
