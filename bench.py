@@ -2,8 +2,9 @@
 throughput on one chip (BASELINE.json metric: Msamples/s/chip).
 
 Runs the full flagship graph (DC blocker → NCO pre-shift → PFB → FM demod)
-with the fused Pallas channelizer kernel; falls back to the pure-XLA path if
-the Pallas build fails.
+with the fused Pallas kernel backends, falling back to the pure-XLA path.
+Uses the Pipeline's complex-free jit boundary throughout (this environment's
+TPU backend cannot execute eager complex ops — docs/TPU_BACKEND_NOTES.md).
 
 Baseline: the reference sustains ~1.6-3.2 MSPS end-to-end through a 20-channel
 channelizer pipeline on a desktop CPU core (README.md:182-195); the north-star
@@ -16,38 +17,33 @@ import json
 import sys
 import time
 
-import numpy as np
-
 
 def run(backend: str, iters: int):
     import jax
     import jax.numpy as jnp
     from csdr_tpu.models.receivers import channelized_fm_receiver
-    from csdr_tpu.core.runtime import to_device
+    from csdr_tpu.core.runtime import Pipeline, CEnc
 
     nch = 64
     block = 1 << 21  # 2 Msamples per step
 
     graph = channelized_fm_receiver(nch, kf=0.6, backend=backend)
-    step = jax.jit(graph.apply, donate_argnums=(0,))
-    state = graph.init()
+    pipe = Pipeline(graph, block_size=block, donate=True)
 
-    rng = np.random.default_rng(0)
-    t = np.arange(block)
-    host_x = (0.5 * np.exp(2j * np.pi * np.mod(0.1237 * t, 1.0))
-              + 0.05 * (rng.normal(size=block) + 1j * rng.normal(size=block))
-              ).astype(np.complex64)
-    x = to_device(host_x)
+    # device-resident encoded input (float planes; tone + noise-free is fine
+    # for throughput — demod cost is data-independent)
+    x_enc = CEnc(jax.jit(lambda: jnp.ones((block, 2), jnp.float32) * 0.5)())
 
-    state, y = step(state, x)
-    jax.block_until_ready(y)
-    state, y = step(state, x)
-    jax.block_until_ready(y)
+    state = pipe.state
+    state, y = pipe._step(state, x_enc)
+    jax.block_until_ready(jax.tree.leaves(y))
+    state, y = pipe._step(state, x_enc)
+    jax.block_until_ready(jax.tree.leaves(y))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, y = step(state, x)
-    jax.block_until_ready(y)
+        state, y = pipe._step(state, x_enc)
+    jax.block_until_ready(jax.tree.leaves(y))
     dt = time.perf_counter() - t0
     return iters * block / dt / 1e6
 

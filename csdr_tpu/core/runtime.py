@@ -173,10 +173,14 @@ class Pipeline:
             return encode_tree(s2), encode_tree(y)
 
         self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
-        self.state = encode_tree(block.init())
+        # jit the init+encode: eager ops that *create* complex arrays fail on
+        # this TPU backend, while compiled programs with complex internals
+        # are fine (docs/TPU_BACKEND_NOTES.md)
+        self._init = jax.jit(lambda: encode_tree(block.init()))
+        self.state = self._init()
 
     def reset(self):
-        self.state = encode_tree(self.block.init())
+        self.state = self._init()
 
     def process_block(self, x):
         """x: numpy or device array (complex allowed — encoded internally).

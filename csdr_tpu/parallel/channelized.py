@@ -126,7 +126,8 @@ class ShardedChannelizedFM:
 
     # ---- state ------------------------------------------------------------
     def init(self):
-        return encode_tree(self._raw_init())
+        # jitted: eager complex creation fails on this backend
+        return jax.jit(lambda: encode_tree(self._raw_init()))()
 
     def _raw_init(self):
         K = len(self.fir_taps) - 1 if self.fir_taps is not None else 0
