@@ -113,7 +113,8 @@ def _kernel(xre_ref, xim_ref, ramp_ref, T64_ref, T2_ref, T3_ref,
     def _():
         hist_re_scr[:] = hist_in_re_ref[:]
         hist_im_scr[:] = hist_in_im_ref[:]
-        scal_scr[:] = scal_in_ref[:]
+        for idx in range(4):  # SMEM allows scalar access only
+            scal_scr[idx] = scal_in_ref[idx]
 
     xre = xre_ref[0]  # (tileF, nch)
     xim = xim_ref[0]
@@ -190,7 +191,8 @@ def _kernel(xre_ref, xim_ref, ramp_ref, T64_ref, T2_ref, T3_ref,
     def _():
         hist_out_re_ref[:] = hist_re_scr[:]
         hist_out_im_ref[:] = hist_im_scr[:]
-        scal_out_ref[:] = scal_scr[:]
+        for idx in range(4):
+            scal_out_ref[idx] = scal_scr[idx]
 
 
 def flagship_fused_init(nch: int, m: int = 7):
