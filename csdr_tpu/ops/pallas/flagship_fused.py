@@ -74,38 +74,48 @@ def _decay(a: float, n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _row_carry_matrix(a_row: float, tileF: int) -> np.ndarray:
+    """(tileF+1, tileF) matrix S with S[f, f'] = a_row^(f−1−f') for f' ≤ f−1:
+    g_entering_row_f = (S @ row_end_carries)[f] + a_row^f · g_in.  Row tileF
+    gives the tile's outgoing carry.  A plain strictly-lower-triangular decay
+    matvec — Mosaic-friendly (the 3-level reshape pyramid used by ops/linrec
+    is an unsupported vector-layout shape cast in-kernel)."""
+    f = np.arange(tileF + 1)[:, None]
+    fp = np.arange(tileF)[None, :]
+    e = f - 1 - fp
+    return np.where(e >= 0, np.power(a_row, np.maximum(e, 0)), 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def _powvec(a: float, n: int) -> np.ndarray:
     return np.power(a, np.arange(1, n + 1)).astype(np.float32)[None, :]
 
 
-def _dc_solve(f_comp, T1, T2, T3, p1, p2, p3, g_in, nch, tileF, W2, R2):
+@functools.lru_cache(maxsize=None)
+def _row_decay_col(a_row: float, tileF: int) -> np.ndarray:
+    """(tileF+1, 1) column a_row^f — the g_in coefficient per row."""
+    return np.power(a_row, np.arange(tileF + 1))[:, None].astype(np.float32)
+
+
+def _dc_solve(f_comp, T1, S, p1, pN, g_in, nch, tileF):
     """Solve y = a·y₋₁ + f over the flattened (tileF, nch) panel for one real
-    component; g_in is the entering carry (scalar).  Three-level pyramid:
-    lanes (width nch) → rows (groups of W2) → super-rows (R2 of them).
-    Returns (y, y_last)."""
+    component; g_in is the entering carry (scalar).  Two matmuls, no
+    reshapes: lane-level decay matmul + row-carry lower-triangular matvec."""
     w = jnp.dot(f_comp, T1.T, preferred_element_type=jnp.float32)   # (tileF, nch)
-    c = w[:, nch - 1].reshape(R2, W2)
-    G = jnp.dot(c, T2.T, preferred_element_type=jnp.float32)        # (R2, W2)
-    c3 = G[:, W2 - 1].reshape(1, R2)
-    H3 = jnp.dot(c3, T3.T, preferred_element_type=jnp.float32)      # (1, R2)
-    E = H3 + p3 * g_in                                              # end of super-rows
-    E_prev = pltpu.roll(E, 1, axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, R2), 1)
-    E_prev = jnp.where(col == 0, g_in, E_prev)                      # entering super-rows
-    g_full = (G + E_prev.T * p2).reshape(tileF, 1)                  # end of each row
-    g_prev = pltpu.roll(g_full, 1, axis=0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (tileF, 1), 0)
-    g_prev = jnp.where(row == 0, g_in, g_prev)                      # entering rows
+    c = w[:, nch - 1:nch]                                           # (tileF, 1)
+    gext = jnp.dot(S, c, preferred_element_type=jnp.float32)        # (tileF+1, 1)
+    gext = gext + pN * g_in
+    g_prev = gext[:tileF]                                           # entering each row
     y = w + p1 * g_prev
-    return y, g_full[tileF - 1, 0]
+    return y, gext[tileF, 0]
 
 
-def _kernel(xre_ref, xim_ref, ramp_ref, T64_ref, T2_ref, T3_ref,
-            p64_ref, p64r_ref, p4096r_ref, That_ref, wre_ref, wim_ref,
+def _kernel(xre_ref, xim_ref, ramp_ref, T64_ref, S_ref,
+            p64_ref, pN_ref, That_ref, wre_ref, wim_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
             hist_re_scr, hist_im_scr, scal_scr,
-            *, nch, L, tileF, W2, R2, g_gain, inv_kf):
+            *, nch, L, tileF, g_gain, inv_kf):
     i = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -134,17 +144,13 @@ def _kernel(xre_ref, xim_ref, ramp_ref, T64_ref, T2_ref, T3_ref,
     fre = jnp.float32(g_gain) * (xre - xpre)
     fim = jnp.float32(g_gain) * (xim - xpim)
 
-    # ---- DC blocker (three-level blocked recurrence) ----
+    # ---- DC blocker (blocked recurrence, matmul form) ----
     T64 = T64_ref[:]
-    T2 = T2_ref[:]
-    T3 = T3_ref[:]
+    S = S_ref[:]
     p64 = p64_ref[:]
-    p64r = p64r_ref[:]
-    p4096r = p4096r_ref[:]
-    ydc_re, glast_re = _dc_solve(fre, T64, T2, T3, p64, p64r, p4096r,
-                                 scal_scr[2], nch, tileF, W2, R2)
-    ydc_im, glast_im = _dc_solve(fim, T64, T2, T3, p64, p64r, p4096r,
-                                 scal_scr[3], nch, tileF, W2, R2)
+    pN = pN_ref[:]
+    ydc_re, glast_re = _dc_solve(fre, T64, S, p64, pN, scal_scr[2], nch, tileF)
+    ydc_im, glast_im = _dc_solve(fim, T64, S, p64, pN, scal_scr[3], nch, tileF)
 
     # ---- NCO pre-shift: multiply by e^{-jθ} ----
     theta = ramp_ref[0] + phase_ref[0, 0]
@@ -208,7 +214,7 @@ def flagship_fused_init(nch: int, m: int = 7):
 @functools.partial(jax.jit, static_argnames=("nch", "m", "as_db", "kf", "tileF",
                                              "dc_alpha", "interpret"))
 def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
-                        kf: float = 0.6, tileF: int = 1024,
+                        kf: float = 0.6, tileF: int = 256,
                         dc_alpha: float = 0.0005, interpret: bool = False):
     """(state, x (n,) complex64) → (state, audio (nch, n/nch) float32).
 
@@ -219,8 +225,6 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
     F = n // nch
     L = 2 * m
     assert F % tileF == 0, (F, tileF)
-    W2 = 64 if tileF % 64 == 0 else tileF
-    R2 = tileF // W2
     T = F // tileF
     r = 1.0 - dc_alpha
     g = (1.0 + r) / 2.0
@@ -236,15 +240,13 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
     wim = jnp.asarray(wim_np)
     T64 = jnp.asarray(_decay(r, nch))
     a_row = float(r ** nch)
-    T2 = jnp.asarray(_decay(a_row, W2))
-    T3 = jnp.asarray(_decay(float(a_row ** W2), R2))
-    p64 = jnp.asarray(_powvec(r, nch))           # (1, nch): a^(i+1)
-    p64r = jnp.asarray(_powvec(a_row, W2))       # (1, W2): (a^nch)^(j+1)
-    p4096r = jnp.asarray(_powvec(float(a_row ** W2), R2))  # (1, R2)
+    S = jnp.asarray(_row_carry_matrix(a_row, tileF))       # (tileF+1, tileF)
+    p64 = jnp.asarray(_powvec(r, nch))                     # (1, nch): a^(i+1)
+    pN = jnp.asarray(_row_decay_col(a_row, tileF))         # (tileF+1, 1)
     phase = state["phase"].reshape(1, 1)
 
     kernel = functools.partial(
-        _kernel, nch=nch, L=L, tileF=tileF, W2=W2, R2=R2, g_gain=g,
+        _kernel, nch=nch, L=L, tileF=tileF, g_gain=g,
         inv_kf=1.0 / (_TWO_PI * kf))
 
     const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -256,8 +258,8 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
             pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            const2((nch, nch)), const2((W2, W2)), const2((R2, R2)),
-            const2((1, nch)), const2((1, W2)), const2((1, R2)),
+            const2((nch, nch)), const2((tileF + 1, tileF)),
+            const2((1, nch)), const2((tileF + 1, 1)),
             const2((L + 1, nch)), const2((nch, nch)), const2((nch, nch)),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             const2((L + 1, nch)), const2((L + 1, nch)),
@@ -280,7 +282,7 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
             pltpu.SMEM((4,), jnp.float32),
         ],
         interpret=interpret,
-    )(xre, xim, ramp, T64, T2, T3, p64, p64r, p4096r, That, wre, wim, phase,
+    )(xre, xim, ramp, T64, S, p64, pN, That, wre, wim, phase,
       state["hist_re"], state["hist_im"], state["scal"])
 
     new_phase = jnp.mod(state["phase"] + phase_increment(float(omega), int(n)),
