@@ -25,7 +25,8 @@ def run(backend: str, iters: int):
     from csdr_tpu.core.runtime import Pipeline, CEnc
 
     nch = 64
-    block = 1 << 21  # 2 Msamples per step
+    block = 1 << 22  # 4 Msamples per step — large enough to amortize
+    # this environment's relay dispatch latency (see docs/TPU_BACKEND_NOTES.md)
 
     graph = channelized_fm_receiver(nch, kf=0.6, backend=backend)
     pipe = Pipeline(graph, block_size=block, donate=True)
