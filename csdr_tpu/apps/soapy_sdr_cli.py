@@ -94,9 +94,14 @@ def _open_source(opts):
     """Source selection with device-enumeration fallback
     (apps/SoapySDR.hs:155-179)."""
     if opts.filename:
-        if opts.filename.endswith(".wav"):
+        # like the reference: try the audio-file reader first, fall back to
+        # raw CF32 (apps/SoapySDR.hs:172-179 initFileSource)
+        try:
+            from ..io.wav import read_wav
+            read_wav(opts.filename)  # probe header
             return SRC.wav_iq_source(opts.filename, opts.chunksize)
-        return SRC.cf32_file_source(opts.filename, opts.chunksize)
+        except Exception:
+            return SRC.cf32_file_source(opts.filename, opts.chunksize)
     devs = [d.get("driver") for d in SRC.enumerate_devices()]
     if not devs:
         print("No SDR devices detected")
