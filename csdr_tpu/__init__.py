@@ -18,10 +18,10 @@ from .blocks import (
     fir_decimator, fir_interpolator, automatic_gain_control, dc_blocker,
     iir_filter, iir_cfilter, fir_filter, fir_filter_c_kaiser,
     fir_filter_rnyquist, real_to_complex, complex_to_real,
-    firpfbch_channelizer, resampler, wbfm_demodulator,
+    firpfbch_channelizer, resampler, wbfm_demodulator, u8_to_iq,
 )
 from .io.sources import (
-    cf32_file_source, f32_file_source, wav_iq_source,
+    cf32_file_source, cu8_file_source, f32_file_source, wav_iq_source,
     SdrSource, SyntheticSdrSource, enumerate_devices, open_sdr,
 )
 from .io.sinks import (

@@ -94,6 +94,9 @@ def _open_source(opts):
     """Source selection with device-enumeration fallback
     (apps/SoapySDR.hs:155-179)."""
     if opts.filename:
+        if opts.filename.endswith(".cu8"):
+            # rtl_sdr native interleaved uint8 IQ (capability extension)
+            return SRC.cu8_file_source(opts.filename, opts.chunksize)
         # like the reference: try the audio-file reader first, fall back to
         # raw CF32 (apps/SoapySDR.hs:172-179 initFileSource)
         try:
@@ -129,6 +132,8 @@ def run_opts(opts) -> int:
     # prep = takeNArr ns . process, apps/SoapySDR.hs:206-207)
     from ..models.receivers import front_end
     fe_stages = front_end(opts.samplerate, opts.offset, opts.bandwidth)
+    if opts.filename and opts.filename.endswith(".cu8"):
+        fe_stages = [B.u8_to_iq()] + fe_stages
     if fe_stages:
         fe = chain(*fe_stages) if len(fe_stages) > 1 else fe_stages[0]
         fe_pipe = Pipeline(fe, block_size=opts.blocksize)

@@ -51,8 +51,30 @@ __all__ = [
     "fir_decimator", "fir_interpolator", "automatic_gain_control", "dc_blocker",
     "iir_filter", "iir_cfilter", "fir_filter_c_kaiser", "fir_filter",
     "fir_filter_rnyquist", "real_to_complex", "complex_to_real",
-    "firpfbch_channelizer", "resampler", "wbfm_demodulator",
+    "firpfbch_channelizer", "resampler", "wbfm_demodulator", "u8_to_iq",
 ]
+
+
+class U8ToIQ(Block):
+    """Interleaved unsigned-8-bit IQ (RTL-SDR native 'cu8' capture format) →
+    complex64, converted ON DEVICE so the host→device wire carries 2 bytes
+    per sample instead of 8.  Capability extension: the reference reads CF32
+    only and needs rtl_sdr captures pre-converted."""
+
+    rate = Fraction(1, 2)
+    granule = 2
+    name = "u8_to_iq"
+
+    def apply(self, state, x):
+        f = (x.astype(jnp.float32) - 127.5) * np.float32(1.0 / 127.5)
+        pairs = f.reshape(-1, 2)
+        import jax
+
+        return state, jax.lax.complex(pairs[:, 0], pairs[:, 1])
+
+
+def u8_to_iq() -> Block:
+    return U8ToIQ()
 
 
 class Mixer(Block):

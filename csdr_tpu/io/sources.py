@@ -23,6 +23,7 @@ from . import wav as wavio
 
 __all__ = [
     "cf32_file_source",
+    "cu8_file_source",
     "f32_file_source",
     "wav_iq_source",
     "SdrSource",
@@ -51,6 +52,18 @@ def cf32_file_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray
             if not raw:
                 return
             yield np.frombuffer(raw, dtype=np.complex64)
+
+
+def cu8_file_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]:
+    """Raw interleaved uint8 IQ (rtl_sdr capture format): yields uint8 arrays
+    of even length; pair conversion happens on device (blocks.u8_to_iq)."""
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(chunk_size * 2)
+            if not raw:
+                return
+            buf = np.frombuffer(raw, dtype=np.uint8)
+            yield buf[: len(buf) & ~1]
 
 
 def f32_file_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]:

@@ -158,6 +158,34 @@ def test_cli_fms_stereo(tmp_path):
     assert audio.shape == (n // 4, 2)
 
 
+def test_cli_cu8_capture(tmp_path):
+    """rtl_sdr-native .cu8 input: same results as the CF32 path within
+    quantization noise."""
+    os.chdir(tmp_path)
+    n = 1 << 16
+    rng = np.random.default_rng(7)
+    iq = (0.4 * (rng.normal(size=n) + 1j * rng.normal(size=n))).astype(np.complex64)
+    iq = np.clip(iq.real, -1, 1) + 1j * np.clip(iq.imag, -1, 1)
+    u8 = np.empty(2 * n, np.uint8)
+    u8[0::2] = np.round(iq.real * 127.5 + 127.5).astype(np.uint8)
+    u8[1::2] = np.round(iq.imag * 127.5 + 127.5).astype(np.uint8)
+    u8.tofile("cap.cu8")
+    rc = cli_main(["--filename", "cap.cu8", "-n", str(n), "-o", "from_u8",
+                   "--blocksize", str(1 << 15)])
+    assert rc == 0
+    got = np.fromfile("from_u8.cf32", dtype=np.complex64)
+    assert len(got) == n
+    # compare against the CF32 path on the quantized signal
+    q = ((np.round(iq.real * 127.5 + 127.5) - 127.5) / 127.5
+         + 1j * (np.round(iq.imag * 127.5 + 127.5) - 127.5) / 127.5).astype(np.complex64)
+    q.tofile("cap.cf32")
+    rc = cli_main(["--filename", "cap.cf32", "-n", str(n), "-o", "from_f32",
+                   "--blocksize", str(1 << 15)])
+    assert rc == 0
+    want = np.fromfile("from_f32.cf32", dtype=np.complex64)
+    assert np.max(np.abs(got - want)) < 1e-5
+
+
 def test_cli_mesh_channelized(tmp_path):
     """--mesh 4x2 runs the sharded multi-device path; outputs must match the
     single-device CLI run."""
