@@ -110,7 +110,7 @@ def _dc_solve(f_comp, T1, S, p1, pN, g_in, nch, tileF):
     return y, gext[tileF, 0]
 
 
-def _kernel(xre_ref, xim_ref, ramp_ref, T64_ref, S_ref,
+def _kernel(xre_ref, xim_ref, ramp2_ref, T64_ref, S_ref,
             p64_ref, pN_ref, That_ref, wre_ref, wim_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
@@ -153,7 +153,13 @@ def _kernel(xre_ref, xim_ref, ramp_ref, T64_ref, S_ref,
     ydc_im, glast_im = _dc_solve(fim, T64, S, p64, pN, scal_scr[3], nch, tileF)
 
     # ---- NCO pre-shift: multiply by e^{-jθ} ----
-    theta = ramp_ref[0] + phase_ref[0, 0]
+    # ω = −π(nch−1)/nch ⇒ the phase ramp is periodic with period 2·nch
+    # samples EXACTLY (ω·2nch ≡ 0 mod 2π), i.e. it alternates between two
+    # nch-sample rows — a (2, nch) constant instead of an (F, nch) panel
+    # (saves a full 4-byte-per-sample HBM read).
+    ramp2 = ramp2_ref[:]  # (2, nch)
+    row_par = jax.lax.broadcasted_iota(jnp.int32, (tileF, 1), 0) % 2
+    theta = jnp.where(row_par == 0, ramp2[0][None, :], ramp2[1][None, :])         + phase_ref[0, 0]
     cth = jnp.cos(theta)
     sth = jnp.sin(theta)
     sre = ydc_re * cth + ydc_im * sth
@@ -229,10 +235,11 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
     r = 1.0 - dc_alpha
     g = (1.0 + r) / 2.0
 
+    assert tileF % 2 == 0  # keeps the 2-row ramp's parity aligned per tile
     xre = jnp.real(x).reshape(T, tileF, nch)
     xim = jnp.imag(x).reshape(T, tileF, nch)
     omega = pfb_offset(nch)
-    ramp = jnp.asarray(phase_ramp(float(omega), int(n))).reshape(T, tileF, nch)
+    ramp2 = jnp.asarray(phase_ramp(float(omega), 2 * nch).reshape(2, nch))
 
     That = jnp.asarray(_permuted_tap_panel(nch, m, as_db))
     wre_np, wim_np = _permuted_dft(nch)
@@ -257,7 +264,7 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
         in_specs=[
             pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const2((2, nch)),
             const2((nch, nch)), const2((tileF + 1, tileF)),
             const2((1, nch)), const2((tileF + 1, 1)),
             const2((L + 1, nch)), const2((nch, nch)), const2((nch, nch)),
@@ -282,7 +289,7 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
             pltpu.SMEM((4,), jnp.float32),
         ],
         interpret=interpret,
-    )(xre, xim, ramp, T64, S, p64, pN, That, wre, wim, phase,
+    )(xre, xim, ramp2, T64, S, p64, pN, That, wre, wim, phase,
       state["hist_re"], state["hist_im"], state["scal"])
 
     new_phase = jnp.mod(state["phase"] + phase_increment(float(omega), int(n)),
