@@ -79,6 +79,20 @@ def rational_resample_stream(state, x: jnp.ndarray, P: int, Q: int, as_db: float
     R = nout // P  # outputs per phase-lane
     xfull = jnp.concatenate([state, x])  # length n + L − 1; x[j] at index j + L − 1
 
+    if P * L > 2048:
+        # awkward rationals (large P): gather formulation — windows and tap
+        # rows selected with device gathers instead of P·L unrolled slices
+        mo = np.arange(nout, dtype=np.int64)
+        base_o = ((mo * Q) // P).astype(np.int32)
+        phase_o = ((mo * Q) % P).astype(np.int32)
+        offs = (L - 1) - np.arange(L, dtype=np.int32)
+        idx = jnp.asarray(base_o[:, None] + offs[None, :])
+        win = xfull[idx]                                    # (nout, L)
+        tap_rows = jnp.asarray(taps)[jnp.asarray(phase_o)]  # (nout, L)
+        y = jnp.sum(win * tap_rows.astype(win.dtype), axis=-1)
+        new_state = xfull[n:] if L > 1 else state
+        return new_state, y
+
     m = np.arange(P)
     base = (m * Q) // P
     phase = (m * Q) % P

@@ -119,6 +119,29 @@ def test_rational_resampler_tone(P, Q):
     assert err < 0.05
 
 
+def test_rational_resampler_awkward_rate_gather_path():
+    """A rate whose rational approximation has large P exercises the gather
+    formulation (P·L too big to unroll)."""
+    from fractions import Fraction
+    fr = rational_approx(0.789123)
+    P, Q = fr.numerator, fr.denominator
+    assert P * rational_taps(P, Q).shape[1] > 2048  # really the gather path
+    f = 0.01
+    n = 512 * Q
+    x = testsig.tone(n, f)
+    state = rational_resample_init(P, Q)
+    state, y = rational_resample_stream(state, jnp.asarray(x), P, Q)
+    y = np.asarray(y)
+    assert len(y) == n * P // Q
+    L = rational_taps(P, Q).shape[1]
+    t = np.arange(4 * L, len(y))
+    want = np.exp(1j * 2 * np.pi * (f * Q / P) * t)
+    yy = y[4 * L:]
+    g = np.vdot(want, yy) / np.vdot(want, want)
+    assert abs(abs(g) - 1.0) < 0.03, g
+    assert np.max(np.abs(yy - g * want)) < 0.05
+
+
 def test_rational_approx():
     fr = rational_approx(200e3 / 2.56e6)
     assert (fr.numerator, fr.denominator) == (5, 64)
