@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Mix the channels into one output instead of per-channel files")
     p.add_argument("--blocksize", type=int, default=1 << 20,
                    help="Device block size in samples (TPU-side; not in the reference)")
+    p.add_argument("--backend", default="xla",
+                   choices=["xla", "pallas", "pallas_full"],
+                   help="Kernel backend for the channelized FM path "
+                        "(-c N + DeNBFM): fused Pallas kernels or pure XLA")
     p.add_argument("--mesh", default=None, metavar="TxC",
                    help="Run the channelized FM path on a device mesh, e.g. "
                         "'4x2' = 4 time-shards x 2 channel-shards "
@@ -188,6 +192,19 @@ def run_opts(opts) -> int:
         return 0
     else:
         raise AssertionError(kind)
+
+    if (nch > 1 and kind == "DeNBFM" and opts.backend != "xla"
+            and not agc_blocks and not opts.mix):
+        # fused-kernel fast path for the flagship flow
+        from ..models.receivers import channelized_fm_receiver
+        graph = channelized_fm_receiver(nch, kf=demod[1], backend=opts.backend)
+        pipe = Pipeline(graph, block_size=opts.blocksize)
+        sink = S.ChannelFileSinks(
+            lambda i: make_sink(f"{opts.output}_ch{i + 1}"), nch)
+        with sink:
+            total = pipe.run(stream, sink)
+        print(f"Wrote {total} output samples per stream ({opts.backend})")
+        return 0
 
     stages = [B.dc_blocker()]
     if nch > 1:

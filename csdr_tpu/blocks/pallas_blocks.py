@@ -1,6 +1,14 @@
-"""Blocks backed by fused Pallas TPU kernels."""
+"""Blocks backed by fused Pallas TPU kernels.
+
+Set CSDR_PALLAS_INTERPRET=1 to force interpreter mode (CPU testing)."""
 
 from __future__ import annotations
+
+import os
+
+
+def _interp_default(flag: bool) -> bool:
+    return flag or bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
 
 from fractions import Fraction
 
@@ -18,9 +26,11 @@ class FlagshipFused(Block):
     (ops/pallas/flagship_fused.py)."""
 
     def __init__(self, nch: int, kf: float = 0.6, m: int = 7, as_db: float = 80.0,
-                 tileF: int = 1024, dc_alpha: float = 0.0005, interpret: bool = False):
+                 tileF: int = 256, dc_alpha: float = 0.0005, interpret: bool = False):
         from fractions import Fraction
         from ..ops.pallas.flagship_fused import flagship_fused_init, flagship_fused_step
+
+        interpret = _interp_default(interpret)
 
         self._init = lambda: flagship_fused_init(nch, m)
         self._step = lambda st, x: flagship_fused_step(
@@ -46,7 +56,7 @@ class PallasChannelizedFM(Block):
                  tileF: int = 1024, interpret: bool = False):
         self.nch, self.kf, self.m, self.as_db = nch, kf, m, as_db
         self.tileF = tileF
-        self.interpret = interpret
+        self.interpret = _interp_default(interpret)
         self.rate = Fraction(1, nch)
         self.granule = nch * tileF  # F must divide into whole tiles
         self.name = f"pallas_pfb_fm({nch})"

@@ -263,3 +263,27 @@ def test_gmsk_roundtrip():
         b = got[lag:lag + len(a)]
         best = max(best, np.mean(a == b))
     assert best > 0.995, best
+
+
+def test_cli_backend_pallas_interpret(tmp_path, monkeypatch):
+    """--backend pallas_full fast path (interpret mode on CPU)."""
+    monkeypatch.setenv("CSDR_PALLAS_INTERPRET", "1")
+    os.chdir(tmp_path)
+    nch = 8
+    n = 1 << 16
+    rng = np.random.default_rng(31)
+    iq = (0.2 * (rng.normal(size=n) + 1j * rng.normal(size=n))).astype(np.complex64)
+    iq.tofile("w.cf32")
+    rc = cli_main(["--filename", "w.cf32", "-n", str(n), "-c", str(nch),
+                   "--demod", "DeNBFM 0.6 WAV", "-o", "fused",
+                   "--backend", "pallas_full", "--blocksize", str(1 << 15)])
+    assert rc == 0
+    rc = cli_main(["--filename", "w.cf32", "-n", str(n), "-c", str(nch),
+                   "--demod", "DeNBFM 0.6 WAV", "-o", "plain",
+                   "--blocksize", str(1 << 15)])
+    assert rc == 0
+    for chn in (1, nch):
+        a, _ = wavio.read_wav(f"fused_ch{chn}.wav")
+        b, _ = wavio.read_wav(f"plain_ch{chn}.wav")
+        assert len(a) == len(b) == n // nch
+        assert np.max(np.abs(a[1:] - b[1:])) < 2e-3
