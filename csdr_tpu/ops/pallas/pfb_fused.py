@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..pfb import pfb_taps, pfb_dft_matrix, pfb_offset
 from ..nco import phase_ramp, phase_increment
 
-__all__ = ["pfb_fm_fused", "channelized_fm_pallas_init", "channelized_fm_pallas_step"]
+__all__ = ["pfb_fm_fused", "pfb_channelize_fused", "channelized_fm_pallas_init",
+           "channelized_fm_pallas_step"]
 
 _TWO_PI = 2.0 * np.pi
 
@@ -57,33 +58,45 @@ def _atan2(y, x):
     return jnp.where(y < 0, -a, a)
 
 
+def _branch_fir_dft(vre, vim, taps, wre, wim, L, nout):
+    """Branch FIR over ``nout`` frames then the DFT matmul (re/im planes)."""
+    ure = None
+    uim = None
+    for l in range(L):
+        tl = taps[l][None, :]
+        sre = vre[L - 1 - l: L - 1 - l + nout] * tl
+        sim = vim[L - 1 - l: L - 1 - l + nout] * tl
+        ure = sre if ure is None else ure + sre
+        uim = sim if uim is None else uim + sim
+    dre = (jnp.dot(ure, wre, preferred_element_type=jnp.float32)
+           - jnp.dot(uim, wim, preferred_element_type=jnp.float32))
+    dim = (jnp.dot(ure, wim, preferred_element_type=jnp.float32)
+           + jnp.dot(uim, wre, preferred_element_type=jnp.float32))
+    return dre, dim
+
+
 def _kernel(vre_ref, vim_ref, taps_ref, wre_ref, wim_ref, out_ref, *, L, tileF, inv_kf):
     # wre/wim may be column shards (nch, ncho) for channel-sharded meshes
     vre = vre_ref[0]  # (tileF + L, nch)
     vim = vim_ref[0]
     taps = taps_ref[:]  # (L, nch)
-
-    # branch FIR: u[t] = Σ_l taps[l] · v[t + L-1 - l], t ∈ [0, tileF]
-    ure = None
-    uim = None
-    for l in range(L):
-        tl = taps[l][None, :]
-        sre = vre[L - 1 - l: L - 1 - l + tileF + 1] * tl
-        sim = vim[L - 1 - l: L - 1 - l + tileF + 1] * tl
-        ure = sre if ure is None else ure + sre
-        uim = sim if uim is None else uim + sim
-
-    wre = wre_ref[:]
-    wim = wim_ref[:]
-    dre = (jnp.dot(ure, wre, preferred_element_type=jnp.float32)
-           - jnp.dot(uim, wim, preferred_element_type=jnp.float32))
-    dim = (jnp.dot(ure, wim, preferred_element_type=jnp.float32)
-           + jnp.dot(uim, wre, preferred_element_type=jnp.float32))
+    # one extra frame at the left feeds the demod's d[t−1]
+    dre, dim = _branch_fir_dft(vre, vim, taps, wre_ref[:], wim_ref[:], L, tileF + 1)
 
     # FM demod: angle(d[t] · conj(d[t-1])) · 1/(2π·kf)
     cre = dre[1:] * dre[:-1] + dim[1:] * dim[:-1]
     cim = dim[1:] * dre[:-1] - dre[1:] * dim[:-1]
     out_ref[0] = _atan2(cim, cre) * jnp.float32(inv_kf)
+
+
+def _kernel_nodemod(vre_ref, vim_ref, taps_ref, wre_ref, wim_ref,
+                    dre_ref, dim_ref, *, L, tileF):
+    vre = vre_ref[0]
+    vim = vim_ref[0]
+    taps = taps_ref[:]
+    dre, dim = _branch_fir_dft(vre, vim, taps, wre_ref[:], wim_ref[:], L, tileF)
+    dre_ref[0] = dre
+    dim_ref[0] = dim
 
 
 @functools.partial(jax.jit, static_argnames=("nch", "L", "tileF", "kf", "interpret"))
@@ -123,6 +136,45 @@ def pfb_fm_fused(vfull_re, vfull_im, taps, wre, wim, *, nch: int, L: int,
         interpret=interpret,
     )(slab_re, slab_im, taps, wre, wim)
     return out.reshape(F, ncho)
+
+
+@functools.partial(jax.jit, static_argnames=("nch", "L", "tileF", "interpret"))
+def pfb_channelize_fused(vfull_re, vfull_im, taps, wre, wim, *, nch: int, L: int,
+                         tileF: int = 512, interpret: bool = False):
+    """Channelizer-only fused kernel: same inputs as pfb_fm_fused but returns
+    the complex channel matrix as (d_re, d_im) of shape (F, ncho) — for flows
+    that need the channelized IQ itself (raw splits, per-channel AGC before
+    demod).  Uses L−1 history frames (no demod-prev frame needed)."""
+    F = vfull_re.shape[0] - (L - 1)
+    ncho = wre.shape[1]
+    assert F % tileF == 0, (F, tileF)
+    T = F // tileF
+    starts = np.arange(T)[:, None] * tileF + np.arange(tileF + L - 1)[None, :]
+    idx = jnp.asarray(starts.astype(np.int32))
+    slab_re = vfull_re[idx]
+    slab_im = vfull_im[idx]
+    kernel = functools.partial(_kernel_nodemod, L=L, tileF=tileF)
+    dre, dim = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, tileF + L - 1, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tileF + L - 1, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, nch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, ncho), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, ncho), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tileF, ncho), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tileF, ncho), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, tileF, ncho), jnp.float32),
+            jax.ShapeDtypeStruct((T, tileF, ncho), jnp.float32),
+        ),
+        interpret=interpret,
+    )(slab_re, slab_im, taps, wre, wim)
+    return dre.reshape(F, ncho), dim.reshape(F, ncho)
 
 
 def channelized_fm_pallas_init(nch: int, m: int = 7):

@@ -98,8 +98,6 @@ class ShardedChannelizedFM:
             f_loc = self.nloc // self.nch
             self.tileF = min(self.tileF, f_loc)
             assert f_loc % self.tileF == 0, (f_loc, self.tileF)
-            assert self.agc_threshold_db is None, \
-                "per-channel AGC is not supported with use_fused yet"
         self.fir_taps = (firdecim_kaiser(self.audio_decim, 10, 60.0).astype(np.float32)
                          if self.audio_decim > 1 else None)
         # single-ppermute halo exchange requires each stage's halo to fit in
@@ -340,9 +338,32 @@ class ShardedChannelizedFM:
         wre = jax.lax.dynamic_slice_in_dim(wre_full, ci * self.nch_loc, self.nch_loc, 1)
         wim = jax.lax.dynamic_slice_in_dim(wim_full, ci * self.nch_loc, self.nch_loc, 1)
 
-        audio = pfb_fm_fused(jnp.real(vfull), jnp.imag(vfull), taps, wre, wim,
-                             nch=nch, L=L, tileF=self.tileF, kf=self.kf,
-                             interpret=self.interpret).T  # (nch_loc, F)
+        if self.agc_threshold_db is not None:
+            # channelize-only kernel → distributed per-channel AGC → demod
+            from ..ops.pallas.pfb_fused import pfb_channelize_fused
+
+            dre, dim = pfb_channelize_fused(
+                jnp.real(vfull[1:]), jnp.imag(vfull[1:]), taps, wre, wim,
+                nch=nch, L=L, tileF=self.tileF, interpret=self.interpret)
+            d = jax.lax.complex(dre, dim).T  # (nch_loc, F)
+            d, new_agc_lng, new_agc_above = self._agc(state, d, ti, ci)
+            dml = jax.lax.dynamic_slice_in_dim(state["demod_last"], ci * self.nch_loc,
+                                               self.nch_loc, axis=0)
+            last_frame = jax.lax.ppermute(d[:, -1], "time",
+                                          [(jj, jj + 1) for jj in range(self.dt - 1)])
+            prev0 = jnp.where(ti == 0, dml, last_frame)
+            prevs = jnp.concatenate([prev0[:, None], d[:, :-1]], axis=1)
+            audio = jnp.angle(d * jnp.conj(prevs)) * np.float32(1.0 / (_TWO_PI * self.kf))
+            dl_shards = jax.lax.all_gather(d[:, -1], "ch")
+            new_demod_last = self._from_last_device_time_only(
+                dl_shards.reshape(self.nch))
+        else:
+            audio = pfb_fm_fused(jnp.real(vfull), jnp.imag(vfull), taps, wre, wim,
+                                 nch=nch, L=L, tileF=self.tileF, kf=self.kf,
+                                 interpret=self.interpret).T  # (nch_loc, F)
+            new_agc_lng = state["agc_lng"]
+            new_agc_above = state["agc_above"]
+            new_demod_last = state["demod_last"]
         new_pfb_tail = self._from_last_device(xs[-self.pfb_halo:])
 
         if self.fir_taps is not None:
@@ -369,9 +390,9 @@ class ShardedChannelizedFM:
 
         new_state = dict(
             dc_x=new_dc_x, dc_y=new_dc_y, phase=new_phase,
-            pfb_tail=new_pfb_tail, demod_last=state["demod_last"],
-            fir_tail=new_fir_tail, agc_lng=state["agc_lng"],
-            agc_above=state["agc_above"],
+            pfb_tail=new_pfb_tail, demod_last=new_demod_last,
+            fir_tail=new_fir_tail, agc_lng=new_agc_lng,
+            agc_above=new_agc_above,
         )
         return new_state, audio
 

@@ -156,3 +156,47 @@ def test_sharded_fused_kernel_matches_single_device(mesh_shape):
     err = np.max(np.abs(got[:, 1:] - want[:, 1:]))  # frame 0: demod seed
     scale = np.max(np.abs(want)) + 1e-12
     assert err / scale < 2e-3, err / scale
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2)])
+def test_sharded_fused_with_agc(mesh_shape):
+    """use_fused + per-channel AGC: channelize-only kernel + distributed AGC
+    + demod must match the single-device graph."""
+    dt, dc = mesh_shape
+    ndev = dt * dc
+    if ndev > len(jax.devices()):
+        pytest.skip("not enough devices")
+    nch, thr = 8, -60.0
+    n_blocks = 2
+    block = dt * nch * 512
+    n = n_blocks * block
+    iq = make_input(n, seed=13) * 0.05
+
+    graph = cs.chain(
+        cs.dc_blocker(),
+        cs.firpfbch_channelizer(nch),
+        cs.PerChannel(cs.chain(cs.automatic_gain_control(thr),
+                               cs.fm_demodulator(0.6)), nch),
+    )
+    pipe = Pipeline(graph, block_size=block, donate=False)
+    sink = cs.CollectSink()
+    pipe.run(iter([iq]), sink)
+    want = np.asarray(sink.concat())
+
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]).reshape(dt, dc), ("time", "ch"))
+    sh = ShardedChannelizedFM(mesh=mesh, nch=nch, block_size=block,
+                              agc_threshold_db=thr, use_fused=True, tileF=64,
+                              interpret=True)
+    state = sh.init()
+    outs = []
+    for b in range(n_blocks):
+        xb = jax.device_put(jnp.asarray(iq[b * block:(b + 1) * block]),
+                            sh.input_sharding())
+        state, y = sh.step(state, xb)
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == want.shape
+    err = np.max(np.abs(got - want))
+    scale = np.max(np.abs(want)) + 1e-12
+    assert err / scale < 5e-3, err / scale
