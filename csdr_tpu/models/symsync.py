@@ -30,7 +30,8 @@ from .. import blocks as B
 from ..utils import firdes
 from ..ops.constants import jnp_const
 
-__all__ = ["SymSync", "sym_sync_r", "sym_sync_c", "sym_tracker", "fm_dem_with_sync"]
+__all__ = ["SymSync", "SymSyncScan", "sym_sync_r", "sym_sync_c", "sym_tracker",
+           "fm_dem_with_sync"]
 
 _TWO_PI = 2.0 * np.pi
 
@@ -153,19 +154,107 @@ class SymSync(Block):
         return (new_hist, tau_carry, jnp.ones((), jnp.bool_)), y
 
 
-def sym_sync_r(k: int, m: int = 4, beta: float = 0.0, npfb: int = 64) -> Block:
+class SymSyncScan(Block):
+    """Closed-loop symbol synchronizer: per-output-tick Gardner TED + PI loop
+    via lax.scan — the faithful counterpart of liquid's symsync feedback
+    dynamics (Liquid.chs:177-282), for time-VARYING clock drift the windowed
+    line fit cannot model.  Serial per output sample; use the block-parallel
+    `SymSync` on wideband paths."""
+
+    def __init__(self, k: int, m: int, beta: float, npfb: int,
+                 complex_input: bool, ftype: str, lf_bw: float = 0.05,
+                 out_per_sym: int = 2, name: str = "symsync_scan"):
+        self.k, self.m, self.beta, self.npfb = k, m, beta, npfb
+        self.complex_input = complex_input
+        self.ftype = ftype
+        self.out_per_sym = out_per_sym
+        self.rate = Fraction(out_per_sym, k)
+        self.granule = k
+        self.W = 2 * m * k + 1
+        self.H = self.W + 2 * k
+        # PI loop gains from the loop bandwidth (reference lf_bw = 0.05)
+        self.kp = np.float32(2.0 * lf_bw)
+        self.ki = np.float32(lf_bw * lf_bw)
+        self.name = f"{name}(k={k})"
+
+    def init(self):
+        dt = jnp.complex64 if self.complex_input else jnp.float32
+        return (
+            jnp.zeros((self.H,), dtype=dt),   # input history
+            jnp.zeros((), jnp.float32),        # tau (timing offset, samples)
+            jnp.zeros((), jnp.float32),        # eta (loop integrator)
+            jnp.zeros((), dt),                 # previous center sample
+            jnp.zeros((), dt),                 # pending edge sample
+        )
+
+    def apply(self, state, x):
+        hist, tau0, eta0, prev_c0, edge0 = state
+        k, m, npfb = self.k, self.m, self.npfb
+        n = x.shape[0]
+        nout = (n // k) * self.out_per_sym
+        xfull = jnp.concatenate([hist, x])
+        bank = jnp.asarray(_interp_bank(k, m, npfb, self.ftype, self.beta))
+        W = bank.shape[1]
+        start = self.H - (m * k + k)
+        half = k / self.out_per_sym
+
+        def step(carry, j):
+            tau, eta, prev_c, edge = carry
+            pos = np.float32(start) + j.astype(jnp.float32) * np.float32(half) + tau
+            ipos = jnp.floor(pos).astype(jnp.int32)
+            frac = pos - ipos.astype(jnp.float32)
+            ph = jnp.clip(jnp.round(frac * npfb).astype(jnp.int32), 0, npfb - 1)
+            win = jax.lax.dynamic_slice(xfull, (ipos - m * k,), (W,))
+            y = jnp.sum(win * bank[ph].astype(win.dtype))
+            is_center = (j % 2) == 0
+
+            # Gardner: e = Re(edge · conj(c[n] − c[n−1])) at center ticks
+            def ted(args):
+                tau_, eta_, prev_c_, edge_ = args
+                if self.complex_input:
+                    e = jnp.real(edge_ * jnp.conj(y - prev_c_))
+                else:
+                    e = edge_ * (y - prev_c_)
+                # Gardner sign convention: positive e ⇒ sampling late
+                e = -jnp.clip(e, -1.0, 1.0)
+                eta_n = eta_ + self.ki * e
+                tau_n = tau_ + self.kp * e + eta_n
+                return tau_n, eta_n, y, edge_
+
+            def hold(args):
+                tau_, eta_, prev_c_, _ = args
+                return tau_, eta_, prev_c_, y  # store edge sample
+
+            tau, eta, prev_c, edge = jax.lax.cond(
+                is_center, ted, hold, (tau, eta, prev_c, edge))
+            return (tau, eta, prev_c, edge), y
+
+        (tau, eta, prev_c, edge), ys = jax.lax.scan(
+            step, (tau0, eta0, prev_c0, edge0), jnp.arange(nout))
+        new_hist = xfull[-self.H:]
+        # keep tau bounded (timing wraps are absorbed by ±k/2 re-centering)
+        tau = jnp.mod(tau + k / 2.0, np.float32(k)) - k / 2.0
+        return (new_hist, tau, eta, prev_c, edge), ys
+
+
+def sym_sync_r(k: int, m: int = 4, beta: float = 0.0, npfb: int = 64,
+               mode: str = "block") -> Block:
     """Real symbol sync (reference symSyncR k m beta nf, kaiser matched
-    filter, Liquid.chs:265-272)."""
-    return SymSync(k, max(m, 1), beta, npfb, complex_input=False, ftype="kaiser",
-                   name="symsync_r")
+    filter, Liquid.chs:265-272).  mode="scan" selects the closed-loop
+    Gardner/PI variant (liquid-faithful dynamics, serial)."""
+    cls = SymSyncScan if mode == "scan" else SymSync
+    return cls(k, max(m, 1), beta, npfb, complex_input=False, ftype="kaiser",
+               name="symsync_r")
 
 
-def sym_sync_c(m: int, k: int, beta: float = 0.5, npfb: int = 32) -> Block:
+def sym_sync_c(m: int, k: int, beta: float = 0.5, npfb: int = 32,
+               mode: str = "block") -> Block:
     """Complex symbol sync (reference symSyncC m k: rnyquist ARKAISER β=0.5,
     32 filters, Liquid.chs:223-232).  Argument order (m, k) matches the
     reference export."""
-    return SymSync(k, max(m, 1), beta, npfb, complex_input=True, ftype="rnyquist",
-                   name="symsync_c")
+    cls = SymSyncScan if mode == "scan" else SymSync
+    return cls(k, max(m, 1), beta, npfb, complex_input=True, ftype="rnyquist",
+               name="symsync_c")
 
 
 def fm_dem_with_sync(k: int) -> Block:

@@ -202,3 +202,46 @@ def test_stereo_fm_decoder_separation():
             return spec[sel].max()
         sep = 10 * np.log10(band_power(fwant) / band_power(fother))
         assert sep > 20.0, (ch, sep)
+
+
+def test_sym_sync_scan_mode():
+    """Closed-loop (Gardner/PI) symsync mode — liquid-faithful dynamics."""
+    rng = np.random.default_rng(0)
+    k, nsym = 10, 2000
+    bits = rng.integers(0, 2, nsym) * 2 - 1
+    x = np.repeat(bits.astype(np.float64), k)
+    x = np.convolve(x, np.hanning(7) / np.hanning(7).sum(), mode="same")
+    x = fractional_delay(x, 3.7)
+    y = run_block(sym_sync_r(k, 4, 0.0, 64, mode="scan"), x.astype(np.float32))
+    centers = np.sign(y[0::2])
+    half = len(centers) // 2  # judge post-convergence
+    best = 0
+    for lag in range(-6, 7):
+        a = bits[half + max(0, lag):]
+        b = centers[half + max(0, -lag):]
+        m = min(len(a), len(b)) - 10
+        if m > 100:
+            best = max(best, np.mean(a[:m] == b[:m]))
+    assert best > 0.99, best
+
+
+def test_sym_sync_scan_complex():
+    rng = np.random.default_rng(1)
+    k, m, nsym = 4, 3, 4000
+    bits = rng.integers(0, 2, nsym) * 2 - 1
+    h = firdes.rrc(k, m, 0.5)
+    up = np.zeros(nsym * k)
+    up[::k] = bits
+    x = np.convolve(up, h)[: nsym * k] * np.sqrt(k)
+    x = fractional_delay(x, 1.3).astype(np.complex64)
+    y = run_block(sym_sync_c(m, k, mode="scan"), x)
+    centers = np.real(y[0::2])
+    half = len(centers) // 2
+    best = 0
+    for lag in range(-8, 9):
+        a = bits[half + max(0, lag):]
+        b = np.sign(centers[half + max(0, -lag):])
+        mm = min(len(a), len(b)) - 10
+        if mm > 100:
+            best = max(best, np.mean(a[:mm] == b[:mm]))
+    assert best > 0.97, best
