@@ -85,3 +85,22 @@ def test_constellation_sink(tmp_path):
     text = open(p).read()
     assert text.count("v(end+1)") == 10
     assert "print -dpng" in text
+
+
+def test_u8_to_iq_block():
+    import jax.numpy as jnp
+    blk = cs.u8_to_iq()
+    u8 = np.array([0, 255, 127, 128, 255, 0], dtype=np.uint8)
+    _, y = blk.apply((), jnp.asarray(u8))
+    y = np.asarray(y)
+    assert y.dtype == np.complex64
+    assert np.allclose(y[0], (-1 + 1j), atol=0.01)
+    assert np.allclose(y[2], (1 - 1j), atol=0.01)
+
+
+def test_stdout_sink(capsysbinary):
+    sink = cs.StdoutSink()
+    sink(np.arange(4, dtype=np.float32))
+    sink.close()
+    out = capsysbinary.readouterr().out
+    assert np.array_equal(np.frombuffer(out, dtype=np.float32), np.arange(4))
