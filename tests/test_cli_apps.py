@@ -287,3 +287,32 @@ def test_cli_backend_pallas_interpret(tmp_path, monkeypatch):
         b, _ = wavio.read_wav(f"plain_ch{chn}.wav")
         assert len(a) == len(b) == n // nch
         assert np.max(np.abs(a[1:] - b[1:])) < 2e-3
+
+
+def test_full_helicopter_chain(tmp_path):
+    """The complete reference workflow end-to-end: 2-FSK IQ capture →
+    soapy-sdr DeNBFMSync (NBFM demod + symbol sync, 2 samp/sym f32) →
+    helidecode (frame sync, 10-bit chars, coordinate parse, KML)."""
+    os.chdir(tmp_path)
+    k = 10
+    text = "AN 52 3045\r\nBW 21 0030\r\n"
+    payload = (b"\xff\xff" + (text * 3).encode())[:71]
+    frame = "".join("".join("1" if (b >> j) & 1 else "0" for j in range(8)) + "11"
+                    for b in payload)
+    sync = "1100000000" + "0100000000"
+    bits = (sync + frame) * 10 + sync
+    sym = np.array([+1.0 if c == "0" else -1.0 for c in bits])
+    iq = np.exp(1j * 2 * np.pi * np.cumsum(
+        np.repeat(sym * 0.02 * k * 0.5, k))).astype(np.complex64)
+    iq.tofile("fsk.cf32")
+    rc = cli_main(["--filename", "fsk.cf32", "-n", str(len(iq)),
+                   "--demod", f"DeNBFMSync {k}", "-o", "sync_out",
+                   "--blocksize", str(1 << 15)])
+    assert rc == 0
+    from csdr_tpu.apps import helidecode as hd2
+    coords = hd2.decode_file("sync_out.f32", "out.kml", "out.m")
+    assert len(coords) >= 10
+    c = coords[0]
+    assert abs(c.lat() - (52 + 30 / 60 + (45 / 100 * 60) / 3600)) < 1e-6
+    assert abs(c.lon() - (21 + 0 / 60 + (30 / 100 * 60) / 3600)) < 1e-6
+    assert "<coordinates>" in open("out.kml").read()
