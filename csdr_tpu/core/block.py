@@ -177,6 +177,11 @@ class Delay(Block):
     Reference `delay` (Trans.hs:86-104) pairs each sample with the sample n
     positions *earlier* to compensate filter group delay in the stereo
     decoder.  State: last n samples of the previous block.
+
+    End-of-stream note: the reference's fold-`done` emits the final n
+    buffered samples paired with zeros; this streaming Block has no
+    end-of-stream hook, so the delayed copy simply ends n samples early
+    (n = a filter group delay, microseconds of audio).
     """
 
     def __init__(self, n: int, dtype=jnp.float32, name: str = "delay"):
