@@ -67,3 +67,20 @@ def test_state_roundtrip_structure(tmp_path):
     import jax
     for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_periodic_checkpoint_during_run(tmp_path):
+    """Pipeline.run(checkpoint_path=..., checkpoint_every=...) writes a
+    resumable checkpoint mid-stream."""
+    n = 1 << 15
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    ck = str(tmp_path / "periodic.npz")
+    p = Pipeline(graph(), block_size=1 << 13, donate=False)
+    sink = cs.NullSink()
+    p.run(iter([x]), sink, checkpoint_path=ck, checkpoint_every=1 << 14)
+    import os
+    assert os.path.exists(ck)
+    p2 = Pipeline(graph(), block_size=1 << 13, donate=False)
+    pos = resume_pipeline(ck, p2)
+    assert pos >= 1 << 14
