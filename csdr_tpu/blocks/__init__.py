@@ -33,9 +33,11 @@ from __future__ import annotations
 from fractions import Fraction
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from ..core.block import Block, Lambda, chain
+from ..core.block import Block, Lambda, TailStateBlock, chain
+from ..core.sharding import CH, TIME
 from ..ops import agc as agc_ops
 from ..ops import demod as demod_ops
 from ..ops import fir as fir_ops
@@ -45,6 +47,8 @@ from ..ops import nco as nco_ops
 from ..ops import pfb as pfb_ops
 from ..ops import resamp as resamp_ops
 from ..utils import firdes, iirdes
+
+_TWO_PI = 2.0 * np.pi
 
 __all__ = [
     "mix_up", "mix_down", "fm_demodulator", "am_demodulator", "fsk_demodulator",
@@ -64,6 +68,7 @@ class U8ToIQ(Block):
     rate = Fraction(1, 2)
     granule = 2
     name = "u8_to_iq"
+    stateless = True
 
     def apply(self, state, x):
         f = (x.astype(jnp.float32) - 127.5) * np.float32(1.0 / 127.5)
@@ -92,6 +97,21 @@ class Mixer(Block):
     def apply(self, state, x):
         return nco_ops.mix_stream(state, x, self.omega, self.up)
 
+    def shard_apply(self, state, x, ctx):
+        """The NCO phase is affine in the global sample index, so each time
+        device starts at the carried phase plus a static per-device offset
+        (float64-precomputed) — no collective needed."""
+        nloc = x.shape[0]
+        table = jnp.asarray(nco_ops.phase_table(self.omega, nloc, ctx.dt))
+        local_phase = jnp.mod(state + table[ctx.ti()], np.float32(_TWO_PI))
+        _, y = nco_ops.mix_stream(local_phase, x, self.omega, self.up)
+        inc = np.float32(nco_ops.phase_increment(self.omega, nloc * ctx.dt))
+        new_phase = jnp.mod(state + inc, np.float32(_TWO_PI))
+        return new_phase, y
+
+    def shard_validate(self, nloc, ctx):
+        return nloc
+
 
 def mix_up(omega: float) -> Block:
     return Mixer(omega, up=True)
@@ -101,8 +121,11 @@ def mix_down(omega: float) -> Block:
     return Mixer(omega, up=False)
 
 
-class FMDemod(Block):
-    """FM demodulator (reference fmDemodulator, Liquid.chs:303-334)."""
+class FMDemod(TailStateBlock):
+    """FM demodulator (reference fmDemodulator, Liquid.chs:303-334).
+    State = previous input sample ⇒ a 1-sample halo under sharding."""
+
+    tail_len = 1
 
     def __init__(self, kf: float):
         self.kf = float(kf)
@@ -123,6 +146,8 @@ class AMDemod(Block):
     """AM envelope demodulator, mod index 0.8, DSB, carrier present
     (reference amDemodulator, Liquid.chs:439-469)."""
 
+    stateless = True
+
     def __init__(self, mod_index: float = 0.8, suppressed: bool = False):
         self.mod_index = mod_index
         self.suppressed = suppressed
@@ -140,6 +165,8 @@ class FSKDemod(Block):
     """M-FSK demodulator: k input samples → 1 symbol (uint32)
     (reference fskDemodulator, Liquid.chs:336-382)."""
 
+    stateless = True
+
     def __init__(self, m_bits: int, k: int, bandwidth: float):
         self.m_bits, self.k, self.bandwidth = m_bits, k, bandwidth
         self.rate = Fraction(1, k)
@@ -154,12 +181,13 @@ def fsk_demodulator(m_bits: int, k: int, bandwidth: float) -> Block:
     return FSKDemod(m_bits, k, bandwidth)
 
 
-class FIRFilter(Block):
+class FIRFilter(TailStateBlock):
     """Same-rate streaming FIR from an explicit tap vector."""
 
     def __init__(self, taps: np.ndarray, complex_input: bool, name: str = "fir",
                  scale: float = 1.0, strategy: str = "auto"):
         self.taps = np.asarray(taps) * scale
+        self.tail_len = len(self.taps) - 1
         self.complex_input = complex_input
         self.strategy = strategy
         self.name = name
@@ -194,7 +222,7 @@ def fir_filter_rnyquist(k: int, m: int, beta: float, mu: float = 0.0) -> FIRFilt
     return FIRFilter(taps, complex_input=False, scale=1.0, name=f"fir_gmskrx(k={k},m={m})")
 
 
-class FIRDecim(Block):
+class FIRDecim(TailStateBlock):
     """Kaiser decimating FIR (reference firDecimator, Liquid.chs:471-501:
     semi-length 10, 60 dB)."""
 
@@ -202,6 +230,7 @@ class FIRDecim(Block):
                  complex_input: bool = False):
         self.m = m
         self.taps = firdes.firdecim_kaiser(m, semilen, as_db)
+        self.tail_len = len(self.taps) - 1
         self.complex_input = complex_input
         self.rate = Fraction(1, m)
         self.granule = m
@@ -221,7 +250,7 @@ def fir_decimator(m: int, **kw) -> Block:
     return FIRDecim(m, **kw)
 
 
-class FIRInterp(Block):
+class FIRInterp(TailStateBlock):
     """Kaiser interpolating FIR (capability extension; liquid has firinterp
     but the reference CLI never uses it)."""
 
@@ -230,6 +259,7 @@ class FIRInterp(Block):
         self.p = p
         h = firdes.firdecim_kaiser(p, semilen, as_db) * p
         self.taps = h
+        self.tail_len = -(-len(h) // p) - 1
         self.complex_input = complex_input
         self.rate = Fraction(p, 1)
         self.name = f"fir_interp({p})"
@@ -262,6 +292,12 @@ class DCBlocker(Block):
     def apply(self, state, x):
         return iir_ops.dc_blocker_stream(state, x, self.alpha)
 
+    def shard_apply(self, state, x, ctx):
+        return iir_ops.dc_blocker_shard_stream(state, x, ctx, self.alpha)
+
+    def shard_validate(self, nloc, ctx):
+        return nloc
+
 
 def dc_blocker(alpha: float = 0.0005, complex_input: bool = True) -> Block:
     return DCBlocker(alpha, complex_input)
@@ -283,6 +319,22 @@ class IIRFilter(Block):
 
     def apply(self, state, x):
         return iir_ops.onepole_cascade_stream(self.casc, state, x)
+
+    def shard_apply(self, state, x, ctx):
+        """Identical cascade algebra with distributed primitives injected:
+        halo-exchanged FIR numerator history + closed-form cross-device pole
+        carries (core/sharding.ShardCtx)."""
+        def dist_linrec(v, a, c):
+            y, _, new_carry = ctx.linrec(v, a, c)
+            return y, new_carry
+
+        return iir_ops.onepole_cascade_stream(
+            self.casc, state, x, linrec_fn=dist_linrec, fir_fn=ctx.fir)
+
+    def shard_validate(self, nloc, ctx):
+        if nloc < 2:
+            raise ValueError(f"{self.name}: local segment too short")
+        return nloc
 
 
 def iir_filter(order: int, fc: float, f0: float = 0.0, ap: float = 10.0,
@@ -312,17 +364,25 @@ class AGC(Block):
     def apply(self, state, x):
         return agc_ops.agc_stream(state, x, self.bandwidth, self.squelch_threshold_db)
 
+    def shard_apply(self, state, x, ctx):
+        return agc_ops.agc_shard_stream(state, x, ctx, self.bandwidth,
+                                        self.squelch_threshold_db)
+
+    def shard_validate(self, nloc, ctx):
+        return nloc
+
 
 def automatic_gain_control(threshold_db: float) -> Block:
     return AGC(threshold_db)
 
 
-class RealToComplex(Block):
+class RealToComplex(TailStateBlock):
     """Real→IQ Hilbert 2:1 (reference realToComplex, Liquid.chs:503-537)."""
 
     rate = Fraction(1, 2)
     granule = 2
     name = "real_to_complex"
+    tail_len = len(hilbert_ops.hilbert_taps()) - 1
 
     def init(self):
         return hilbert_ops.real_to_complex_init()
@@ -331,11 +391,12 @@ class RealToComplex(Block):
         return hilbert_ops.real_to_complex_stream(state, x)
 
 
-class ComplexToReal(Block):
+class ComplexToReal(TailStateBlock):
     """IQ→real Hilbert 1:2 (reference complexToReal, Liquid.chs:539-546)."""
 
     rate = Fraction(2, 1)
     name = "complex_to_real"
+    tail_len = -(-len(hilbert_ops.hilbert_taps()) // 2) - 1
 
     def init(self):
         return hilbert_ops.complex_to_real_init()
@@ -372,14 +433,87 @@ class PFBChannelizer(Block):
         pfb_state, y = pfb_ops.pfb_analyze_stream(pfb_state, shifted, self.nch, self.m, self.as_db)
         return (phase, pfb_state), y
 
+    def shard_apply(self, state, x, ctx):
+        """Time-sharded channelizer, channel-sharded output: the NCO pre-shift
+        uses the indexed-phase trick (no collective), the polyphase history is
+        one raw-sample halo of length L·nch−1 from the left neighbor, and each
+        device multiplies only its column shard of the DFT matrix — so the
+        (nch, F) output lands P('ch','time') with no further communication."""
+        from ..ops.constants import jnp_const
+
+        phase, (hist_x, hist_v) = state
+        nch, m = self.nch, self.m
+        L = 2 * m
+        nloc = x.shape[0]
+        F = nloc // nch
+        omega = pfb_ops.pfb_offset(nch)
+
+        table = jnp.asarray(nco_ops.phase_table(omega, nloc, ctx.dt))
+        local_phase = jnp.mod(phase + table[ctx.ti()], np.float32(_TWO_PI))
+        _, xs = nco_ops.mix_stream(local_phase, x, omega, up=False)
+        inc = np.float32(nco_ops.phase_increment(omega, nloc * ctx.dt))
+        new_phase = jnp.mod(phase + inc, np.float32(_TWO_PI))
+
+        # carried polyphase state == the last L·nch−1 raw (shifted) samples:
+        # hist_v holds the last L−1 frames (reversed), hist_x the nch−1 spill
+        H = L * nch - 1
+        carried_tail = jnp.concatenate([hist_v[:, ::-1].reshape(-1), hist_x])
+        halo = ctx.left_halo(xs, carried_tail, H)
+
+        xfull = jnp.concatenate([halo[(L - 1) * nch:], xs])  # (nch−1) + nloc
+        v = xfull[: F * nch].reshape(F, nch)[:, ::-1]
+        vprev = halo[: (L - 1) * nch].reshape(L - 1, nch)[:, ::-1]
+        vfull = jnp.concatenate([vprev, v], axis=0)          # (F + L − 1, nch)
+
+        taps = pfb_ops.pfb_taps(nch, m, self.as_db)
+        u = None
+        for l in range(L):
+            seg = vfull[L - 1 - l: L - 1 - l + F]
+            term = seg * jnp.asarray(taps[l])[None, :]
+            u = term if u is None else u + term
+
+        W = jnp_const(pfb_ops.pfb_dft_matrix(nch))
+        if ctx.dc > 1:
+            nch_loc = nch // ctx.dc
+            W = jax.lax.dynamic_slice_in_dim(W, ctx.ci() * nch_loc, nch_loc, axis=1)
+        d = (u @ W).T  # (nch_local, F)
+
+        new_hist_x = ctx.from_last_time(xs[-(nch - 1):]) if nch > 1 else hist_x
+        new_hist_v = ctx.from_last_time(v[-(L - 1):])
+        return (new_phase, (new_hist_x, new_hist_v)), d
+
+    def shard_validate(self, nloc, ctx):
+        if ctx.layout != TIME:
+            raise ValueError(f"{self.name}: channelizer input must be a 1-D "
+                             f"time-sharded stream")
+        if nloc % self.nch:
+            raise ValueError(f"{self.name}: local segment {nloc} not a "
+                             f"multiple of nch={self.nch}")
+        H = 2 * self.m * self.nch - 1
+        if nloc < H:
+            raise ValueError(f"{self.name}: local segment {nloc} shorter than "
+                             f"the {H}-sample polyphase halo")
+        if self.nch % ctx.dc:
+            raise ValueError(f"{self.name}: nch={self.nch} not divisible by "
+                             f"the {ctx.dc}-way channel mesh axis")
+        return nloc // self.nch
+
+    def shard_layout(self, in_layout):
+        return CH
+
 
 def firpfbch_channelizer(nch: int, **kw) -> Block:
     return PFBChannelizer(nch, **kw)
 
 
-class RationalResampler(Block):
+class RationalResampler(TailStateBlock):
+    """Polyphase P/Q resampler.  Its phase schedule restarts every Q input
+    samples, so with a Q-aligned local segment the state is purely the
+    (L−1)-sample input tail — time-shardable like any FIR."""
+
     def __init__(self, P: int, Q: int, as_db: float = 60.0, complex_input: bool = True):
         self.P, self.Q, self.as_db = P, Q, as_db
+        self.tail_len = resamp_ops.rational_taps(P, Q, as_db).shape[1] - 1
         self.complex_input = complex_input
         self.rate = Fraction(P, Q)
         self.granule = Q
@@ -393,7 +527,7 @@ class RationalResampler(Block):
         return resamp_ops.rational_resample_stream(state, x, self.P, self.Q, self.as_db)
 
 
-class HalfbandDecim(Block):
+class HalfbandDecim(TailStateBlock):
     """2:1 half-band decimator — one stage of the multi-stage resampler."""
 
     rate = Fraction(1, 2)
@@ -401,6 +535,7 @@ class HalfbandDecim(Block):
 
     def __init__(self, as_db: float = 60.0, semilen: int = 12, complex_input: bool = True):
         self.taps = firdes.halfband_kaiser(semilen, as_db) * 2.0
+        self.tail_len = len(self.taps) - 1
         self.complex_input = complex_input
         self.name = "halfband_decim"
 

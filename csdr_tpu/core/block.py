@@ -30,21 +30,57 @@ from typing import Any, Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Block", "Chain", "chain", "Lambda", "Tee", "PerChannel", "MixChannels", "Delay"]
+__all__ = ["Block", "Chain", "chain", "Lambda", "Tee", "PerChannel", "MixChannels",
+           "Delay", "TailStateBlock"]
 
 
 class Block:
-    """Base class.  Subclasses define init/apply and may override rate/granule."""
+    """Base class.  Subclasses define init/apply and may override rate/granule.
+
+    Sharded execution (core/sharding.py): blocks additionally implement
+    ``shard_apply(state, x_local, ctx)`` — same math over a device-local time
+    segment, cross-device coupling via ``ctx`` collectives — and
+    ``shard_validate(nloc, ctx)`` (static divisibility/halo checks + layout
+    propagation).  ``stateless = True`` blocks shard trivially.
+    """
 
     rate: Fraction = Fraction(1)
     granule: int = 1
     name: str = ""
+    stateless: bool = False  # True ⇒ apply ignores/passes state unchanged
 
     def init(self) -> Any:
         return ()
 
     def apply(self, state: Any, x: Any):
         raise NotImplementedError
+
+    # ---- sharding protocol ------------------------------------------------
+    def shard_apply(self, state, x, ctx):
+        if self.stateless:
+            return self.apply(state, x)
+        raise NotImplementedError(
+            f"{type(self).__name__} ({self.name}) does not support sharded "
+            f"execution — implement shard_apply or mark it stateless")
+
+    def shard_validate(self, nloc: int, ctx) -> int:
+        """Static check that a local segment of ``nloc`` samples is valid for
+        this block on ctx's mesh; returns the local output length.  Mutates
+        ctx.layout to the block's output layout.  No jnp ops here."""
+        if not self.stateless:
+            raise NotImplementedError(
+                f"{type(self).__name__} ({self.name}) does not support sharded "
+                f"execution")
+        if nloc % self.granule:
+            raise ValueError(
+                f"{self.name}: local segment {nloc} not a multiple of granule "
+                f"{self.granule}")
+        return self.out_len(nloc)
+
+    def shard_layout(self, in_layout):
+        """Output data layout given the input layout (core/sharding tags).
+        Only layout-changing blocks (channelizer, mix) override this."""
+        return in_layout
 
     # ergonomic composition: a >> b means "a then b" (left-to-right, the
     # reverse of the reference's right-to-left `.`)
@@ -99,14 +135,66 @@ class Chain(Block):
             new_states.append(s)
         return tuple(new_states), x
 
+    def shard_apply(self, state, x, ctx):
+        new_states = []
+        for b, s in zip(self.blocks, state):
+            s, x = b.shard_apply(s, x, ctx)
+            new_states.append(s)
+            ctx.layout = b.shard_layout(ctx.layout)
+        return tuple(new_states), x
+
+    def shard_validate(self, nloc, ctx):
+        for b in self.blocks:
+            nloc = b.shard_validate(nloc, ctx)
+            ctx.layout = b.shard_layout(ctx.layout)
+        return nloc
+
+    def shard_layout(self, in_layout):
+        for b in self.blocks:
+            in_layout = b.shard_layout(in_layout)
+        return in_layout
+
 
 def chain(*blocks: Block) -> Chain:
     return Chain(blocks)
 
 
+class TailStateBlock(Block):
+    """Mixin for blocks whose carried state IS the last ``tail_len`` raw input
+    samples (FIR filters, decimators, resamplers, FM demod, delay …).
+
+    For these, the sequential carried state equals the halo a sharded device
+    needs: ``shard_apply`` feeds the left neighbor's input tail to the very
+    same ``apply`` and takes the new carried tail from the last time device.
+    Subclasses set ``self.tail_len`` (== their state length in samples).
+    """
+
+    tail_len: int = 0
+
+    def shard_apply(self, state, x, ctx):
+        h = self.tail_len
+        if h == 0:
+            return self.apply(state, x)
+        hist = ctx.left_halo(x, state, h)
+        _, y = self.apply(hist, x)
+        return ctx.from_last_time(x[-h:]), y
+
+    def shard_validate(self, nloc: int, ctx) -> int:
+        if nloc % self.granule:
+            raise ValueError(f"{self.name}: local segment {nloc} not a "
+                             f"multiple of granule {self.granule}")
+        if nloc < self.tail_len:
+            raise ValueError(f"{self.name}: local segment {nloc} shorter than "
+                             f"its {self.tail_len}-sample halo — use a larger "
+                             f"block or fewer time shards")
+        return self.out_len(nloc)
+
+
 class Lambda(Block):
     """Stateless elementwise/whole-block function (reference `mapA`,
     Trans.hs:146-147, minus the list round-trip)."""
+
+    stateless = True
 
     def __init__(self, fn: Callable, rate: Fraction = Fraction(1), granule: int = 1,
                  name: str = "lambda"):
@@ -138,6 +226,20 @@ class Tee(Block):
         s2, y2 = self.b2.apply(state[1], x)
         return (s1, s2), (y1, y2)
 
+    def shard_apply(self, state, x, ctx):
+        s1, y1 = self.b1.shard_apply(state[0], x, ctx.clone())
+        s2, y2 = self.b2.shard_apply(state[1], x, ctx.clone())
+        return (s1, s2), (y1, y2)
+
+    def shard_validate(self, nloc, ctx):
+        n1 = self.b1.shard_validate(nloc, ctx.clone())
+        n2 = self.b2.shard_validate(nloc, ctx.clone())
+        assert n1 == n2, (n1, n2)
+        return n1
+
+    def shard_layout(self, in_layout):
+        return (self.b1.shard_layout(in_layout), self.b2.shard_layout(in_layout))
+
 
 class PerChannel(Block):
     """vmap a block over a leading channel axis: the TPU-native version of the
@@ -159,10 +261,50 @@ class PerChannel(Block):
     def apply(self, state, x):
         return jax.vmap(self.inner.apply)(state, x)
 
+    def shard_apply(self, state, x, ctx):
+        """x: (nch_local, n) panel, channel-sharded when ctx.dc > 1.  The
+        stacked (nch, …) states are replicated; slice the local channel rows,
+        vmap the inner block's *sharded* step over them (time-axis collectives
+        batch over the lane axis), and reassemble the full stacked state with
+        one all_gather over 'ch'."""
+        nch_loc = x.shape[0]
+        ci = ctx.ci()
+        if ctx.dc > 1:
+            local_state = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, ci * nch_loc, nch_loc, 0),
+                state)
+        else:
+            local_state = state
+        inner_ctx = ctx.clone(layout="time", in_channel_lane=True)
+        new_local, y = jax.vmap(
+            lambda s, xi: self.inner.shard_apply(s, xi, inner_ctx))(local_state, x)
+        if ctx.dc > 1:
+            new_state = jax.tree.map(
+                lambda nl: jax.lax.all_gather(nl, ctx.ch_axis).reshape(
+                    (self.nch,) + nl.shape[1:]),
+                new_local)
+        else:
+            new_state = new_local
+        return new_state, y
+
+    def shard_validate(self, nloc, ctx):
+        from .sharding import CH
+
+        if ctx.layout != CH:
+            raise ValueError(f"{self.name}: sharded PerChannel requires "
+                             f"channelized (nch, n) input layout")
+        if self.nch % ctx.dc:
+            raise ValueError(f"{self.name}: nch={self.nch} not divisible by "
+                             f"the {ctx.dc}-way channel mesh axis")
+        inner_ctx = ctx.clone(layout="time")
+        return self.inner.shard_validate(nloc, inner_ctx)
+
 
 class MixChannels(Block):
     """Sum over the channel axis (reference `mix`, Trans.hs:119-122 — there a
     per-element Haskell list fold; here a single reduction)."""
+
+    stateless = True
 
     def __init__(self, name: str = "mix"):
         self.name = name
@@ -170,8 +312,26 @@ class MixChannels(Block):
     def apply(self, state, x):
         return state, jnp.sum(x, axis=0)
 
+    def shard_apply(self, state, x, ctx):
+        y = jnp.sum(x, axis=0)
+        if ctx.dc > 1:
+            y = jax.lax.psum(y, ctx.ch_axis)  # partial channel sums over ICI
+        return state, y
 
-class Delay(Block):
+    def shard_validate(self, nloc, ctx):
+        from .sharding import CH
+
+        if ctx.layout != CH:
+            raise ValueError(f"{self.name}: mix requires channelized input")
+        return nloc
+
+    def shard_layout(self, in_layout):
+        from .sharding import TIME
+
+        return TIME
+
+
+class Delay(TailStateBlock):
     """Pair the stream with an n-sample delayed copy: output (x, delay(x)).
 
     Reference `delay` (Trans.hs:86-104) pairs each sample with the sample n
@@ -186,6 +346,7 @@ class Delay(Block):
 
     def __init__(self, n: int, dtype=jnp.float32, name: str = "delay"):
         self.n = n
+        self.tail_len = n
         self.dtype = dtype
         self.name = f"{name}({n})"
 
@@ -196,3 +357,6 @@ class Delay(Block):
         full = jnp.concatenate([state, x])
         delayed = full[: x.shape[0]]
         return full[x.shape[0]:], (x, delayed)
+
+    def shard_layout(self, in_layout):
+        return (in_layout, in_layout)

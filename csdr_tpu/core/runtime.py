@@ -205,7 +205,10 @@ class Pipeline:
             y_enc = self.process_block(chunk)
             valid_out = (valid * r.numerator) // r.denominator
             arr = decode_tree_host(y_enc)
-            yield arr[..., :valid_out] if arr.ndim >= 2 else arr[:valid_out]
+            # tree-aware trim: tuple outputs (Tee/Delay graphs) trim per leaf
+            yield jax.tree.map(
+                lambda a: a[..., :valid_out] if a.ndim >= 2 else a[:valid_out],
+                arr)
 
     def run(self, source: Iterable[np.ndarray], sink: Callable[[np.ndarray], None],
             num_samples: int | None = None, progress: Callable | None = None,

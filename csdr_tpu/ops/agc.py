@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .linrec import linrec
 
-__all__ = ["agc_init", "agc_stream"]
+__all__ = ["agc_init", "agc_stream", "agc_shard_stream"]
 
 _LN10_OVER_20 = np.log(10.0) / 20.0
 
@@ -62,3 +62,32 @@ def agc_stream(state, x: jnp.ndarray, bandwidth: float = 0.1,
     else:
         new_prev = prev_above
     return (ln_g_next[-1], new_prev), y
+
+
+def agc_shard_stream(state, x: jnp.ndarray, ctx, bandwidth: float = 0.1,
+                     squelch_threshold_db: float | None = None):
+    """Time-sharded AGC + squelch: the log-gain recurrence runs distributed
+    (ShardCtx.linrec — the incoming per-device carry gives the gain applied
+    at the device's first sample), and the squelch's previous-sample 'above'
+    indicator crosses the device boundary as a 1-sample halo."""
+    ln_g, prev_above = state
+    alpha = float(bandwidth)
+    a = 1.0 - alpha
+    e2 = jnp.abs(x) ** 2
+    b = (-0.5 * alpha) * jnp.log(e2 + 1e-30)
+    ln_g_next, lng_in, new_lng = ctx.linrec(b.astype(jnp.float32), a, ln_g)
+    ln_gains = jnp.concatenate([jnp.reshape(lng_in, (1,)), ln_g_next[:-1]])
+    g = jnp.exp(ln_gains)
+    y = x * g.astype(x.dtype if not jnp.iscomplexobj(x) else jnp.float32)
+
+    if squelch_threshold_db is not None:
+        rssi = -ln_gains / np.float32(_LN10_OVER_20)
+        above = rssi > np.float32(squelch_threshold_db)
+        above0 = ctx.left_halo(above, jnp.reshape(prev_above, (1,)), 1)
+        above_prev = jnp.concatenate([above0, above[:-1]])
+        keep = jnp.logical_and(above, above_prev)
+        y = jnp.where(keep, y, jnp.zeros((), dtype=y.dtype))
+        new_prev = ctx.from_last_time(above[-1])
+    else:
+        new_prev = prev_above
+    return (new_lng, new_prev), y

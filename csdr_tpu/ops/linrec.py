@@ -40,9 +40,11 @@ _DEF_L = 128
 def _decay_matrices(a: complex, L: int, is_complex: bool):
     """Static (L, L) lower-triangular decay matrix and the a^(i+1) vector."""
     i = np.arange(L)
-    expo = i[:, None] - i[None, :]
-    with np.errstate(invalid="ignore"):
-        T = np.where(expo >= 0, np.power(complex(a) if is_complex else float(a), expo), 0.0)
+    # clamp the (masked-out) upper triangle to exponent 0 so np.power never
+    # overflows for |a| < 1 (the values are zeroed by the where anyway)
+    expo = np.maximum(i[:, None] - i[None, :], 0)
+    T = np.where(i[:, None] >= i[None, :],
+                 np.power(complex(a) if is_complex else float(a), expo), 0.0)
     apow = np.power(complex(a) if is_complex else float(a), i + 1)
     dt = np.complex64 if is_complex else np.float32
     return np.asarray(T, dtype=dt), np.asarray(apow, dtype=dt)

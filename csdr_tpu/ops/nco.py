@@ -36,6 +36,17 @@ def phase_increment(omega: float, n: int) -> float:
     return float(np.mod(np.float64(omega) * n, _TWO_PI))
 
 
+@functools.lru_cache(maxsize=None)
+def phase_table(omega: float, nloc: int, dt: int) -> np.ndarray:
+    """Per-device phase offsets for a time-sharded NCO: entry i is
+    (ω·nloc·i) mod 2π, float64-accumulated.  Device i of a dt-way time mesh
+    starts its local ramp at the carried phase plus this offset — the NCO
+    state advance is deterministic in the sample index, so sharding it needs
+    no collective at all (core/sharding.py)."""
+    i = np.arange(dt, dtype=np.float64)
+    return np.mod(np.float64(omega) * nloc * i, _TWO_PI).astype(np.float32)
+
+
 def mix_stream(phase, x: jnp.ndarray, omega: float, up: bool):
     """Multiply block by e^{±j(phase + ω·k)}; returns (new_phase, y).
 

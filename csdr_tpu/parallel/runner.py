@@ -1,53 +1,84 @@
-"""Streaming runner for the sharded multi-chip receiver — the multi-device
-counterpart of core/runtime.Pipeline (host feed → sharded step → sinks)."""
+"""Streaming runner for sharded multi-chip graphs — the multi-device
+counterpart of core/runtime.Pipeline (host feed → sharded step → sinks).
+
+Drives either the hand-fused flagship (parallel/channelized.
+ShardedChannelizedFM) or any generic graph (parallel/generic.ShardedChain):
+both expose ``init()``, ``step(state, x)``, ``block_size`` and an input
+sharding; outputs are decoded host-side and trimmed to the exact
+rational-rate sample count (the reference's byte-accounting invariant,
+/root/reference/README.md:191-192)."""
 
 from __future__ import annotations
 
-from typing import Callable, Iterable
+from fractions import Fraction
+from typing import Callable, Iterable, Iterator
 
 import numpy as np
 import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..core.runtime import rechunk, take_n, decode_tree_host
-from .channelized import ShardedChannelizedFM
+from ..core.runtime import CEnc, rechunk, take_n, decode_tree_host
 
 __all__ = ["ShardedPipeline"]
 
 
 class ShardedPipeline:
-    """Feed/drain loop around ShardedChannelizedFM.step.
+    """Feed/drain loop around a sharded step.
 
-    Input blocks are device_put with the time-sharded layout; outputs arrive
-    channel-sharded and are gathered host-side for the sinks.
-    """
+    Input blocks are device_put with the time-sharded layout; outputs are
+    gathered host-side for the sinks."""
 
-    def __init__(self, sharded: ShardedChannelizedFM):
+    def __init__(self, sharded):
         self.sh = sharded
         self.state = sharded.init()
         self.block_size = sharded.block_size
+        self.rate = self._rate(sharded)
 
-    def run(self, source: Iterable[np.ndarray], sink: Callable[[np.ndarray], None],
-            num_samples: int | None = None) -> int:
+    @staticmethod
+    def _rate(sh) -> Fraction:
+        r = getattr(sh, "rate", None)
+        if r is not None:
+            return Fraction(r)
+        # ShardedChannelizedFM: nch channels at 1/(nch·audio_decim) each
+        return Fraction(1, sh.nch * sh.audio_decim)
+
+    def _put(self, chunk: np.ndarray):
+        """Encode host-side, then shard the float planes over 'time'."""
+        mesh = self.sh.mesh
+        taxis = getattr(self.sh, "time_axis", "time")
+        if np.iscomplexobj(chunk):
+            f = np.stack([chunk.real, chunk.imag], axis=-1).astype(np.float32)
+            return CEnc(jax.device_put(f, NamedSharding(mesh, P(taxis, None))))
+        return jax.device_put(np.asarray(chunk), NamedSharding(mesh, P(taxis)))
+
+    def reset(self):
+        self.state = self.sh.init()
+
+    def stream(self, source: Iterable[np.ndarray],
+               num_samples: int | None = None) -> Iterator:
+        """Yield decoded, trimmed output pytrees per block."""
         n = self.block_size
         it: Iterable[np.ndarray] = source
         if num_samples is not None:
             it = take_n(it, num_samples)
-        rate_den = self.sh.nch * self.sh.audio_decim
-        total = 0
+        r = self.rate
         for chunk in rechunk(it, n):
             valid = len(chunk)
             if valid < n:
                 chunk = np.pad(chunk, (0, n - valid))
-            # encode host-side then shard the float planes over 'time'
-            f = np.stack([chunk.real, chunk.imag], axis=-1).astype(np.float32)
-            from ..core.runtime import CEnc
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            xe = CEnc(jax.device_put(
-                f, NamedSharding(self.sh.mesh, P("time", None))))
-            self.state, y = self.sh.step(self.state, xe)
-            valid_out = valid // rate_den
+            self.state, y = self.sh.step(self.state, self._put(chunk))
+            valid_out = (valid * r.numerator) // r.denominator
             arr = decode_tree_host(y)
-            sink(arr[..., :valid_out])
-            total += valid_out
+            yield jax.tree.map(
+                lambda a: a[..., :valid_out] if a.ndim >= 2 else a[:valid_out],
+                arr)
+
+    def run(self, source: Iterable[np.ndarray], sink: Callable,
+            num_samples: int | None = None) -> int:
+        total = 0
+        r = self.rate
+        for out in self.stream(source, num_samples):
+            sink(out)
+            first = jax.tree.leaves(out)[0]
+            total += first.shape[-1] if first.ndim >= 2 else first.shape[0]
         return total
