@@ -102,10 +102,11 @@ def _open_source(opts):
             # rtl_sdr native interleaved uint8 IQ (capability extension)
             return SRC.cu8_file_source(opts.filename, opts.chunksize)
         # like the reference: try the audio-file reader first, fall back to
-        # raw CF32 (apps/SoapySDR.hs:172-179 initFileSource)
+        # raw CF32 (apps/SoapySDR.hs:172-179 initFileSource).  Header-only
+        # probe — a multi-GB capture must not be read twice.
         try:
-            from ..io.wav import read_wav
-            read_wav(opts.filename)  # probe header
+            from ..io.wav import probe_wav
+            probe_wav(opts.filename)
             return SRC.wav_iq_source(opts.filename, opts.chunksize)
         except Exception:
             return SRC.cf32_file_source(opts.filename, opts.chunksize)
@@ -118,7 +119,14 @@ def _open_source(opts):
         print(f"Device {opts.devname} not found")
         return None
     print(f"Using device: {opts.devname}")
-    return iter(SRC.open_sdr(opts.devname, opts.samplerate, opts.frequency, opts.gain))
+    try:
+        return iter(SRC.open_sdr(opts.devname, opts.samplerate, opts.frequency,
+                                 opts.gain))
+    except (OSError, ConnectionError) as e:
+        # graceful device failure like the reference's device-absent path
+        # (apps/SoapySDR.hs:159-170) — no traceback for an unplugged bridge
+        print(f"Failed to open device {opts.devname}: {e}")
+        return None
 
 
 def run_opts(opts) -> int:

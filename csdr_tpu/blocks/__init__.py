@@ -304,15 +304,23 @@ def dc_blocker(alpha: float = 0.0005, complex_input: bool = True) -> Block:
 
 
 class IIRFilter(Block):
-    """Butterworth IIR prototype (reference iirFilter/iirCFilter,
-    Liquid.chs:600-651; the CLI only ever uses the Butterworth lowpass with
-    Ap/As = 10/10 which liquid ignores for Butterworth)."""
+    """IIR prototype filter (reference iirFilter/iirCFilter,
+    Liquid.chs:600-651).  The reference CLI only ever builds the Butterworth
+    lowpass (create_prototype 0 0 0), but the exported surface carries the
+    full liquid family — honored here: ``ftype`` selects
+    butter/cheby1/cheby2/ellip/bessel, ``f0`` ≠ 0 selects a bandpass centered
+    there, ``ap``/``as_db`` set ripple/attenuation where the family uses
+    them.  Evaluated as parallel one-pole partial fractions (ops/iir.py)."""
 
-    def __init__(self, order: int, fc: float, complex_input: bool):
+    def __init__(self, order: int, fc: float, complex_input: bool,
+                 ftype: str = "butter", f0: float = 0.0, ap: float = 1.0,
+                 as_db: float = 40.0):
         self.order, self.fc = order, fc
         self.complex_input = complex_input
-        self.casc = iirdes.sos_to_onepole(iirdes.butter_sos(order, fc), not complex_input)
-        self.name = f"iir_butter({order},{fc:.4g})"
+        sos = iirdes.prototype_sos(ftype, order, fc, f0, ap, as_db)
+        self.casc = iirdes.sos_to_onepole(sos, not complex_input)
+        self.name = f"iir_{ftype}({order},{fc:.4g}" + \
+            (f",f0={f0:.4g})" if f0 else ")")
 
     def init(self):
         return iir_ops.onepole_cascade_init(self.casc, self.complex_input)
@@ -338,13 +346,20 @@ class IIRFilter(Block):
 
 
 def iir_filter(order: int, fc: float, f0: float = 0.0, ap: float = 10.0,
-               as_db: float = 10.0) -> Block:
-    return IIRFilter(order, fc, complex_input=False)
+               as_db: float = 10.0, ftype: str = "butter") -> Block:
+    """Real IIR (reference iirFilter, Liquid.chs:644-651).  f0/ap/as_db are
+    now honored (f0 → bandpass center; ap/as_db → cheby/ellip parameters;
+    Butterworth ignores ap/as_db exactly as liquid does)."""
+    return IIRFilter(order, fc, complex_input=False, ftype=ftype, f0=f0,
+                     ap=ap, as_db=as_db)
 
 
 def iir_cfilter(order: int, fc: float, f0: float = 0.0, ap: float = 10.0,
-                as_db: float = 10.0) -> Block:
-    return IIRFilter(order, fc, complex_input=True)
+                as_db: float = 10.0, ftype: str = "butter") -> Block:
+    """Complex IIR (reference iirCFilter, Liquid.chs:602-608) — full
+    prototype surface, see IIRFilter."""
+    return IIRFilter(order, fc, complex_input=True, ftype=ftype, f0=f0,
+                     ap=ap, as_db=as_db)
 
 
 class AGC(Block):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .block import Block
 
-__all__ = ["Pipeline", "rechunk", "take_n", "to_host", "to_device",
+__all__ = ["Pipeline", "rechunk", "take_n", "skip_n", "to_host", "to_device",
            "CEnc", "encode_tree", "decode_tree", "decode_tree_host"]
 
 DEFAULT_BLOCK = 1 << 20
@@ -152,6 +152,21 @@ def take_n(chunks: Iterable[np.ndarray], n: int) -> Iterator[np.ndarray]:
             return
         got += len(c)
         yield c
+
+
+def skip_n(chunks: Iterable[np.ndarray], n: int) -> Iterator[np.ndarray]:
+    """Drop the first n samples of a chunk stream — the source-seek companion
+    of checkpoint resume: ``resume_pipeline`` returns the consumed position;
+    ``skip_n(source, position)`` realigns any chunk iterator to it."""
+    dropped = 0
+    it = iter(chunks)
+    for c in it:
+        if dropped + len(c) <= n:
+            dropped += len(c)
+            continue
+        yield np.asarray(c)[n - dropped:]
+        break
+    yield from it
 
 
 class Pipeline:

@@ -25,6 +25,7 @@ __all__ = [
     "cf32_file_source",
     "cu8_file_source",
     "f32_file_source",
+    "raw_bytes_source",
     "wav_iq_source",
     "SdrSource",
     "SyntheticSdrSource",
@@ -64,6 +65,19 @@ def cu8_file_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]
                 return
             buf = np.frombuffer(raw, dtype=np.uint8)
             yield buf[: len(buf) & ~1]
+
+
+def raw_bytes_source(path: str, chunk_bytes: int = _CHUNK) -> Iterator[np.ndarray]:
+    """Untyped byte tap: yields uint8 arrays straight from the file
+    (reference `readBytes`, Source.chs:4 — the raw-byte variant of the
+    device/file readers).  Use when downstream interprets the framing itself
+    (e.g. u8_to_iq on device, or a custom packet decoder)."""
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(chunk_bytes)
+            if not raw:
+                return
+            yield np.frombuffer(raw, dtype=np.uint8)
 
 
 def f32_file_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]:

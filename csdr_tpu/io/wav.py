@@ -15,7 +15,30 @@ import struct
 
 import numpy as np
 
-__all__ = ["write_wav", "read_wav", "write_au", "read_au", "WavWriter", "AuWriter"]
+__all__ = ["write_wav", "read_wav", "probe_wav", "write_au", "read_au",
+           "WavWriter", "AuWriter"]
+
+
+def probe_wav(path: str) -> tuple[int, int, int]:
+    """Header-only probe: returns (sample_rate, channels, format_tag) without
+    reading the payload (the CLI's source-type sniff must not read a
+    multi-GB capture twice).  Raises ValueError if not a readable WAV."""
+    with open(path, "rb") as f:
+        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                raise ValueError(f"{path}: missing fmt chunk")
+            cid, csz = struct.unpack("<4sI", hdr)
+            if cid == b"fmt ":
+                tag, nch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", f.read(16))
+                if (tag, bits) not in ((3, 32), (1, 16), (1, 32)):
+                    raise ValueError(f"{path}: unsupported WAV format "
+                                     f"tag={tag} bits={bits}")
+                return sr, nch, tag
+            f.seek(csz + (csz & 1), 1)
 
 
 def write_wav(path: str, data: np.ndarray, sample_rate: int):

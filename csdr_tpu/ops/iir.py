@@ -80,13 +80,23 @@ def onepole_cascade_stream(casc: OnePoleCascade, state, x: jnp.ndarray,
                     jnp.asarray(u0_end, dtype=jnp.complex64),
                     jnp.asarray(u1_end, dtype=jnp.complex64),
                 ])
-            else:
+            elif abs(np.conj(p0) - p1) < 1e-9 and abs(p0.imag) > 0:
                 # conjugate pair on real input: y = 2·Re(r0·u0)
                 u0, u0_end = linrec_fn(v.astype(jnp.complex64), complex(p0), carries[0])
                 y = 2.0 * (np.complex64(r0) * u0).real
                 new_carries = jnp.stack([
                     jnp.asarray(u0_end, dtype=jnp.complex64),
                     jnp.conj(jnp.asarray(u0_end, dtype=jnp.complex64)),
+                ])
+            else:
+                # two distinct REAL poles in one section (scipy pairs real
+                # poles together, e.g. odd-order bandpass) — evaluate both
+                u0, u0_end = linrec_fn(v, float(p0.real), carries[0].real)
+                u1, u1_end = linrec_fn(v, float(p1.real), carries[1].real)
+                y = np.float32(r0.real) * u0 + np.float32(r1.real) * u1
+                new_carries = jnp.stack([
+                    jnp.asarray(u0_end, dtype=jnp.complex64),
+                    jnp.asarray(u1_end, dtype=jnp.complex64),
                 ])
         new_state.append((fir_hist, new_carries))
         x = y.astype(jnp.complex64 if complex_input else jnp.float32)

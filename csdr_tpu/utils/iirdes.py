@@ -21,7 +21,14 @@ import dataclasses
 import numpy as np
 import scipy.signal as sig
 
-__all__ = ["butter_sos", "sos_to_onepole", "OnePoleCascade", "dc_blocker_coeffs"]
+__all__ = ["butter_sos", "prototype_sos", "sos_to_onepole", "OnePoleCascade",
+           "dc_blocker_coeffs", "IIR_PROTOTYPES"]
+
+# liquid-dsp prototype families (LIQUID_IIRDES_{BUTTER,CHEBY1,CHEBY2,ELLIP,
+# BESSEL}) — the reference's exported surface accepts order/fc/f0/Ap/As
+# (/root/reference/src/ComposableSDR/Liquid.chs:591-651; the CLI itself only
+# ever builds the Butterworth lowpass, but the API promises the full family).
+IIR_PROTOTYPES = ("butter", "cheby1", "cheby2", "ellip", "bessel")
 
 
 def butter_sos(order: int, fc: float) -> np.ndarray:
@@ -32,6 +39,43 @@ def butter_sos(order: int, fc: float) -> np.ndarray:
     if not 0.0 < fc < 0.5:
         raise ValueError(f"fc must be in (0, 0.5), got {fc}")
     return sig.butter(order, 2.0 * fc, btype="low", output="sos")
+
+
+def prototype_sos(ftype: str, order: int, fc: float, f0: float = 0.0,
+                  ap: float = 1.0, as_db: float = 40.0) -> np.ndarray:
+    """Design an IIR prototype as SOS — the full surface liquid backs
+    `iirfilt_*_create_prototype` with (butter/cheby1/cheby2/ellip/bessel;
+    /root/reference/src/ComposableSDR/Liquid.chs:611-634 hard-codes BUTTER but
+    exports fc/f0/Ap/As).
+
+    ``fc``: cutoff (lowpass) or half-bandwidth (bandpass), normalized to the
+    sample rate.  ``f0``: 0 → lowpass; else band center → bandpass over
+    [f0−fc, f0+fc] (liquid's LP→BP transform semantics).  ``ap``: passband
+    ripple dB (cheby1/ellip).  ``as_db``: stopband attenuation dB
+    (cheby2/ellip).  Designed in float64 with scipy (the test oracle is the
+    same design evaluated by scipy.signal.sosfilt — SURVEY.md §4).
+    """
+    if ftype not in IIR_PROTOTYPES:
+        raise ValueError(f"unknown IIR prototype {ftype!r}; expected one of "
+                         f"{IIR_PROTOTYPES}")
+    if not 0.0 < fc < 0.5:
+        raise ValueError(f"fc must be in (0, 0.5), got {fc}")
+    if f0:
+        lo, hi = 2.0 * (f0 - fc), 2.0 * (f0 + fc)
+        if not 0.0 < lo < hi < 1.0:
+            raise ValueError(f"bandpass edges out of range: f0={f0}, fc={fc}")
+        wn, btype = (lo, hi), "bandpass"
+    else:
+        wn, btype = 2.0 * fc, "low"
+    if ftype == "butter":
+        return sig.butter(order, wn, btype=btype, output="sos")
+    if ftype == "cheby1":
+        return sig.cheby1(order, ap, wn, btype=btype, output="sos")
+    if ftype == "cheby2":
+        return sig.cheby2(order, as_db, wn, btype=btype, output="sos")
+    if ftype == "ellip":
+        return sig.ellip(order, ap, as_db, wn, btype=btype, output="sos")
+    return sig.bessel(order, wn, btype=btype, output="sos", norm="mag")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -104,3 +104,41 @@ def test_stdout_sink(capsysbinary):
     sink.close()
     out = capsysbinary.readouterr().out
     assert np.array_equal(np.frombuffer(out, dtype=np.float32), np.arange(4))
+
+
+def test_skip_n_resume_seek():
+    from csdr_tpu.core.runtime import skip_n
+
+    chunks = [np.arange(0, 7), np.arange(7, 15), np.arange(15, 20)]
+    got = np.concatenate(list(skip_n(iter(chunks), 9)))
+    assert np.array_equal(got, np.arange(9, 20))
+    # boundary-exact skip and skip-everything
+    assert np.array_equal(np.concatenate(list(skip_n(iter(chunks), 7))),
+                          np.arange(7, 20))
+    assert list(skip_n(iter(chunks), 20)) == []
+
+
+def test_probe_wav_header_only(tmp_path):
+    from csdr_tpu.io.wav import probe_wav, write_wav
+
+    p = str(tmp_path / "probe.wav")
+    write_wav(p, np.zeros(1024, np.float32), 48000)
+    sr, nch, tag = probe_wav(p)
+    assert (sr, nch, tag) == (48000, 1, 3)
+    bad = str(tmp_path / "bad.cf32")
+    np.zeros(64, np.complex64).tofile(bad)
+    import pytest
+
+    with pytest.raises(ValueError):
+        probe_wav(bad)
+
+
+def test_raw_bytes_source(tmp_path):
+    from csdr_tpu.io.sources import raw_bytes_source
+
+    p = str(tmp_path / "raw.bin")
+    payload = np.arange(1000, dtype=np.uint8)
+    payload.tofile(p)
+    chunks = list(raw_bytes_source(p, chunk_bytes=256))
+    assert [len(c) for c in chunks] == [256, 256, 256, 232]
+    assert np.array_equal(np.concatenate(chunks), payload)
