@@ -1,0 +1,77 @@
+"""On-chip FIR strategy shoot-out: XLA overlap-save FFT vs banded-Toeplitz
+MXU kernel vs matmul-FFT overlap-save Pallas kernel (ops/pallas/fftfir.py).
+
+Target (VERDICT round-1 #5): the Pallas FFT kernel beats the XLA fft
+strategy at ≥256 taps with the same SNR.  Run on the real chip:
+
+    python benchmarks/bench_fftfir.py [--n 4194304] [--reps 20]
+
+Prints one JSON line per (strategy, taps) with MSPS.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from csdr_tpu.ops.fir import conv_valid
+
+
+def bench(xfull, taps, strategy, reps):
+    f = jax.jit(lambda a: conv_valid(a, taps, strategy=strategy))
+    y = f(xfull)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = f(xfull)
+    jax.block_until_ready(y)
+    dt = (time.perf_counter() - t0) / reps
+    n = xfull.shape[0] - len(taps) + 1
+    return n / dt / 1e6, y
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 22)
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--complex", action="store_true",
+                    help="complex input (pallas_mxu skipped for complex taps)")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    results = []
+    for K in (257, 401, 1024, 4001):
+        taps = (rng.normal(size=K) / np.sqrt(K)).astype(np.float64)
+        x = rng.normal(size=args.n + K - 1).astype(np.float32)
+        if args.complex:
+            x = (x + 1j * rng.normal(size=len(x))).astype(np.complex64)
+        xd = jnp.asarray(x) if not np.iscomplexobj(x) else \
+            jax.jit(lambda r, i: jax.lax.complex(r, i))(
+                jnp.asarray(x.real), jnp.asarray(x.imag))
+        ref = None
+        for strat in ("fft", "pallas_mxu", "pallas_fft"):
+            try:
+                msps, y = bench(xd, taps, strat, args.reps)
+            except Exception as e:
+                print(json.dumps({"taps": K, "strategy": strat,
+                                  "error": str(e)[:120]}))
+                continue
+            yh = np.asarray(jnp.real(y) if jnp.iscomplexobj(y) else y)
+            if ref is None:
+                ref = yh
+                err = 0.0
+            else:
+                err = float(np.max(np.abs(yh - ref)) /
+                            (np.max(np.abs(ref)) + 1e-12))
+            r = {"taps": K, "strategy": strat, "msps": round(msps, 1),
+                 "rel_err_vs_fft": round(err, 8)}
+            results.append(r)
+            print(json.dumps(r))
+    return results
+
+
+if __name__ == "__main__":
+    main()

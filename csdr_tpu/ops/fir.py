@@ -107,6 +107,11 @@ def conv_valid(xfull: jnp.ndarray, taps: np.ndarray, strategy: str = "auto") -> 
         if np.iscomplexobj(taps):
             raise ValueError("pallas_mxu strategy supports real taps only")
         return pallas_fir_valid(xfull, taps)
+    if strategy in ("pallas_fft", "pallas_fft_interpret"):
+        from .pallas.fftfir import fft_fir_valid
+
+        return fft_fir_valid(xfull, taps,
+                             interpret=strategy.endswith("interpret"))
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
