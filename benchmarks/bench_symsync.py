@@ -1,0 +1,70 @@
+"""Symbol-sync throughput: block-parallel estimator vs closed-loop scan.
+
+VERDICT round-1 #6 asked for the scan mode to be benchmarked: it is a serial
+lax.scan per output tick (liquid-faithful dynamics) and is expected to be
+orders of magnitude slower than the block-parallel path — this script
+quantifies the gap so users know what choosing mode="scan" costs.
+
+    python benchmarks/bench_symsync.py [--k 4] [--nsym 65536] [--reps 5]
+
+Prints one JSON line per mode with MSPS (input samples/s).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from csdr_tpu.models.symsync import sym_sync_c
+from csdr_tpu.models import modem
+from csdr_tpu.utils import firdes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--nsym", type=int, default=65536)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    k, m = args.k, 3
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, args.nsym * 2)
+    syms = modem.modulate(bits, "qpsk").astype(np.complex128)
+    h = firdes.rrc(k, m, 0.5)
+    up = np.zeros(args.nsym * k, dtype=np.complex128)
+    up[::k] = syms
+    x = np.convolve(up, h)[: args.nsym * k].astype(np.complex64)
+    n = len(x)
+
+    out = []
+    for mode in ("block", "scan"):
+        blk = sym_sync_c(m, k, 0.5, 32, mode=mode)
+        state = blk.init()
+        step = jax.jit(lambda s, xx: blk.apply(s, xx))
+        xd = jnp.asarray(x)
+        state, y = step(state, xd)  # compile
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            state, y = step(state, xd)
+        jax.block_until_ready(y)
+        dt = (time.perf_counter() - t0) / args.reps
+        r = {"mode": mode, "msps": round(n / dt / 1e6, 3),
+             "n": n, "k": k}
+        out.append(r)
+        print(json.dumps(r))
+    if len(out) == 2:
+        print(json.dumps({"block_over_scan_speedup":
+                          round(out[0]["msps"] / out[1]["msps"], 1)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -172,9 +172,15 @@ class SymSyncScan(Block):
         self.granule = k
         self.W = 2 * m * k + 1
         self.H = self.W + 2 * k
-        # PI loop gains from the loop bandwidth (reference lf_bw = 0.05)
-        self.kp = np.float32(2.0 * lf_bw)
-        self.ki = np.float32(lf_bw * lf_bw)
+        # PI loop gains from the loop bandwidth (reference lf_bw = 0.05).
+        # The Gardner error is ~proportional to the timing error in SYMBOL
+        # units while τ is carried in SAMPLES — scale kp by k/2 so the loop
+        # bandwidth is what lf_bw promises (without this the loop lags by
+        # ~k× and loses lock under fast wander).  The integrator scales
+        # LINEARLY in k (a squared scale over-drives it into jitter on
+        # sharp-transition NRZ signals).
+        self.kp = np.float32(2.0 * lf_bw * (k / 2.0))
+        self.ki = np.float32(lf_bw * lf_bw * (k / 2.0))
         self.name = f"{name}(k={k})"
 
     def init(self):
@@ -263,24 +269,60 @@ def fm_dem_with_sync(k: int) -> Block:
     return chain(B.fm_demodulator(0.02 * k), sym_sync_r(k, 4, 0.0, 64))
 
 
-class _Power2CarrierRecovery(Block):
-    """BPSK carrier recovery via the power-2 (squaring) estimator — the
-    block-parallel counterpart of symtrack's carrier PLL."""
+class _PowerNCarrierRecovery(Block):
+    """Power-N carrier recovery — the block-parallel counterpart of
+    symtrack's carrier PLL.  N = 2 removes BPSK modulation (squaring
+    estimator), N = 4 removes QPSK/square-QAM modulation, N = 8 for 8PSK.
+    The 2π/N phase ambiguity is resolved against the carried estimate (and
+    is inherent to the constellation — receivers absorb it with a lag/
+    rotation search or differential coding)."""
 
-    def __init__(self):
-        self.name = "carrier_bpsk"
+    def __init__(self, npow: int = 2, ms: str = "bpsk"):
+        self.npow = npow
+        # the constellation's own power-N moment sets a constant reference
+        # angle (e.g. QPSK: Σc⁴ = −1 ⇒ π/4 bias without this correction)
+        from .modem import constellation
+
+        mom = np.mean(constellation(ms) ** npow)
+        self.ref_angle = np.float32(np.angle(mom)) if abs(mom) > 1e-9 \
+            else np.float32(0.0)
+        self.name = f"carrier_pow{npow}"
 
     def init(self):
         return jnp.zeros((), jnp.float32)  # carried phase estimate
 
     def apply(self, state, y):
-        # φ = ½·arg Σ y²  (mod π ambiguity is inherent to BPSK)
-        ph = 0.5 * jnp.angle(jnp.sum(y * y))
-        # keep continuity with carried estimate (π ambiguity resolution)
-        d = jnp.mod(ph - state + np.pi / 2, np.pi) - np.pi / 2
+        npow = self.npow
+        yn = y
+        for _ in range(int(np.log2(npow))):
+            yn = yn * yn
+        ph = (jnp.angle(jnp.sum(yn)) - self.ref_angle) / np.float32(npow)
+        amb = np.float32(_TWO_PI / npow)
+        d = jnp.mod(ph - state + amb / 2, amb) - amb / 2
         phi = state + d
         out = y * jnp.exp(-1j * phi).astype(jnp.complex64)
         return phi, out
+
+
+class _PowerNormalize(Block):
+    """Normalize symbol-stream power to 1 (EMA-carried): decision-directed
+    QAM equalization needs the ring amplitudes on the unit-energy grid —
+    sign decisions (PSK) are scale-free, multi-ring decisions are not."""
+
+    def __init__(self, alpha: float = 0.25):
+        self.alpha = alpha
+        self.name = "pwr_norm"
+
+    def init(self):
+        return (jnp.ones((), jnp.float32), jnp.zeros((), jnp.bool_))
+
+    def apply(self, state, y):
+        p_prev, valid = state
+        p_blk = jnp.mean(jnp.abs(y) ** 2) + 1e-12
+        p = jnp.where(valid, (1 - self.alpha) * p_prev + self.alpha * p_blk,
+                      p_blk)
+        out = y * jax.lax.rsqrt(p).astype(jnp.float32)
+        return (p, jnp.ones((), jnp.bool_)), out
 
 
 class _BlockLMSEqualizer(Block):
@@ -291,11 +333,13 @@ class _BlockLMSEqualizer(Block):
     carries only the tap vector (sub-block length × taps work stays
     parallel)."""
 
-    def __init__(self, ntaps: int = 7, mu: float = 0.25, sub: int = 128):
+    def __init__(self, ntaps: int = 7, mu: float = 0.25, sub: int = 128,
+                 ms: str = "bpsk"):
         self.ntaps = ntaps
         self.mu = mu
         self.sub = sub
-        self.name = f"lms_eq({ntaps})"
+        self.ms = ms
+        self.name = f"lms_eq({ntaps},{ms})"
 
     def init(self):
         w = jnp.zeros((self.ntaps,), jnp.complex64).at[self.ntaps // 2].set(1.0)
@@ -312,10 +356,16 @@ class _BlockLMSEqualizer(Block):
         Y = yfull[idx].reshape(nsub, S, T)
         mu = np.float32(self.mu)
 
-        # NOTE: decisions are scale-free (±1); NLMS drives |out| → 1
+        # Decision-directed: nearest constellation point (models/modem.py);
+        # NLMS drives the output onto the unit-energy constellation grid
+        from .modem import hard_decision
+
         def scan_step(w, Yb):
             out = Yb @ jnp.conj(w)
-            d = jnp.sign(jnp.real(out)).astype(jnp.complex64)
+            if self.ms == "bpsk":
+                d = jnp.sign(jnp.real(out)).astype(jnp.complex64)
+            else:
+                _, d = hard_decision(out, self.ms)
             e = d - out
             p = jnp.mean(jnp.abs(Yb) ** 2) + 1e-9
             upd = (jnp.conj(Yb) * e[:, None]).mean(axis=0) / (p * T)
@@ -325,18 +375,27 @@ class _BlockLMSEqualizer(Block):
         return (w_final, yfull[-(T - 1):]), outs.reshape(-1)
 
 
-def sym_tracker(m: int, k: int, beta: float = 0.25, ntaps: int = 7) -> Block:
+_CARRIER_POW = {"bpsk": 2, "qpsk": 4, "8psk": 8, "qam16": 4, "qam64": 4}
+
+
+def sym_tracker(m: int, k: int, beta: float = 0.25, ntaps: int = 7,
+                ms: str = "bpsk") -> Block:
     """Full symbol-tracking receiver (reference symTracker m k wrapping
-    symtrack_cccf: AGC → timing sync (RRC) → LMS EQ → carrier recovery,
-    RRC β=0.25, BPSK — Liquid.chs:158-166).  Outputs one complex sample per
-    symbol."""
+    symtrack_cccf: AGC → timing sync (RRC) → carrier recovery → LMS EQ,
+    RRC β=0.25 — Liquid.chs:158-166; the reference hard-codes BPSK ms=21,
+    liquid's surface carries the whole modem family honored via ``ms``).
+    Outputs one complex sample per symbol; append models/modem.soft_decision
+    for (n, bits/sym) max-log LLRs."""
+    if ms not in _CARRIER_POW:
+        raise ValueError(f"unknown modulation {ms!r}; have {list(_CARRIER_POW)}")
     sync = SymSync(k, max(m, 1), beta, 32, complex_input=True, ftype="rrc",
                    out_per_sym=1, name="symtrack_sync")
     return chain(
         B.AGC(None, bandwidth=0.01, signal_level=1.0),
         sync,
-        _Power2CarrierRecovery(),
-        _BlockLMSEqualizer(ntaps),
+        _PowerNormalize(),
+        _PowerNCarrierRecovery(_CARRIER_POW[ms], ms),
+        _BlockLMSEqualizer(ntaps, ms=ms),
     )
 
 

@@ -1,0 +1,247 @@
+"""Modem depth: QPSK/QAM decisions, soft LLR outputs, BER vs theory, and the
+time-varying-drift case where the closed-loop (scan) symbol sync is required.
+
+VERDICT round-1 item 6: BER within 1 dB of theory at Eb/N0 ≥ 8 dB for
+BPSK/QPSK; a drift test where the open-loop estimator fails and scan mode
+succeeds.  Reference surface: liquid symtrack's modem family
+(/root/reference/src/ComposableSDR/Liquid.chs:119-175).
+"""
+
+import numpy as np
+import pytest
+from scipy.special import erfc
+
+import jax.numpy as jnp
+
+from csdr_tpu.core.runtime import Pipeline
+from csdr_tpu.models import modem
+from csdr_tpu.models.symsync import sym_tracker, sym_sync_c
+from csdr_tpu.utils import firdes
+
+
+def run_block(blk, x, nblocks=2):
+    g = blk.granule
+    n = len(x) // nblocks
+    n -= n % g
+    state = blk.init()
+    outs = []
+    for i in range(nblocks):
+        seg = x[i * n:(i + 1) * n]
+        if len(seg) < n:
+            break
+        state, y = blk.apply(state, jnp.asarray(seg))
+        outs.append(np.asarray(y))
+    return np.concatenate(outs)
+
+
+def tx_shaped(syms, k, m, beta):
+    h = firdes.rrc(k, m, beta)
+    h = h / np.sqrt(np.sum(h ** 2))
+    up = np.zeros(len(syms) * k, dtype=np.complex128)
+    up[::k] = syms
+    return np.convolve(up, h)[: len(syms) * k]
+
+
+def best_accuracy(dec_idx, tx_idx, ms, max_lag=8):
+    """Symbol accuracy over timing lags and the constellation's phase
+    ambiguity (power-N recovery)."""
+    C = modem.constellation(ms)
+    npow = {"bpsk": 2, "qpsk": 4, "8psk": 8, "qam16": 4, "qam64": 4}[ms]
+    best = 0.0
+    dec_sym = C[np.asarray(dec_idx)]
+    for rot in range(npow):
+        r = np.exp(2j * np.pi * rot / npow)
+        rot_idx = np.argmin(np.abs((dec_sym * r)[:, None] - C[None, :]), axis=1)
+        for lag in range(-max_lag, max_lag + 1):
+            a = tx_idx[max(0, lag):]
+            b = rot_idx[max(0, -lag):]
+            mm = min(len(a), len(b)) - 4
+            if mm < 100:
+                continue
+            best = max(best, float(np.mean(a[:mm] == b[:mm])))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# constellation / decision / LLR unit behavior
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("ms", modem.CONSTELLATIONS)
+def test_constellation_unit_energy_and_roundtrip(ms):
+    C = modem.constellation(ms)
+    assert abs(np.mean(np.abs(C) ** 2) - 1.0) < 1e-12
+    rng = np.random.default_rng(0)
+    bps = modem.bits_per_symbol(ms)
+    bits = rng.integers(0, 2, 1024 * bps)
+    syms = modem.modulate(bits, ms)
+    idx, dec = modem.hard_decision(jnp.asarray(syms), ms)
+    assert np.array_equal(modem.symbols_to_bits(np.asarray(idx), ms), bits)
+    assert np.max(np.abs(np.asarray(dec) - syms)) < 1e-6
+
+
+@pytest.mark.parametrize("ms", ["qpsk", "qam16"])
+def test_gray_mapping_single_bit_neighbors(ms):
+    """Nearest neighbors on the grid differ in exactly one bit."""
+    C = modem.constellation(ms)
+    bps = modem.bits_per_symbol(ms)
+    dmin = np.min([np.abs(a - b) for i, a in enumerate(C)
+                   for b in C[i + 1:]])
+    for i, a in enumerate(C):
+        for j, b in enumerate(C):
+            if i < j and abs(a - b) < dmin * 1.01:
+                assert bin(i ^ j).count("1") == 1, (i, j)
+
+
+def test_soft_llrs_sign_and_scaling():
+    rng = np.random.default_rng(1)
+    ms = "qpsk"
+    bits = rng.integers(0, 2, 4096 * 2)
+    syms = modem.modulate(bits, ms)
+    noisy = syms + 0.05 * (rng.normal(size=len(syms))
+                           + 1j * rng.normal(size=len(syms)))
+    llr = np.asarray(modem.soft_llrs(jnp.asarray(noisy.astype(np.complex64)),
+                                     ms, noise_var=0.01))
+    # sign convention: positive ⇒ bit 0
+    hard_bits = (llr < 0).astype(np.int64).reshape(-1)
+    assert np.mean(hard_bits == bits) > 0.999
+    llr2 = np.asarray(modem.soft_llrs(jnp.asarray(noisy.astype(np.complex64)),
+                                      ms, noise_var=0.04))
+    assert np.allclose(llr, 4.0 * llr2, rtol=1e-5)
+
+
+def test_soft_decision_block_in_chain():
+    import csdr_tpu as cs
+
+    rng = np.random.default_rng(2)
+    bits = rng.integers(0, 2, 2048)
+    syms = modem.modulate(bits, "bpsk")
+    g = cs.chain(cs.Lambda(lambda x: x), modem.soft_decision("bpsk", 0.1))
+    pipe = Pipeline(g, block_size=1024, donate=False)
+    outs = [np.asarray(y) for y in pipe.stream(iter([syms.astype(np.complex64)]))]
+    llr = np.concatenate(outs)
+    assert llr.shape == (2048, 1)
+    assert np.array_equal((llr[:, 0] < 0).astype(np.int64), bits)
+
+
+# ---------------------------------------------------------------------------
+# full tracker: QPSK / QAM16 under impairments
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("ms,snr_db", [("qpsk", 20.0), ("qam16", 26.0)])
+def test_sym_tracker_constellations(ms, snr_db):
+    rng = np.random.default_rng(3)
+    k, m, nsym = 4, 3, 16384
+    bps = modem.bits_per_symbol(ms)
+    bits = rng.integers(0, 2, nsym * bps)
+    syms = modem.modulate(bits, ms).astype(np.complex128)
+    tx_idx = np.asarray(modem.hard_decision(jnp.asarray(syms.astype(np.complex64)), ms)[0])
+    x = tx_shaped(syms, k, m, 0.25) * np.sqrt(k)
+    # impairments: gain, static phase, fractional delay, AWGN
+    x = 0.31 * x * np.exp(1j * 0.3)
+    from tests.test_symsync_stereo import fractional_delay
+
+    x = fractional_delay(x, 1.7)
+    n0 = 10 ** (-snr_db / 10.0) * np.mean(np.abs(x) ** 2)
+    x = x + np.sqrt(n0 / 2) * (rng.normal(size=len(x))
+                               + 1j * rng.normal(size=len(x)))
+    y = run_block(sym_tracker(m, k, ms=ms), x.astype(np.complex64))
+    idx, _ = modem.hard_decision(jnp.asarray(y[2000:]), ms)
+    acc = best_accuracy(np.asarray(idx), tx_idx[2000:], ms, max_lag=16)
+    assert acc > 0.98, (ms, acc)
+
+
+# ---------------------------------------------------------------------------
+# BER within 1 dB of theory at Eb/N0 = 8 dB
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("ms", ["bpsk", "qpsk"])
+def test_ber_vs_theory_8db(ms):
+    rng = np.random.default_rng(4)
+    k, m, nsym = 4, 4, 60_000
+    bps = modem.bits_per_symbol(ms)
+    ebn0_db = 8.0
+    bits = rng.integers(0, 2, nsym * bps)
+    syms = modem.modulate(bits, ms).astype(np.complex128)
+    x = tx_shaped(syms, k, m, 0.25)  # ||h||² = 1 ⇒ Es = 1 spread over k samp
+    n0 = 1.0 / (bps * 10 ** (ebn0_db / 10.0))
+    x = x + np.sqrt(n0 / 2) * (rng.normal(size=len(x))
+                               + 1j * rng.normal(size=len(x)))
+    y = run_block(sym_tracker(m, k, ms=ms), x.astype(np.complex64), nblocks=2)
+    skip = 4000
+    idx = np.asarray(modem.hard_decision(jnp.asarray(y[skip:]), ms)[0])
+    tx_idx = np.asarray(modem.hard_decision(
+        jnp.asarray(syms.astype(np.complex64)), ms)[0])[skip:]
+
+    # resolve lag+rotation on a prefix, then count bit errors on the rest
+    C = modem.constellation(ms)
+    npow = 2 if ms == "bpsk" else 4
+    best = (1.0, None, None)
+    dec_sym = C[idx]
+    for rot in range(npow):
+        r = np.exp(2j * np.pi * rot / npow)
+        ridx = np.argmin(np.abs((dec_sym * r)[:, None] - C[None, :]), axis=1)
+        for lag in range(-32, 33):
+            a = tx_idx[max(0, lag):]
+            b = ridx[max(0, -lag):]
+            mm = min(len(a), len(b))
+            ber = np.mean(modem.symbols_to_bits(a[:mm], ms)
+                          != modem.symbols_to_bits(b[:mm], ms))
+            if ber < best[0]:
+                best = (ber, rot, lag)
+    ber = best[0]
+    # theory at Eb/N0: Q(sqrt(2·Eb/N0)); 1 dB implementation margin
+    q = lambda z: 0.5 * erfc(z / np.sqrt(2.0))
+    ber_limit = q(np.sqrt(2.0 * 10 ** ((ebn0_db - 1.0) / 10.0)))
+    assert ber < ber_limit, (ms, ber, ber_limit)
+
+
+# ---------------------------------------------------------------------------
+# time-varying drift: open-loop line fit fails, closed-loop scan tracks
+# ---------------------------------------------------------------------------
+def piecewise_accuracy(idx, tx, ms, seg=500, max_lag=16):
+    """Accuracy with per-segment lag/rotation alignment: a timing-wander
+    scenario may cost a ±1-symbol slip at wander extremes, which destroys a
+    single global alignment but not the data (real receivers re-frame)."""
+    tot, nseg = 0.0, 0
+    for s in range(0, len(idx) - seg, seg):
+        tot += best_accuracy(idx[s:s + seg], tx[max(0, s - max_lag):s + seg + max_lag],
+                             ms, max_lag=max_lag)
+        nseg += 1
+    return tot / nseg
+
+
+def test_scan_mode_tracks_sinusoidal_drift():
+    """±3.5-sample (0.44 T) sinusoidal timing wander with a 300-symbol
+    period: the open-loop windowed line fit cannot model it (each estimation
+    window spans a sizeable fraction of a period), while the closed Gardner/
+    PI loop tracks it cycle by cycle — the case VERDICT #6 demands."""
+    rng = np.random.default_rng(5)
+    k, m, nsym = 8, 3, 6000
+    bits = rng.integers(0, 2, nsym * 2)
+    syms = modem.modulate(bits, "qpsk").astype(np.complex128)
+    # dense 8× pulse train, sampled at sinusoidally-wandering instants
+    os = 8
+    h = firdes.rrc(k * os, m, 0.5)
+    up = np.zeros(nsym * k * os, dtype=np.complex128)
+    up[:: k * os] = syms
+    dense = np.convolve(up, h)[: nsym * k * os]
+    n_rx = nsym * k - 4 * k
+    t = np.arange(n_rx, dtype=np.float64)
+    wander = 3.5 * np.sin(2 * np.pi * t / (300.0 * k))
+    pos = (t + wander) * os
+    x = (np.interp(pos, np.arange(len(dense)), dense.real)
+         + 1j * np.interp(pos, np.arange(len(dense)), dense.imag))
+    x = x.astype(np.complex64)
+    tx_idx = np.asarray(modem.hard_decision(
+        jnp.asarray(syms.astype(np.complex64)), "qpsk")[0])
+
+    def accuracy(blk):
+        y = run_block(blk, x, nblocks=3)
+        centers = y[0::2][200:]
+        idx = np.asarray(modem.hard_decision(
+            jnp.asarray((centers / (np.mean(np.abs(centers)) + 1e-9))
+                        .astype(np.complex64)), "qpsk")[0])
+        return piecewise_accuracy(idx, tx_idx[200:], "qpsk")
+
+    acc_block = accuracy(sym_sync_c(m, k, 0.5, 32, mode="block"))
+    acc_scan = accuracy(sym_sync_c(m, k, 0.5, 32, mode="scan"))
+    assert acc_scan > 0.95, acc_scan
+    assert acc_block < 0.90, acc_block  # the case the line fit cannot model
+    assert acc_scan > acc_block + 0.1
