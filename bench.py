@@ -49,10 +49,41 @@ def run(backend: str, iters: int):
     return iters * block / dt / 1e6
 
 
+def run_u8(iters: int):
+    """cu8 variant: the fused kernel fed interleaved rtl_sdr uint8 directly —
+    2 bytes/sample across HBM (and the host wire) instead of 8, conversion
+    in-kernel (ops/pallas/flagship_fused.py u8 path)."""
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.ops.pallas.flagship_fused import (flagship_fused_init,
+                                                   flagship_fused_step)
+
+    nch = 64
+    block = 1 << 22
+    # pre-split u8 planes: what a host/native reader ships (2 B/sample wire)
+    u8 = (jax.jit(lambda: jnp.full((block,), 137, jnp.uint8))(),
+          jax.jit(lambda: jnp.full((block,), 120, jnp.uint8))())
+    state = flagship_fused_init(nch)
+    step = lambda st, x: flagship_fused_step(st, x, nch=nch, tileF=256)
+    state, y = step(state, u8)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, y = step(state, u8)
+    jax.block_until_ready(y)
+    return iters * block / (time.perf_counter() - t0) / 1e6
+
+
 def main():
     sys.path.insert(0, ".")
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     backend = sys.argv[2] if len(sys.argv) > 2 else None
+    if backend == "cu8":
+        msps = run_u8(iters)
+        print(json.dumps({"metric": "pfb64_fm_demod_throughput_cu8",
+                          "value": round(msps, 2), "unit": "Msamples/s/chip",
+                          "vs_baseline": round(msps / 3.2, 2)}))
+        return
     if backend is None:
         # the tunneled TPU in this environment can take minutes to grant a
         # claim after a previous session died — retry patiently

@@ -115,7 +115,7 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, T64_ref, S_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
             hist_re_scr, hist_im_scr, scal_scr,
-            *, nch, L, tileF, g_gain, inv_kf):
+            *, nch, L, tileF, g_gain, inv_kf, u8_input=False):
     i = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -126,8 +126,17 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, T64_ref, S_ref,
         for idx in range(4):  # SMEM allows scalar access only
             scal_scr[idx] = scal_in_ref[idx]
 
-    xre = xre_ref[0]  # (tileF, nch)
-    xim = xim_ref[0]
+    if u8_input:
+        # rtl_sdr cu8 planes arrive as raw uint8: the HBM read is 2 bytes per
+        # IQ sample instead of 8 — conversion to float happens here in VMEM
+        # ((v − 127.5)/127.5, the standard rtl_sdr mapping).  Mosaic has no
+        # direct uint8→f32 lowering; route through int32 (verified on chip).
+        k_scale = jnp.float32(1.0 / 127.5)
+        xre = xre_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
+        xim = xim_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
+    else:
+        xre = xre_ref[0]  # (tileF, nch)
+        xim = xim_ref[0]
 
     # ---- x_prev: one-sample shift over flattened order ----
     xpre = pltpu.roll(xre, 1, axis=1)
@@ -222,12 +231,25 @@ def flagship_fused_init(nch: int, m: int = 7):
 def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
                         kf: float = 0.6, tileF: int = 256,
                         dc_alpha: float = 0.0005, interpret: bool = False):
-    """(state, x (n,) complex64) → (state, audio (nch, n/nch) float32).
+    """(state, x) → (state, audio (nch, n/nch) float32).
 
-    Drop-in fused equivalent of dcBlocker >> PFBChannelizer >>
+    ``x`` is (n,) complex64 — or (2n,) uint8 interleaved rtl_sdr cu8, in
+    which case the u8→float conversion happens inside the kernel and the
+    input crosses the HBM (and host→device) wire at 2 bytes/sample instead
+    of 8.  Drop-in fused equivalent of dcBlocker >> PFBChannelizer >>
     PerChannel(FMDemod) — the whole flagship compute in one kernel pass.
     """
-    n = x.shape[0]
+    if isinstance(x, (tuple, list)):
+        # pre-split u8 planes (re, im) — the host/native reader de-interleaves
+        # at memcpy speed, the wire and the kernel's HBM read are 1 B/plane/
+        # sample, and no XLA gather is needed at all (u8 strided ops on TPU
+        # are emulated and slow — measured 2.6× slower than this path)
+        u8_input = True
+        xre_1d, xim_1d = x
+        n = xre_1d.shape[0]
+    else:
+        u8_input = x.dtype == jnp.uint8
+        n = x.shape[0] // 2 if u8_input else x.shape[0]
     F = n // nch
     L = 2 * m
     assert F % tileF == 0, (F, tileF)
@@ -236,8 +258,18 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
     g = (1.0 + r) / 2.0
 
     assert tileF % 2 == 0  # keeps the 2-row ramp's parity aligned per tile
-    xre = jnp.real(x).reshape(T, tileF, nch)
-    xim = jnp.imag(x).reshape(T, tileF, nch)
+    if isinstance(x, (tuple, list)):
+        xre = xre_1d.reshape(T, tileF, nch)
+        xim = xim_1d.reshape(T, tileF, nch)
+    elif u8_input:
+        # interleaved rtl_sdr cu8: de-interleave to u8 planes in XLA (a
+        # 2-byte/sample strided copy), convert to float INSIDE the kernel
+        pairs = x.reshape(n, 2)
+        xre = pairs[:, 0].reshape(T, tileF, nch)
+        xim = pairs[:, 1].reshape(T, tileF, nch)
+    else:
+        xre = jnp.real(x).reshape(T, tileF, nch)
+        xim = jnp.imag(x).reshape(T, tileF, nch)
     omega = pfb_offset(nch)
     ramp2 = jnp.asarray(phase_ramp(float(omega), 2 * nch).reshape(2, nch))
 
@@ -254,7 +286,7 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
 
     kernel = functools.partial(
         _kernel, nch=nch, L=L, tileF=tileF, g_gain=g,
-        inv_kf=1.0 / (_TWO_PI * kf))
+        inv_kf=1.0 / (_TWO_PI * kf), u8_input=u8_input)
 
     const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                         memory_space=pltpu.VMEM)

@@ -43,3 +43,43 @@ def test_flagship_fused_matches_xla(nch, tileF):
     assert got.shape == want.shape
     err = np.max(np.abs(got[:, 1:] - want[:, 1:]))  # frame 0: demod seed differs
     assert err < 5e-4, err
+
+
+def test_flagship_fused_u8_input_matches_float_path():
+    """cu8 (interleaved rtl_sdr uint8) planes converted INSIDE the kernel
+    must match the float path fed the same converted samples."""
+    rng = np.random.default_rng(1)
+    nch, tileF = 8, 64
+    n = nch * tileF * 4
+    u8 = rng.integers(0, 256, 2 * n).astype(np.uint8)
+    f = (u8.astype(np.float32) - 127.5) / np.float32(127.5)
+    iq = (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+    st_f = flagship_fused_init(nch)
+    st_u = flagship_fused_init(nch)
+    half = n // 2
+    for i in range(2):
+        st_f, yf = flagship_fused_step(st_f, jnp.asarray(iq[i * half:(i + 1) * half]),
+                                       nch=nch, tileF=tileF, interpret=True)
+        st_u, yu = flagship_fused_step(st_u, jnp.asarray(u8[2 * i * half:2 * (i + 1) * half]),
+                                       nch=nch, tileF=tileF, interpret=True)
+        a, b = np.asarray(yf), np.asarray(yu)
+        assert a.shape == b.shape
+        # in-kernel v·(1/127.5)−1 vs host (v−127.5)/127.5: 1-ulp difference
+        # amplified through the DC recurrence + atan2
+        assert np.max(np.abs(a - b)) < 2e-4, np.max(np.abs(a - b))
+
+
+def test_flagship_fused_u8_planes_matches_interleaved():
+    rng = np.random.default_rng(2)
+    nch, tileF = 8, 64
+    n = nch * tileF * 2
+    u8 = rng.integers(0, 256, 2 * n).astype(np.uint8)
+    st_a = flagship_fused_init(nch)
+    st_b = flagship_fused_init(nch)
+    st_a, ya = flagship_fused_step(st_a, jnp.asarray(u8), nch=nch, tileF=tileF,
+                                   interpret=True)
+    st_b, yb = flagship_fused_step(
+        st_b, (jnp.asarray(u8[0::2]), jnp.asarray(u8[1::2])),
+        nch=nch, tileF=tileF, interpret=True)
+    assert np.array_equal(np.asarray(ya), np.asarray(yb))
