@@ -68,7 +68,70 @@ def ldd_closure(binary: str) -> list[str]:
     return libs
 
 
-def build_bundle(out_dir: str, repo_root: str | None = None) -> str:
+def _prunable(path: str) -> bool:
+    base = os.path.basename(path)
+    return base == "__pycache__" or base.endswith((".pyc", ".dist-info"))
+
+
+def bundle_runtime(out_dir: str) -> None:
+    """Make the bundle fully self-contained (reference AppImage parity,
+    Cabal2AppImage.hs:119-156): copy the running python interpreter + its
+    ldd closure and the environment's site-packages into the bundle, so the
+    target host needs nothing beyond a compatible libc (the same contract an
+    AppImage makes).  Size is dominated by jaxlib (~hundreds of MB) — that
+    IS the application runtime, exactly as GHC's RTS is baked into the
+    reference's binary."""
+    import sysconfig
+
+    rt = os.path.join(out_dir, "runtime")
+    bindir = os.path.join(rt, "bin")
+    libdir = os.path.join(rt, "lib")
+    os.makedirs(bindir, exist_ok=True)
+    os.makedirs(libdir, exist_ok=True)
+    py = os.path.realpath(sys.executable)
+    shutil.copy2(py, os.path.join(bindir, "python3"))
+    for dep in ldd_closure(py):
+        try:
+            shutil.copy2(dep, libdir)
+        except OSError:
+            pass
+    # the interpreter's stdlib
+    stdlib = sysconfig.get_paths()["stdlib"]
+    dst_std = os.path.join(rt, "stdlib")
+    if not os.path.exists(dst_std):
+        shutil.copytree(stdlib, dst_std, symlinks=True,
+                        ignore=shutil.ignore_patterns("__pycache__", "test",
+                                                      "idlelib", "tkinter"),
+                        dirs_exist_ok=True)
+    # site-packages: only the framework's actual dependency closure (the
+    # host venv may carry unrelated heavyweights — torch, transformers —
+    # that a deployed receiver never imports)
+    deps = ("jax", "jaxlib", "numpy", "scipy", "ml_dtypes", "opt_einsum",
+            "libtpu")
+    dst_sp = os.path.join(rt, "site-packages")
+    os.makedirs(dst_sp, exist_ok=True)
+    for sp in set(p for p in sys.path if p.endswith("site-packages")):
+        if not os.path.isdir(sp):
+            continue
+        for entry in os.listdir(sp):
+            stem = entry.split("-")[0].split(".")[0].lower()
+            if stem not in deps and entry.lower() not in deps:
+                continue
+            srcp = os.path.join(sp, entry)
+            dstp = os.path.join(dst_sp, entry)
+            if os.path.isdir(srcp):
+                shutil.copytree(srcp, dstp, symlinks=True,
+                                ignore=shutil.ignore_patterns("__pycache__",
+                                                              "*.pyc"),
+                                dirs_exist_ok=True)
+            else:
+                shutil.copy2(srcp, dstp)
+    # native .so dependencies of the bundled extension modules ride along
+    # via the interpreter closure + manylinux self-contained wheels
+
+
+def build_bundle(out_dir: str, repo_root: str | None = None,
+                 self_contained: bool = False) -> str:
     root = repo_root or os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     os.makedirs(out_dir, exist_ok=True)
     staging = os.path.join(out_dir, "_staging")
@@ -95,19 +158,35 @@ def build_bundle(out_dir: str, repo_root: str | None = None) -> str:
                 pass
 
     launcher = os.path.join(out_dir, "csdr")
-    with open(launcher, "w") as f:
-        f.write('#!/bin/sh\nHERE="$(dirname "$(readlink -f "$0")")"\n'
-                'export LD_LIBRARY_PATH="$HERE/lib:$LD_LIBRARY_PATH"\n'
-                'exec python3 "$HERE/csdr.pyz" "$@"\n')
+    if self_contained:
+        bundle_runtime(out_dir)
+        with open(launcher, "w") as f:
+            f.write(
+                '#!/bin/sh\nHERE="$(dirname "$(readlink -f "$0")")"\n'
+                'export LD_LIBRARY_PATH="$HERE/lib:$HERE/runtime/lib:'
+                '$LD_LIBRARY_PATH"\n'
+                'export PYTHONHOME="$HERE/runtime"\n'
+                'export PYTHONPATH="$HERE/runtime/stdlib:'
+                '$HERE/runtime/stdlib/lib-dynload:$HERE/runtime/site-packages"\n'
+                'exec "$HERE/runtime/bin/python3" "$HERE/csdr.pyz" "$@"\n')
+    else:
+        with open(launcher, "w") as f:
+            f.write('#!/bin/sh\nHERE="$(dirname "$(readlink -f "$0")")"\n'
+                    'export LD_LIBRARY_PATH="$HERE/lib:$LD_LIBRARY_PATH"\n'
+                    'exec python3 "$HERE/csdr.pyz" "$@"\n')
     os.chmod(launcher, 0o755)
     return out_dir
 
 
 def main(argv=None) -> int:
-    args = argv if argv is not None else sys.argv[1:]
+    args = list(argv) if argv is not None else sys.argv[1:]
+    self_contained = "--self-contained" in args
+    if self_contained:
+        args.remove("--self-contained")
     out = args[0] if args else "dist"
-    path = build_bundle(out)
-    print(f"bundle written to {path}/ (launcher: {path}/csdr)")
+    path = build_bundle(out, self_contained=self_contained)
+    kind = "self-contained " if self_contained else ""
+    print(f"{kind}bundle written to {path}/ (launcher: {path}/csdr)")
     return 0
 
 

@@ -155,7 +155,8 @@ def run_opts(opts) -> int:
     from ..core.runtime import take_n
     stream = take_n(stream, opts.numsamples)
 
-    if opts.mesh:
+    if opts.mesh and demod[0] == "DeNBFM" and nch > 1 and not opts.mix:
+        # flagship fast path: the hand-fused sharded channelized FM receiver
         return _run_sharded(opts, demod, stream, out_bw, agc_t)
 
     agc_blocks = [B.automatic_gain_control(agc_t)] if agc_t else []
@@ -190,6 +191,9 @@ def run_opts(opts) -> int:
         if nch != 1:
             print("DeFMS does not support channel splitting")
             return 1
+        if opts.mesh:
+            print("--mesh: DeFMS (stereo PLL graph) cannot be time-sharded")
+            return 1
         per = chain(*agc_blocks, B.fm_demodulator(0.8),
                     stereo_fm_decoder(out_bw, decim))
         sink = S.AudioFileSink(opts.output, audio_sink_rate(decim), 2, fmt.lower())
@@ -200,6 +204,13 @@ def run_opts(opts) -> int:
         return 0
     else:
         raise AssertionError(kind)
+
+    if opts.mesh:
+        # generic compositional sharded path: the SAME graph the
+        # single-device branch builds, run under shard_map
+        # (parallel/generic.ShardedChain) — any demod flow that its blocks
+        # support shards; sequential blocks refuse with a clear message
+        return _run_sharded_generic(opts, kind, per, make_sink, stream)
 
     if (nch > 1 and kind == "DeNBFM" and opts.backend != "xla"
             and not agc_blocks and not opts.mix):
@@ -235,6 +246,64 @@ def run_opts(opts) -> int:
     with sink:
         total = pipe.run(stream, sink)
     print(f"Wrote {total} output samples per stream")
+    return 0
+
+
+def _mesh_of(opts):
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+
+    dt, dc = (int(v) for v in opts.mesh.lower().split("x"))
+    devs = jax.devices()
+    if dt * dc > len(devs):
+        print(f"mesh {opts.mesh} needs {dt * dc} devices, have {len(devs)}")
+        return None
+    return Mesh(np.asarray(devs[:dt * dc]).reshape(dt, dc), ("time", "ch"))
+
+
+def _run_sharded_generic(opts, kind, per, make_sink, stream) -> int:
+    """Any CLI flow over a Mesh('time','ch') via the compositional sharded
+    runtime (parallel/generic.ShardedChain)."""
+    from ..parallel.generic import ShardedChain
+    from ..parallel.runner import ShardedPipeline
+
+    mesh = _mesh_of(opts)
+    if mesh is None:
+        return 1
+    nch = opts.channels
+    stages = [B.dc_blocker()]
+    if nch > 1:
+        stages.append(B.firpfbch_channelizer(nch))
+        if per is not None:
+            stages.append(PerChannel(per, nch))
+        if opts.mix:
+            stages.append(MixChannels())
+            sink = make_sink(opts.output)
+        else:
+            sink = S.ChannelFileSinks(
+                lambda i: make_sink(f"{opts.output}_ch{i + 1}"), nch)
+    else:
+        if per is not None:
+            stages.append(per)
+        sink = make_sink(opts.output)
+    graph = chain(*stages)
+    dt = int(opts.mesh.lower().split("x")[0])
+    g = graph.granule
+    block = max(opts.blocksize // (dt * g), 1) * dt * g
+    try:
+        sh = ShardedChain(graph, mesh, block)
+    except NotImplementedError as e:
+        print(f"--mesh: this flow cannot be time-sharded ({e})")
+        return 1
+    except ValueError as e:
+        print(f"--mesh: invalid configuration ({e})")
+        return 1
+    runner = ShardedPipeline(sh)
+    with sink:
+        total = runner.run(stream, sink)
+    shape = "x".join(opts.mesh.lower().split("x"))
+    print(f"Wrote {total} output samples per stream over mesh {shape}")
     return 0
 
 

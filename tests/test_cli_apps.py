@@ -316,3 +316,64 @@ def test_full_helicopter_chain(tmp_path):
     assert abs(c.lat() - (52 + 30 / 60 + (45 / 100 * 60) / 3600)) < 1e-6
     assert abs(c.lon() - (21 + 0 / 60 + (30 / 100 * 60) / 3600)) < 1e-6
     assert "<coordinates>" in open("out.kml").read()
+
+
+def test_cli_mesh_generic_wbfm_and_mix(tmp_path):
+    """--mesh on non-flagship flows rides the generic compositional sharded
+    runtime (ShardedChain): DeWBFM single-channel, and DeNBFM --mix."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    os.chdir(tmp_path)
+    n = 1 << 17
+    rng = np.random.default_rng(22)
+    t = np.arange(n)
+    msg = 0.3 * np.sin(2 * np.pi * 0.001 * t)
+    iq = (0.9 * np.exp(1j * 2 * np.pi * 0.6 * np.cumsum(msg))).astype(np.complex64)
+    iq.tofile("w2.cf32")
+
+    # DeWBFM, 1 channel: dc_blocker >> wbfm chain sharded over 'time'
+    for tag, mesh in (("s", None), ("m", "4x2")):
+        args = ["--filename", "w2.cf32", "-n", str(n), "-s", "512000",
+                "--demod", "DeWBFM 4 WAV", "-o", f"wb_{tag}",
+                "--blocksize", str(1 << 15)]
+        if mesh:
+            args += ["--mesh", mesh]
+        assert cli_main(args) == 0
+    a, _ = wavio.read_wav("wb_s.wav")
+    b, _ = wavio.read_wav("wb_m.wav")
+    assert len(a) == len(b) == n // 4
+    assert np.max(np.abs(a - b)) < 2e-3
+
+    # DeNBFM -c 4 --mix: channelizer + per-channel demod + psum mix.
+    # Every channel needs a real carrier: demod of an EMPTY channel is
+    # angle(numerical noise), which is not reproducible across reductions.
+    tones = sum(0.5 * np.exp(2j * np.pi * np.mod(f * t, 1.0))
+                for f in (-0.3, -0.05, 0.15, 0.4))
+    (tones.astype(np.complex64)).tofile("w4.cf32")
+    for tag, mesh in (("s", None), ("m", "2x4")):
+        args = ["--filename", "w4.cf32", "-n", str(n), "-c", "4", "--mix",
+                "--demod", "DeNBFM 0.6 WAV", "-o", f"mx_{tag}",
+                "--blocksize", str(1 << 15)]
+        if mesh:
+            args += ["--mesh", mesh]
+        assert cli_main(args) == 0
+    a, _ = wavio.read_wav("mx_s.wav")
+    b, _ = wavio.read_wav("mx_m.wav")
+    assert len(a) == len(b) == n // 4
+    scale = np.max(np.abs(a)) + 1e-9
+    assert np.max(np.abs(a - b)) / scale < 2e-3
+
+
+def test_cli_mesh_rejects_sequential_flow(tmp_path):
+    import jax
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 devices")
+    os.chdir(tmp_path)
+    np.zeros(1 << 16, np.complex64).tofile("z.cf32")
+    rc = cli_main(["--filename", "z.cf32", "-n", str(1 << 16),
+                   "--demod", "DeNBFMSync 10", "-o", "seq",
+                   "--mesh", "4x1", "--blocksize", str(1 << 15)])
+    assert rc == 1  # clean refusal, not a traceback
