@@ -11,6 +11,18 @@ This module is the umbrella re-export (reference:
 /root/reference/src/ComposableSDR.hs).
 """
 
+import os as _os
+
+import jax as _jax
+
+# TPU matmuls default to bf16-truncated operands — fine for neural nets,
+# a silent ~−52 dB error floor for DSP (measured 2.3e-3 rel err in the FIR
+# and DFT kernels vs 1e-7 at full f32).  A signal-processing framework wants
+# full float32 passes by default; override with CSDR_MATMUL_PRECISION=
+# default|high|highest for experiments.
+_jax.config.update("jax_default_matmul_precision",
+                   _os.environ.get("CSDR_MATMUL_PRECISION", "highest"))
+
 from .core.block import Block, Chain, chain, Lambda, Tee, PerChannel, MixChannels, Delay
 from .core.runtime import Pipeline, rechunk, take_n
 from .blocks import (

@@ -80,7 +80,11 @@ def _kernel(xr_ref, xi_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref,
     Hr, Hi = hr_ref[:], hi_ref[:]
 
     def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        # HIGHEST: the default TPU matmul truncates operands to bf16, which
+        # costs ~40 dB of stop-band on the DFT factor matrices (measured
+        # 4.3e-3 rel err vs scipy on chip; 1e-5 with full f32 passes)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     for t in range(ts):
         Ar, Ai = xr_ref[t], xi_ref[t]

@@ -58,7 +58,11 @@ def _kernel(x_ref, banks_ref, out_ref, *, D, rows):
     for d in range(D + 1):
         # y_row[r] += x_row[r - d] @ T_d ; slab row (D + r) is output row r
         seg = x[D - d: D - d + rows]
-        term = jnp.dot(seg, banks[d], preferred_element_type=jnp.float32)
+        # HIGHEST: default TPU matmul truncates to bf16 — that cost this
+        # kernel 2.3e-3 relative error (≈ −52 dB, marginal for 60–80 dB
+        # filter specs); full f32 passes bring it to ~1e-7
+        term = jnp.dot(seg, banks[d], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         acc = term if acc is None else acc + term
     out_ref[0] = acc
 
