@@ -64,9 +64,9 @@ def run_u8(iters: int):
     u8 = (jax.jit(lambda: jnp.full((block,), 137, jnp.uint8))(),
           jax.jit(lambda: jnp.full((block,), 120, jnp.uint8))())
     state = flagship_fused_init(nch)
-    # tileF=1024: u8 input DMAs are 1 B/lane — smaller tiles leave them
-    # latency-bound (measured 16→40 GSPS from 256→1024 on chip)
-    step = lambda st, x: flagship_fused_step(st, x, nch=nch, tileF=1024)
+    # tileF=512: u8 input DMAs are latency-bound below this; 1024 exceeds
+    # the 16 MB VMEM scoped limit with the bf16_3x DFT temporaries
+    step = lambda st, x: flagship_fused_step(st, x, nch=nch, tileF=512)
     state, y = step(state, u8)
     jax.block_until_ready(y)
     t0 = time.perf_counter()

@@ -63,13 +63,16 @@ def main():
                 print(json.dumps({"taps": K, "strategy": strat,
                                   "error": str(e)[:120]}))
                 continue
-            yh = np.asarray(jnp.real(y) if jnp.iscomplexobj(y) else y)
+            # errors reduced ON DEVICE: large device→host downloads push
+            # this environment's relay into its degraded-latency mode and
+            # poison every later timing — only scalars cross the wire
+            yr = jnp.real(y) if jnp.iscomplexobj(y) else y
             if ref is None:
-                ref = yh
+                ref = yr
                 err = 0.0
             else:
-                err = float(np.max(np.abs(yh - ref)) /
-                            (np.max(np.abs(ref)) + 1e-12))
+                err = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b))
+                                    / (jnp.max(jnp.abs(b)) + 1e-12))(yr, ref))
             r = {"taps": K, "strategy": strat, "msps": round(msps, 1),
                  "rel_err_vs_fft": round(err, 8)}
             results.append(r)

@@ -25,9 +25,10 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 25  # 33.5 MS
     nch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    cu8 = len(sys.argv) > 3 and sys.argv[3] == "cu8"
 
     with tempfile.TemporaryDirectory() as td:
-        cap = os.path.join(td, "cap.cf32")
+        cap = os.path.join(td, "cap.cu8" if cu8 else "cap.cf32")
         rng = np.random.default_rng(0)
         chunk = 1 << 22
         with open(cap, "wb") as f:
@@ -36,36 +37,68 @@ def main():
                 t = np.arange(t0, t0 + chunk)
                 x = (0.5 * np.exp(2j * np.pi * np.mod(0.1237 * t, 1.0))
                      + 0.05 * (rng.standard_normal(chunk) + 1j * rng.standard_normal(chunk)))
-                x.astype(np.complex64).tofile(f)
+                if cu8:
+                    u8 = np.empty(2 * chunk, dtype=np.uint8)
+                    u8[0::2] = np.clip(np.round(x.real * 127.5 + 127.5), 0, 255)
+                    u8[1::2] = np.clip(np.round(x.imag * 127.5 + 127.5), 0, 255)
+                    u8.tofile(f)
+                else:
+                    x.astype(np.complex64).tofile(f)
                 t0 += chunk
 
+        from csdr_tpu.core.block import chain as _chain
         graph = channelized_fm_receiver(nch, kf=0.6, backend="pallas")
-        pipe = cs.Pipeline(graph, block_size=1 << 21)
+        if cu8:
+            # u8 over the host wire (2 B/sample instead of 8), converted on
+            # device (blocks.u8_to_iq) before the fused receive chain
+            graph = _chain(cs.u8_to_iq(), graph)
+        pipe = cs.Pipeline(graph, block_size=(1 << 22) if cu8 else (1 << 21))
 
         try:
             from csdr_tpu.io.native import NativeRawFileSink as Sink
-            from csdr_tpu.io.native import native_cf32_source as src_fn
+            from csdr_tpu.io.native import native_cf32_source
             native = True
         except Exception:
             Sink = cs.RawFileSink
-            src_fn = cs.cf32_file_source
             native = False
+
+        if cu8:
+            src = cs.cu8_file_source(cap, 1 << 21)
+        elif native:
+            src = native_cf32_source(cap, 1 << 20)
+        else:
+            src = cs.cf32_file_source(cap, 1 << 20)
 
         sink = cs.ChannelFileSinks(
             lambda i: Sink(os.path.join(td, f"out_ch{i + 1}.f32")), nch)
 
         t0 = time.perf_counter()
-        total = pipe.run(src_fn(cap, 1 << 20), sink)
+        total = pipe.run(src, sink)
         sink.close()
         dt = time.perf_counter() - t0
 
+        # wire health: this environment's tunneled chip has an asymmetric,
+        # time-varying relay (observed 582 MB/s up vs 0.7 MB/s down in a
+        # degraded window) — record it so the e2e number is interpretable
+        import jax
+
+        t1 = time.perf_counter()
+        d = jax.device_put(np.zeros(1 << 23, np.float32))
+        jax.block_until_ready(d)
+        up_mbps = (1 << 25) / (time.perf_counter() - t1) / 1e6
+        t1 = time.perf_counter()
+        np.asarray(d[: 1 << 21])
+        down_mbps = (1 << 23) / (time.perf_counter() - t1) / 1e6
+
         msps = n / dt / 1e6
         print(json.dumps({
-            "metric": "streaming_end_to_end_pfb64_fm",
+            "metric": "streaming_end_to_end_pfb64_fm" + ("_cu8" if cu8 else ""),
             "value": round(msps, 2),
             "unit": "Msamples/s",
             "native_io": native,
             "output_samples_per_channel": total,
+            "wire_up_MBps": round(up_mbps, 1),
+            "wire_down_MBps": round(down_mbps, 1),
             "vs_baseline": round(msps / 1.6, 2),  # reference real-time figure
         }))
 

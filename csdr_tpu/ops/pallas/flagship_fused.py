@@ -59,11 +59,24 @@ def _permuted_tap_panel(nch: int, m: int, as_db: float) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _permuted_dft(nch: int):
+    """Permuted DFT factors, each split into bf16 hi+lo planes: W ≈ W_hi +
+    W_lo with W_hi = bf16(W).  The in-kernel product then uses the 3-multiply
+    scheme  u@W ≈ u_hi@W_hi + u_lo@W_hi + u_hi@W_lo  (the bf16_3x algorithm
+    XLA calls Precision.HIGH, which Mosaic does not expose) — ~1.6e-5 rel
+    err (−96 dB, comfortably beyond the 80 dB channelizer spec) at half the
+    MXU passes of full-f32 HIGHEST."""
     W = pfb_dft_matrix(nch)  # W[p, k]
     q = np.arange(nch)
     Whet = W[(nch - q) % nch, :]  # Ŵ[q, k]
-    return (np.ascontiguousarray(Whet.real).astype(np.float32),
-            np.ascontiguousarray(Whet.imag).astype(np.float32))
+    import ml_dtypes
+
+    out = []
+    for comp in (Whet.real, Whet.imag):
+        full = np.ascontiguousarray(comp).astype(np.float32)
+        hi = full.astype(ml_dtypes.bfloat16)
+        lo = (full - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        out.append((hi, lo))
+    return out  # [(wre_hi, wre_lo), (wim_hi, wim_lo)]
 
 
 @functools.lru_cache(maxsize=None)
@@ -111,7 +124,8 @@ def _dc_solve(f_comp, T1, S, p1, pN, g_in, nch, tileF):
 
 
 def _kernel(xre_ref, xim_ref, ramp2_ref, T64_ref, S_ref,
-            p64_ref, pN_ref, That_ref, wre_ref, wim_ref,
+            p64_ref, pN_ref, That_ref,
+            wre_hi_ref, wre_lo_ref, wim_hi_ref, wim_lo_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
             hist_re_scr, hist_im_scr, scal_scr,
@@ -188,12 +202,29 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, T64_ref, S_ref,
         ure = seg_re if ure is None else ure + seg_re
         uim = seg_im if uim is None else uim + seg_im
 
-    wre = wre_ref[:]
-    wim = wim_ref[:]
-    dre = (jnp.dot(ure, wre, preferred_element_type=jnp.float32)
-           - jnp.dot(uim, wim, preferred_element_type=jnp.float32))
-    dim = (jnp.dot(ure, wim, preferred_element_type=jnp.float32)
-           + jnp.dot(uim, wre, preferred_element_type=jnp.float32))
+    # DFT matmuls via the bf16_3x split (see _permuted_dft): full-f32
+    # HIGHEST costs 2.15× end-to-end on this kernel; default bf16 has a
+    # −52 dB error floor; 3x lands at −96 dB for ~half of HIGHEST's passes
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+
+    def split(u):
+        hi = u.astype(bf)
+        return hi, (u - hi.astype(f32)).astype(bf)
+
+    def dot3(u_pair, w_hi, w_lo):
+        u_hi, u_lo = u_pair
+        kw = dict(preferred_element_type=f32,
+                  precision=jax.lax.Precision.DEFAULT)
+        return (jnp.dot(u_hi, w_hi, **kw) + jnp.dot(u_lo, w_hi, **kw)
+                + jnp.dot(u_hi, w_lo, **kw))
+
+    ure_p = split(ure)
+    uim_p = split(uim)
+    wre_hi, wre_lo = wre_hi_ref[:], wre_lo_ref[:]
+    wim_hi, wim_lo = wim_hi_ref[:], wim_lo_ref[:]
+    dre = dot3(ure_p, wre_hi, wre_lo) - dot3(uim_p, wim_hi, wim_lo)
+    dim = dot3(ure_p, wim_hi, wim_lo) + dot3(uim_p, wre_hi, wre_lo)
 
     # ---- FM demod ----
     cre = dre[1:] * dre[:-1] + dim[1:] * dim[:-1]
@@ -274,9 +305,11 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
     ramp2 = jnp.asarray(phase_ramp(float(omega), 2 * nch).reshape(2, nch))
 
     That = jnp.asarray(_permuted_tap_panel(nch, m, as_db))
-    wre_np, wim_np = _permuted_dft(nch)
-    wre = jnp.asarray(wre_np)
-    wim = jnp.asarray(wim_np)
+    (wre_hi_np, wre_lo_np), (wim_hi_np, wim_lo_np) = _permuted_dft(nch)
+    wre_hi = jnp.asarray(wre_hi_np, dtype=jnp.bfloat16)
+    wre_lo = jnp.asarray(wre_lo_np, dtype=jnp.bfloat16)
+    wim_hi = jnp.asarray(wim_hi_np, dtype=jnp.bfloat16)
+    wim_lo = jnp.asarray(wim_lo_np, dtype=jnp.bfloat16)
     T64 = jnp.asarray(_decay(r, nch))
     a_row = float(r ** nch)
     S = jnp.asarray(_row_carry_matrix(a_row, tileF))       # (tileF+1, tileF)
@@ -299,7 +332,9 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
             const2((2, nch)),
             const2((nch, nch)), const2((tileF + 1, tileF)),
             const2((1, nch)), const2((tileF + 1, 1)),
-            const2((L + 1, nch)), const2((nch, nch)), const2((nch, nch)),
+            const2((L + 1, nch)),
+            const2((nch, nch)), const2((nch, nch)),
+            const2((nch, nch)), const2((nch, nch)),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             const2((L + 1, nch)), const2((L + 1, nch)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -321,7 +356,8 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
             pltpu.SMEM((4,), jnp.float32),
         ],
         interpret=interpret,
-    )(xre, xim, ramp2, T64, S, p64, pN, That, wre, wim, phase,
+    )(xre, xim, ramp2, T64, S, p64, pN, That,
+      wre_hi, wre_lo, wim_hi, wim_lo, phase,
       state["hist_re"], state["hist_im"], state["scal"])
 
     new_phase = jnp.mod(state["phase"] + phase_increment(float(omega), int(n)),

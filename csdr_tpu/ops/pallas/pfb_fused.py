@@ -59,7 +59,12 @@ def _atan2(y, x):
 
 
 def _branch_fir_dft(vre, vim, taps, wre, wim, L, nout):
-    """Branch FIR over ``nout`` frames then the DFT matmul (re/im planes)."""
+    """Branch FIR over ``nout`` frames then the DFT matmul (re/im planes).
+
+    The DFT matmuls run as the bf16_3x operand split (u@W ≈ u_hi@W_hi +
+    u_lo@W_hi + u_hi@W_lo): ~−96 dB error instead of plain-bf16's −52 dB
+    floor, at roughly half the MXU passes of a full-f32 HIGHEST product
+    (Mosaic exposes no Precision.HIGH; see flagship_fused._permuted_dft)."""
     ure = None
     uim = None
     for l in range(L):
@@ -68,10 +73,26 @@ def _branch_fir_dft(vre, vim, taps, wre, wim, L, nout):
         sim = vim[L - 1 - l: L - 1 - l + nout] * tl
         ure = sre if ure is None else ure + sre
         uim = sim if uim is None else uim + sim
-    dre = (jnp.dot(ure, wre, preferred_element_type=jnp.float32)
-           - jnp.dot(uim, wim, preferred_element_type=jnp.float32))
-    dim = (jnp.dot(ure, wim, preferred_element_type=jnp.float32)
-           + jnp.dot(uim, wre, preferred_element_type=jnp.float32))
+
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+
+    def split(a):
+        hi = a.astype(bf)
+        return hi, (a - hi.astype(f32)).astype(bf)
+
+    kw = dict(preferred_element_type=f32, precision=jax.lax.Precision.DEFAULT)
+
+    def dot3(u_pair, w_pair):
+        u_hi, u_lo = u_pair
+        w_hi, w_lo = w_pair
+        return (jnp.dot(u_hi, w_hi, **kw) + jnp.dot(u_lo, w_hi, **kw)
+                + jnp.dot(u_hi, w_lo, **kw))
+
+    ure_p, uim_p = split(ure), split(uim)
+    wre_p, wim_p = split(wre), split(wim)
+    dre = dot3(ure_p, wre_p) - dot3(uim_p, wim_p)
+    dim = dot3(ure_p, wim_p) + dot3(uim_p, wre_p)
     return dre, dim
 
 

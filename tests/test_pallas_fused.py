@@ -50,4 +50,6 @@ def test_fused_matches_xla_path(nch, tileF):
     # first frame differs by design (XLA seeds demod prev=1+0j; kernel uses
     # the true zero history) — compare from frame 1
     err = np.max(np.abs(got[:, 1:] - want[:, 1:]))
-    assert err < 2e-4, err
+    # bf16_3x DFT split: ~1e-5 channelizer error, amplified by weak-channel
+    # FM demod slopes — still ≥54 dB audio accuracy
+    assert err < 2e-3, err

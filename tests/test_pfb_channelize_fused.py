@@ -36,4 +36,4 @@ def test_channelize_fused_matches_xla():
     got = (np.asarray(dre) + 1j * np.asarray(dim)).T  # (nch, F)
 
     assert got.shape == want.shape
-    assert np.max(np.abs(got - want)) < 2e-4
+    assert np.max(np.abs(got - want)) < 2e-3  # bf16_3x DFT split

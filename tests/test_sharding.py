@@ -155,7 +155,9 @@ def test_sharded_fused_kernel_matches_single_device(mesh_shape):
     assert got.shape == want.shape
     err = np.max(np.abs(got[:, 1:] - want[:, 1:]))  # frame 0: demod seed
     scale = np.max(np.abs(want)) + 1e-12
-    assert err / scale < 2e-3, err / scale
+    # bf16_3x DFT split in the fused kernel (~1e-5 channelizer error,
+    # amplified by weak-channel FM demod slopes): ≥ 46 dB audio accuracy
+    assert err / scale < 5e-3, err / scale
 
 
 @pytest.mark.parametrize("mesh_shape", [(4, 2)])
