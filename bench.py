@@ -18,7 +18,7 @@ import sys
 import time
 
 
-def run(backend: str, iters: int):
+def run(backend: str, iters: int, tileF: int | None = None):
     import jax
     import jax.numpy as jnp
     from csdr_tpu.models.receivers import channelized_fm_receiver
@@ -28,7 +28,7 @@ def run(backend: str, iters: int):
     block = 1 << 22  # 4 Msamples per step — large enough to amortize
     # this environment's relay dispatch latency (see docs/TPU_BACKEND_NOTES.md)
 
-    graph = channelized_fm_receiver(nch, kf=0.6, backend=backend)
+    graph = channelized_fm_receiver(nch, kf=0.6, backend=backend, tileF=tileF)
     pipe = Pipeline(graph, block_size=block, donate=True)
 
     # device-resident encoded input (float planes; tone + noise-free is fine
@@ -49,7 +49,7 @@ def run(backend: str, iters: int):
     return iters * block / dt / 1e6
 
 
-def run_u8(iters: int):
+def run_u8(iters: int, tileF: int | None = None):
     """cu8 variant: the fused kernel fed interleaved rtl_sdr uint8 directly —
     2 bytes/sample across HBM (and the host wire) instead of 8, conversion
     in-kernel (ops/pallas/flagship_fused.py u8 path)."""
@@ -57,16 +57,19 @@ def run_u8(iters: int):
     import jax.numpy as jnp
     from csdr_tpu.ops.pallas.flagship_fused import (flagship_fused_init,
                                                    flagship_fused_step)
+    from csdr_tpu.utils import autotune
 
     nch = 64
     block = 1 << 22
+    if tileF is None:
+        # cached sweep result; static default 512 (u8 DMAs are latency-bound
+        # below; 1024 exceeds the 16 MB VMEM limit with the bf16_3x temps)
+        tileF = autotune.lookup("flagship_fused", nch, variant="u8")
     # pre-split u8 planes: what a host/native reader ships (2 B/sample wire)
     u8 = (jax.jit(lambda: jnp.full((block,), 137, jnp.uint8))(),
           jax.jit(lambda: jnp.full((block,), 120, jnp.uint8))())
     state = flagship_fused_init(nch)
-    # tileF=512: u8 input DMAs are latency-bound below this; 1024 exceeds
-    # the 16 MB VMEM scoped limit with the bf16_3x DFT temporaries
-    step = lambda st, x: flagship_fused_step(st, x, nch=nch, tileF=512)
+    step = lambda st, x: flagship_fused_step(st, x, nch=nch, tileF=tileF)
     state, y = step(state, u8)
     jax.block_until_ready(y)
     t0 = time.perf_counter()
@@ -80,8 +83,32 @@ HEALTHY_MSPS = 5000.0  # the relay's degraded-latency mode caps ~100-2000
                        # MSPS regardless of the program; below this, retry
 
 
+def tune(iters: int):
+    """Sweep tileF per fused-kernel variant and persist the winners to the
+    autotune cache (utils/autotune.py); later runs pick them up by default."""
+    from csdr_tpu.utils import autotune
+
+    nch = 64
+    cands = (128, 256, 512, 1024, 2048)
+    for name, variant, fn in (
+        ("flagship_fused", None, lambda t: run("pallas_full", iters, tileF=t)),
+        ("pfb_fused", None, lambda t: run("pallas", iters, tileF=t)),
+        ("flagship_fused", "u8", lambda t: run_u8(iters, tileF=t)),
+    ):
+        label = f"{name}:{variant}" if variant else name
+        print(f"# tuning {label} over {cands}", flush=True)
+        best, results = autotune.sweep(name, nch, cands, fn, variant=variant,
+                                       verbose=True)
+        print(json.dumps({"metric": f"autotune_{label}", "tileF": best,
+                          "results": results}), flush=True)
+    print(f"# cache written: {autotune.cache_path()}")
+
+
 def main():
     sys.path.insert(0, ".")
+    if len(sys.argv) > 1 and sys.argv[1] == "tune":
+        tune(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     backend = sys.argv[2] if len(sys.argv) > 2 else None
     if backend == "cu8":

@@ -26,11 +26,15 @@ class FlagshipFused(Block):
     (ops/pallas/flagship_fused.py)."""
 
     def __init__(self, nch: int, kf: float = 0.6, m: int = 7, as_db: float = 80.0,
-                 tileF: int = 256, dc_alpha: float = 0.0005, interpret: bool = False):
+                 tileF: int | None = None, dc_alpha: float = 0.0005,
+                 interpret: bool = False):
         from fractions import Fraction
         from ..ops.pallas.flagship_fused import flagship_fused_init, flagship_fused_step
+        from ..utils import autotune
 
         interpret = _interp_default(interpret)
+        if tileF is None:  # best-known tile from the autotune cache
+            tileF = autotune.lookup("flagship_fused", nch)
 
         self._init = lambda: flagship_fused_init(nch, m)
         self._step = lambda st, x: flagship_fused_step(
@@ -53,8 +57,11 @@ class PallasChannelizedFM(Block):
     — same state semantics, one HBM pass."""
 
     def __init__(self, nch: int, kf: float = 0.6, m: int = 7, as_db: float = 80.0,
-                 tileF: int = 1024, interpret: bool = False):
+                 tileF: int | None = None, interpret: bool = False):
+        from ..utils import autotune
         self.nch, self.kf, self.m, self.as_db = nch, kf, m, as_db
+        if tileF is None:
+            tileF = autotune.lookup("pfb_fused", nch)
         self.tileF = tileF
         self.interpret = _interp_default(interpret)
         self.rate = Fraction(1, nch)

@@ -130,10 +130,10 @@ def channelized_fm_receiver(nch: int, kf: float = 0.6, audio_decim: int = 1,
         ]
         if backend == "pallas_full":
             # DC blocker is inside the fused kernel
-            stages.append(FlagshipFused(nch, kf))
+            stages.append(FlagshipFused(nch, kf, tileF=kw.get("tileF")))
         else:
             stages.append(B.dc_blocker())
-            stages.append(PallasChannelizedFM(nch, kf))
+            stages.append(PallasChannelizedFM(nch, kf, tileF=kw.get("tileF")))
         if audio_decim > 1:
             stages.append(PerChannel(B.fir_decimator(audio_decim), nch))
         if mix:

@@ -1,0 +1,66 @@
+"""utils.autotune: on-disk tile cache — lookup/record/sweep semantics."""
+
+import json
+import os
+
+import pytest
+
+from csdr_tpu.utils import autotune
+
+
+@pytest.fixture
+def cache(tmp_path, monkeypatch):
+    p = str(tmp_path / "autotune.json")
+    monkeypatch.setenv("CSDR_AUTOTUNE_CACHE", p)
+    return p
+
+
+def test_lookup_falls_back_to_defaults(cache):
+    assert autotune.lookup("flagship_fused", 64) == autotune.DEFAULTS["flagship_fused"]
+    assert (autotune.lookup("flagship_fused", 64, variant="u8")
+            == autotune.DEFAULTS["flagship_fused:u8"])
+    assert autotune.lookup("no_such_kernel", 64, default=7) == 7
+    with pytest.raises(KeyError):
+        autotune.lookup("no_such_kernel", 64)
+
+
+def test_record_then_lookup_roundtrip(cache):
+    autotune.record("flagship_fused", 64, 2048, 123.4, platform="testplat")
+    assert autotune.lookup("flagship_fused", 64, platform="testplat") == 2048
+    # other nch / platform unaffected → default
+    assert (autotune.lookup("flagship_fused", 128, platform="testplat")
+            == autotune.DEFAULTS["flagship_fused"])
+    # file is valid JSON with the documented key shape
+    d = json.load(open(cache))
+    assert d["flagship_fused:testplat:64"]["msps"] == pytest.approx(123.4)
+
+
+def test_sweep_picks_winner_and_records_infeasible(cache):
+    def bench(t):
+        if t == 1024:
+            raise MemoryError("VMEM OOM")
+        return {128: 10.0, 256: 30.0, 512: 20.0}[t]
+
+    best, results = autotune.sweep("pfb_fused", 64, (128, 256, 512, 1024),
+                                   bench, platform="testplat")
+    assert best == 256
+    assert autotune.lookup("pfb_fused", 64, platform="testplat") == 256
+    by_t = {r["tileF"]: r for r in results}
+    assert "error" in by_t[1024] and "MemoryError" in by_t[1024]["error"]
+    # full sweep is persisted for later inspection
+    d = json.load(open(cache))
+    assert len(d["pfb_fused:testplat:64"]["sweep"]) == 4
+
+
+def test_sweep_all_infeasible_raises(cache):
+    def bad(t):
+        raise RuntimeError("nope")
+    with pytest.raises(RuntimeError, match="no feasible"):
+        autotune.sweep("pfb_fused", 64, (128, 256), bad, platform="testplat")
+
+
+def test_corrupt_cache_is_ignored(cache):
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    with open(cache, "w") as f:
+        f.write("{not json")
+    assert autotune.lookup("flagship_fused", 64) == autotune.DEFAULTS["flagship_fused"]
