@@ -49,14 +49,21 @@ def run(backend: str, iters: int, tileF: int | None = None):
     return iters * block / dt / 1e6
 
 
-def run_u8(iters: int, tileF: int | None = None):
+def run_u8(iters: int, tileF: int | None = None, wide: bool = False):
     """cu8 variant: the fused kernel fed interleaved rtl_sdr uint8 directly —
     2 bytes/sample across HBM (and the host wire) instead of 8, conversion
-    in-kernel (ops/pallas/flagship_fused.py u8 path)."""
+    in-kernel (ops/pallas/flagship_fused.py u8 path; wide=True uses the
+    128-lane packed layout, flagship_fused_wide.py)."""
     import jax
     import jax.numpy as jnp
-    from csdr_tpu.ops.pallas.flagship_fused import (flagship_fused_init,
-                                                   flagship_fused_step)
+    if wide:
+        from csdr_tpu.ops.pallas.flagship_fused_wide import (
+            flagship_fused_wide_init as k_init, flagship_fused_wide_step as k_step)
+        kname = "flagship_fused_wide"
+    else:
+        from csdr_tpu.ops.pallas.flagship_fused import (
+            flagship_fused_init as k_init, flagship_fused_step as k_step)
+        kname = "flagship_fused"
     from csdr_tpu.utils import autotune
 
     nch = 64
@@ -64,12 +71,12 @@ def run_u8(iters: int, tileF: int | None = None):
     if tileF is None:
         # cached sweep result; static default 512 (u8 DMAs are latency-bound
         # below; 1024 exceeds the 16 MB VMEM limit with the bf16_3x temps)
-        tileF = autotune.lookup("flagship_fused", nch, variant="u8")
+        tileF = autotune.lookup(kname, nch, variant="u8")
     # pre-split u8 planes: what a host/native reader ships (2 B/sample wire)
     u8 = (jax.jit(lambda: jnp.full((block,), 137, jnp.uint8))(),
           jax.jit(lambda: jnp.full((block,), 120, jnp.uint8))())
-    state = flagship_fused_init(nch)
-    step = lambda st, x: flagship_fused_step(st, x, nch=nch, tileF=tileF)
+    state = k_init(nch)
+    step = lambda st, x: k_step(st, x, nch=nch, tileF=tileF)
     state, y = step(state, u8)
     jax.block_until_ready(y)
     t0 = time.perf_counter()
@@ -92,8 +99,10 @@ def tune(iters: int):
     cands = (128, 256, 512, 1024, 2048)
     for name, variant, fn in (
         ("flagship_fused", None, lambda t: run("pallas_full", iters, tileF=t)),
+        ("flagship_fused_wide", None, lambda t: run("pallas_wide", iters, tileF=t)),
         ("pfb_fused", None, lambda t: run("pallas", iters, tileF=t)),
         ("flagship_fused", "u8", lambda t: run_u8(iters, tileF=t)),
+        ("flagship_fused_wide", "u8", lambda t: run_u8(iters, tileF=t, wide=True)),
     ):
         label = f"{name}:{variant}" if variant else name
         print(f"# tuning {label} over {cands}", flush=True)
@@ -111,9 +120,9 @@ def main():
         return
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     backend = sys.argv[2] if len(sys.argv) > 2 else None
-    if backend == "cu8":
-        msps = run_u8(iters)
-        print(json.dumps({"metric": "pfb64_fm_demod_throughput_cu8",
+    if backend in ("cu8", "cu8_wide"):
+        msps = run_u8(iters, wide=backend == "cu8_wide")
+        print(json.dumps({"metric": f"pfb64_fm_demod_throughput_{backend}",
                           "value": round(msps, 2), "unit": "Msamples/s/chip",
                           "vs_baseline": round(msps / 3.2, 2)}))
         return

@@ -22,22 +22,44 @@ __all__ = ["PallasChannelizedFM", "FlagshipFused"]
 
 
 class FlagshipFused(Block):
-    """dcBlocker >> PFB >> PerChannel(FMDemod) as ONE Pallas kernel pass
-    (ops/pallas/flagship_fused.py)."""
+    """dcBlocker >> PFB >> PerChannel(FMDemod) as ONE Pallas kernel pass.
+
+    ``layout`` selects the panel layout: "narrow" = (tileF, nch) panels
+    (ops/pallas/flagship_fused.py), "wide" = 128-lane packed panels with
+    R=128/nch frames per row (ops/pallas/flagship_fused_wide.py — no HBM
+    lane padding, full-width MXU); "auto" picks wide when nch divides 64."""
 
     def __init__(self, nch: int, kf: float = 0.6, m: int = 7, as_db: float = 80.0,
                  tileF: int | None = None, dc_alpha: float = 0.0005,
-                 interpret: bool = False):
+                 interpret: bool = False, layout: str = "auto"):
         from fractions import Fraction
-        from ..ops.pallas.flagship_fused import flagship_fused_init, flagship_fused_step
         from ..utils import autotune
 
         interpret = _interp_default(interpret)
+        if layout == "auto":
+            # wide requires nch | 64; prefer it there once the autotune cache
+            # has an on-chip entry proving it ran (fresh checkouts without a
+            # cache stay on the long-soaked narrow kernel)
+            if 64 % nch == 0 and autotune.has_entry("flagship_fused_wide", nch):
+                layout = "wide"
+            else:
+                layout = "narrow"
+        if layout == "wide":
+            from ..ops.pallas.flagship_fused_wide import (
+                flagship_fused_wide_init as k_init,
+                flagship_fused_wide_step as k_step)
+            kernel_name = "flagship_fused_wide"
+        elif layout == "narrow":
+            from ..ops.pallas.flagship_fused import (
+                flagship_fused_init as k_init, flagship_fused_step as k_step)
+            kernel_name = "flagship_fused"
+        else:
+            raise ValueError(f"layout must be auto|narrow|wide, got {layout!r}")
         if tileF is None:  # best-known tile from the autotune cache
-            tileF = autotune.lookup("flagship_fused", nch)
+            tileF = autotune.lookup(kernel_name, nch)
 
-        self._init = lambda: flagship_fused_init(nch, m)
-        self._step = lambda st, x: flagship_fused_step(
+        self._init = lambda: k_init(nch, m)
+        self._step = lambda st, x: k_step(
             st, x, nch=nch, m=m, as_db=as_db, kf=kf, tileF=tileF,
             dc_alpha=dc_alpha, interpret=interpret)
         self.rate = Fraction(1, nch)

@@ -121,16 +121,20 @@ def channelized_fm_receiver(nch: int, kf: float = 0.6, audio_decim: int = 1,
     single-HBM-pass Pallas kernel (ops/pallas/pfb_fused.py) — ~4× faster on
     chip; the rest of the graph (front end, DC blocker, audio decim, mix)
     stays XLA."""
-    if backend in ("pallas", "pallas_full"):
+    if backend in ("pallas", "pallas_full", "pallas_wide"):
         from ..blocks.pallas_blocks import PallasChannelizedFM, FlagshipFused
 
         stages: list[Block] = [
             *front_end(kw.get("sample_rate", 2.56e6), kw.get("offset_hz", 0.0),
                        kw.get("bandwidth", 0.0)),
         ]
-        if backend == "pallas_full":
-            # DC blocker is inside the fused kernel
-            stages.append(FlagshipFused(nch, kf, tileF=kw.get("tileF")))
+        if backend in ("pallas_full", "pallas_wide"):
+            # DC blocker is inside the fused kernel; "pallas_wide" forces the
+            # 128-lane packed layout (flagship_fused_wide), "pallas_full"
+            # lets the block choose per the autotune cache
+            layout = "wide" if backend == "pallas_wide" else "auto"
+            stages.append(FlagshipFused(nch, kf, tileF=kw.get("tileF"),
+                                        layout=layout))
         else:
             stages.append(B.dc_blocker())
             stages.append(PallasChannelizedFM(nch, kf, tileF=kw.get("tileF")))

@@ -1,0 +1,364 @@
+"""Wide-layout (128-lane) variant of the fully-fused flagship kernel.
+
+`flagship_fused.py` shapes its panels `(tileF, nch)`.  For the flagship's
+nch=64 that leaves the minor (lane) dimension at HALF the TPU's native 128
+lanes: every HBM tile of the input planes and audio output is padded 64→128,
+so the kernel physically moves ~2x the bytes it uses, and every matmul
+contracts over only 64 of the MXU's 128 columns.
+
+This kernel packs R = 128//nch consecutive FRAMES per panel row:
+
+    s2[r, a*nch + q] = s[R*r + a, q]       a in [0, R)
+
+so panels are (tileH, 128) with tileH = tileF/R — full lane utilization,
+zero layout padding, and the reshape from the 1-D sample stream is
+layout-preserving (sample index = 128*r + lane exactly).  The pipeline
+algebra survives the packing:
+
+  * DC blocker: the recurrence runs over FLATTENED sample order, which the
+    packed rows preserve — the same two-matmul solve with a 128-wide decay
+    matrix (lanes) and an r^128 row-carry matrix.
+  * NCO: omega = -pi(nch-1)/nch has period 2*nch samples; nch | 64 makes
+    128 an exact multiple, so the phase ramp is ONE constant 128-lane row.
+  * PFB FIR (permuted taps, flagship_fused._permuted_tap_panel): a shift of
+    J frames = a lane roll by (J%R)*nch plus a row shift by J//R, with the
+    wrapped lanes taking one extra row of history — one `pltpu.roll` per
+    distinct J%R, then cheap static row slices + lane-masked selects.
+  * DFT: one (tileH,128)x(128,128) matmul against a block-diagonal
+    diag(W,...,W) — both/all R frames' DFTs in a single full-width MXU pass
+    (bf16_3x split as in flagship_fused).
+  * FM demod: the previous frame is a lane roll by nch with the first slot
+    wrapping to the previous row.
+
+External semantics (state pytree aside) match flagship_fused_step: complex
+(n,) or cu8 input, audio (nch, n/nch) float32 output; same DSP chain as
+dcBlocker >> PFBChannelizer >> PerChannel(FMDemod) (reference
+apps/SoapySDR.hs:208-226 + Liquid.chs — see ops/pfb.py citations).
+
+Constraints: nch must divide 64; tileF % (2*R) == 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..pfb import pfb_dft_matrix, pfb_offset
+from ..nco import phase_ramp, phase_increment
+from .pfb_fused import _atan2
+from .flagship_fused import (_permuted_tap_panel, _decay, _row_carry_matrix,
+                             _powvec, _row_decay_col, _dc_solve)
+
+__all__ = ["flagship_fused_wide_init", "flagship_fused_wide_step"]
+
+_TWO_PI = 2.0 * np.pi
+_LANES = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _wide_tap_panel(nch: int, m: int, as_db: float) -> np.ndarray:
+    """(L+1, 128) T̂ duplicated across the R frame slots."""
+    That = _permuted_tap_panel(nch, m, as_db)  # (L+1, nch)
+    return np.tile(That, (1, _LANES // nch))
+
+
+@functools.lru_cache(maxsize=None)
+def _wide_dft(nch: int):
+    """Block-diagonal diag(Ŵ, ..., Ŵ) (128x128), split into bf16 hi+lo
+    planes per real/imag component (the 3-multiply scheme of
+    flagship_fused._permuted_dft)."""
+    W = pfb_dft_matrix(nch)
+    q = np.arange(nch)
+    Whet = W[(nch - q) % nch, :]  # (nch, nch)
+    R = _LANES // nch
+    import ml_dtypes
+
+    out = []
+    for comp in (Whet.real, Whet.imag):
+        blk = np.zeros((_LANES, _LANES), dtype=np.float32)
+        for a in range(R):
+            blk[a * nch:(a + 1) * nch, a * nch:(a + 1) * nch] = comp
+        hi = blk.astype(ml_dtypes.bfloat16)
+        lo = (blk - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        out.append((hi, lo))
+    return out
+
+
+def _kernel(xre_ref, xim_ref, ramp_ref, T128_ref, S_ref,
+            p128_ref, pN_ref, That_ref,
+            wre_hi_ref, wre_lo_ref, wim_hi_ref, wim_lo_ref,
+            phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
+            audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
+            hist_re_scr, hist_im_scr, scal_scr,
+            *, nch, L, tileH, histrows, g_gain, inv_kf, u8_input=False):
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+    R = _LANES // nch
+
+    @pl.when(i == 0)
+    def _():
+        hist_re_scr[:] = hist_in_re_ref[:]
+        hist_im_scr[:] = hist_in_im_ref[:]
+        for idx in range(4):
+            scal_scr[idx] = scal_in_ref[idx]
+
+    if u8_input:
+        k_scale = jnp.float32(1.0 / 127.5)
+        xre = xre_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
+        xim = xim_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
+    else:
+        xre = xre_ref[0]  # (tileH, 128)
+        xim = xim_ref[0]
+
+    # ---- x_prev over flattened order (identical to flagship_fused, 128 wide)
+    xpre = pltpu.roll(xre, 1, axis=1)
+    xpim = pltpu.roll(xim, 1, axis=1)
+    col_prev_re = pltpu.roll(xre[:, _LANES - 1:_LANES], 1, axis=0)
+    col_prev_im = pltpu.roll(xim[:, _LANES - 1:_LANES], 1, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tileH, 1), 0)
+    col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
+    col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tileH, _LANES), 1)
+    xpre = jnp.where(lane == 0, col_prev_re, xpre)
+    xpim = jnp.where(lane == 0, col_prev_im, xpim)
+
+    fre = jnp.float32(g_gain) * (xre - xpre)
+    fim = jnp.float32(g_gain) * (xim - xpim)
+
+    # ---- DC blocker ----
+    T128 = T128_ref[:]
+    S = S_ref[:]
+    p128 = p128_ref[:]
+    pN = pN_ref[:]
+    ydc_re, glast_re = _dc_solve(fre, T128, S, p128, pN, scal_scr[2], _LANES, tileH)
+    ydc_im, glast_im = _dc_solve(fim, T128, S, p128, pN, scal_scr[3], _LANES, tileH)
+
+    # ---- NCO pre-shift: one constant ramp row (nch | 64 ⇒ period | 128) ----
+    theta = ramp_ref[:] + phase_ref[0, 0]      # (1, 128), broadcast over rows
+    cth = jnp.cos(theta)
+    sth = jnp.sin(theta)
+    sre = ydc_re * cth + ydc_im * sth
+    sim = ydc_im * cth - ydc_re * sth
+
+    # ---- PFB branch FIR over packed frame panels ----
+    ext_re = jnp.concatenate([hist_re_scr[:], sre], axis=0)  # (histrows+tileH, 128)
+    ext_im = jnp.concatenate([hist_im_scr[:], sim], axis=0)
+    # one lane-rolled copy per distinct frame-slot shift s = J % R
+    shifts = sorted({J % R for J in range(L + 1)})
+    rolled = {0: (ext_re, ext_im)}
+    for s in shifts:
+        if s:
+            rolled[s] = (pltpu.roll(ext_re, s * nch, axis=1),
+                         pltpu.roll(ext_im, s * nch, axis=1))
+
+    That = That_ref[:]
+    # output rows j in [0, tileH]: ext row k = histrows-1+j (row 0 is the
+    # pre-row carrying the previous frame for the demod seed)
+    base = histrows - 1
+    ure = uim = None
+    for J in range(L + 1):
+        s = J % R
+        rb = J // R
+        tj = That[J][None, :]
+        Pre, Pim = rolled[s]
+        hi_re = Pre[base - rb: base - rb + tileH + 1]
+        hi_im = Pim[base - rb: base - rb + tileH + 1]
+        if s:
+            lo_re = Pre[base - rb - 1: base - rb + tileH]
+            lo_im = Pim[base - rb - 1: base - rb + tileH]
+            wrap = jax.lax.broadcasted_iota(
+                jnp.int32, (tileH + 1, _LANES), 1) < s * nch
+            seg_re = jnp.where(wrap, lo_re, hi_re) * tj
+            seg_im = jnp.where(wrap, lo_im, hi_im) * tj
+        else:
+            seg_re = hi_re * tj
+            seg_im = hi_im * tj
+        ure = seg_re if ure is None else ure + seg_re
+        uim = seg_im if uim is None else uim + seg_im
+
+    # ---- block-diagonal DFT, bf16_3x ----
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+
+    def split(u):
+        hi = u.astype(bf)
+        return hi, (u - hi.astype(f32)).astype(bf)
+
+    def dot3(u_pair, w_hi, w_lo):
+        u_hi, u_lo = u_pair
+        kw = dict(preferred_element_type=f32,
+                  precision=jax.lax.Precision.DEFAULT)
+        return (jnp.dot(u_hi, w_hi, **kw) + jnp.dot(u_lo, w_hi, **kw)
+                + jnp.dot(u_hi, w_lo, **kw))
+
+    ure_p = split(ure)
+    uim_p = split(uim)
+    wre_hi, wre_lo = wre_hi_ref[:], wre_lo_ref[:]
+    wim_hi, wim_lo = wim_hi_ref[:], wim_lo_ref[:]
+    dre = dot3(ure_p, wre_hi, wre_lo) - dot3(uim_p, wim_hi, wim_lo)
+    dim = dot3(ure_p, wim_hi, wim_lo) + dot3(uim_p, wre_hi, wre_lo)
+
+    # ---- FM demod: previous frame = lane roll by nch, slot 0 wraps to the
+    # previous row ----
+    dre_roll = pltpu.roll(dre, nch, axis=1)
+    dim_roll = pltpu.roll(dim, nch, axis=1)
+    wrap1 = jax.lax.broadcasted_iota(jnp.int32, (tileH, _LANES), 1) < nch
+    pre_re = jnp.where(wrap1, dre_roll[:-1], dre_roll[1:])
+    pre_im = jnp.where(wrap1, dim_roll[:-1], dim_roll[1:])
+    cur_re = dre[1:]
+    cur_im = dim[1:]
+    cre = cur_re * pre_re + cur_im * pre_im
+    cim = cur_im * pre_re - cur_re * pre_im
+    audio_ref[0] = _atan2(cim, cre) * jnp.float32(inv_kf)
+
+    # ---- carry updates ----
+    hist_re_scr[:] = ext_re[tileH:]
+    hist_im_scr[:] = ext_im[tileH:]
+    scal_scr[0] = xre[tileH - 1, _LANES - 1]
+    scal_scr[1] = xim[tileH - 1, _LANES - 1]
+    scal_scr[2] = glast_re
+    scal_scr[3] = glast_im
+
+    @pl.when(i == T - 1)
+    def _():
+        hist_out_re_ref[:] = hist_re_scr[:]
+        hist_out_im_ref[:] = hist_im_scr[:]
+        for idx in range(4):
+            scal_out_ref[idx] = scal_scr[idx]
+
+
+def _histrows(nch: int, m: int) -> int:
+    L = 2 * m
+    R = _LANES // nch
+    # deepest row reach: pre-row (j=0) with J=L and wrapped lanes reads
+    # row (histrows-1) - L//R - 1 — keep that >= 0
+    return L // R + 2
+
+
+def flagship_fused_wide_init(nch: int, m: int = 7):
+    if 64 % nch:
+        raise ValueError(f"wide layout requires nch | 64, got {nch}")
+    h = _histrows(nch, m)
+    return dict(
+        phase=jnp.zeros((), jnp.float32),
+        hist_re=jnp.zeros((h, _LANES), jnp.float32),
+        hist_im=jnp.zeros((h, _LANES), jnp.float32),
+        scal=jnp.zeros((4,), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nch", "m", "as_db", "kf", "tileF",
+                                             "dc_alpha", "interpret"))
+def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
+                             as_db: float = 80.0, kf: float = 0.6,
+                             tileF: int = 512, dc_alpha: float = 0.0005,
+                             interpret: bool = False):
+    """(state, x) → (state, audio (nch, n/nch) float32) — see module docstring.
+
+    ``tileF`` counts FRAMES per grid tile (same meaning as
+    flagship_fused_step); rows per tile is tileF//R with R = 128//nch.
+    """
+    if 64 % nch:
+        raise ValueError(f"wide layout requires nch | 64, got {nch}")
+    R = _LANES // nch
+    if tileF % R:
+        raise ValueError(f"tileF {tileF} must be a multiple of R={R}")
+    tileH = tileF // R
+
+    if isinstance(x, (tuple, list)):
+        u8_input = True
+        xre_1d, xim_1d = x
+        n = xre_1d.shape[0]
+    else:
+        u8_input = x.dtype == jnp.uint8
+        n = x.shape[0] // 2 if u8_input else x.shape[0]
+    F = n // nch
+    L = 2 * m
+    assert F % tileF == 0, (F, tileF)
+    T = F // tileF
+    r = 1.0 - dc_alpha
+    g = (1.0 + r) / 2.0
+
+    if isinstance(x, (tuple, list)):
+        xre = xre_1d.reshape(T, tileH, _LANES)
+        xim = xim_1d.reshape(T, tileH, _LANES)
+    elif u8_input:
+        pairs = x.reshape(n, 2)
+        xre = pairs[:, 0].reshape(T, tileH, _LANES)
+        xim = pairs[:, 1].reshape(T, tileH, _LANES)
+    else:
+        xre = jnp.real(x).reshape(T, tileH, _LANES)
+        xim = jnp.imag(x).reshape(T, tileH, _LANES)
+
+    omega = pfb_offset(nch)
+    ramp = jnp.asarray(phase_ramp(float(omega), _LANES).reshape(1, _LANES))
+
+    That = jnp.asarray(_wide_tap_panel(nch, m, as_db))
+    (wre_hi_np, wre_lo_np), (wim_hi_np, wim_lo_np) = _wide_dft(nch)
+    wre_hi = jnp.asarray(wre_hi_np, dtype=jnp.bfloat16)
+    wre_lo = jnp.asarray(wre_lo_np, dtype=jnp.bfloat16)
+    wim_hi = jnp.asarray(wim_hi_np, dtype=jnp.bfloat16)
+    wim_lo = jnp.asarray(wim_lo_np, dtype=jnp.bfloat16)
+    T128 = jnp.asarray(_decay(r, _LANES))
+    a_row = float(r ** _LANES)
+    S = jnp.asarray(_row_carry_matrix(a_row, tileH))
+    p128 = jnp.asarray(_powvec(r, _LANES))
+    pN = jnp.asarray(_row_decay_col(a_row, tileH))
+    phase = state["phase"].reshape(1, 1)
+    h = _histrows(nch, m)
+
+    kernel = functools.partial(
+        _kernel, nch=nch, L=L, tileH=tileH, histrows=h, g_gain=g,
+        inv_kf=1.0 / (_TWO_PI * kf), u8_input=u8_input)
+
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                        memory_space=pltpu.VMEM)
+    audio, hist_re, hist_im, scal = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, tileH, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tileH, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const2((1, _LANES)),
+            const2((_LANES, _LANES)), const2((tileH + 1, tileH)),
+            const2((1, _LANES)), const2((tileH + 1, 1)),
+            const2((L + 1, _LANES)),
+            const2((_LANES, _LANES)), const2((_LANES, _LANES)),
+            const2((_LANES, _LANES)), const2((_LANES, _LANES)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            const2((h, _LANES)), const2((h, _LANES)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tileH, _LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const2((h, _LANES)), const2((h, _LANES)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, tileH, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((h, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((h, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((4,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, _LANES), jnp.float32),
+            pltpu.VMEM((h, _LANES), jnp.float32),
+            pltpu.SMEM((4,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xre, xim, ramp, T128, S, p128, pN, That,
+      wre_hi, wre_lo, wim_hi, wim_lo, phase,
+      state["hist_re"], state["hist_im"], state["scal"])
+
+    new_phase = jnp.mod(state["phase"] + phase_increment(float(omega), int(n)),
+                        np.float32(_TWO_PI))
+    new_state = dict(phase=new_phase, hist_re=hist_re, hist_im=hist_im, scal=scal)
+    return new_state, audio.reshape(F, nch).T

@@ -33,6 +33,8 @@ _CACHE_ENV = "CSDR_AUTOTUNE_CACHE"
 DEFAULTS = {
     "flagship_fused": 256,
     "flagship_fused:u8": 512,   # 1024 exceeds 16 MB VMEM with bf16_3x temps
+    "flagship_fused_wide": 512,
+    "flagship_fused_wide:u8": 512,
     "pfb_fused": 1024,
     "pfb_chan_only": 1024,
     "fftfir": 0,  # fftfir has no tileF; placeholder key for future knobs
@@ -76,6 +78,13 @@ def _key(kernel: str, nch: int, variant: str | None, platform: str | None) -> st
     plat = platform or _platform()
     k = f"{kernel}:{plat}:{nch}"
     return f"{k}:{variant}" if variant else k
+
+
+def has_entry(kernel: str, nch: int, variant: str | None = None,
+              platform: str | None = None) -> bool:
+    """True iff the on-disk cache has a measured entry for this key (used to
+    gate opt-in kernel variants on proof that they ran on this platform)."""
+    return _key(kernel, nch, variant, platform) in _load()
 
 
 def lookup(kernel: str, nch: int, default: int | None = None,

@@ -1,0 +1,92 @@
+"""Wide-layout (128-lane) fused flagship kernel vs the original kernel and
+the XLA block path (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import csdr_tpu as cs
+from csdr_tpu.ops.pallas.flagship_fused import (flagship_fused_init,
+                                                flagship_fused_step)
+from csdr_tpu.ops.pallas.flagship_fused_wide import (flagship_fused_wide_init,
+                                                     flagship_fused_wide_step)
+
+
+def xla_reference(iq, nch, blocks):
+    g = cs.chain(cs.dc_blocker(), cs.firpfbch_channelizer(nch),
+                 cs.PerChannel(cs.fm_demodulator(0.6), nch))
+    st = g.init()
+    outs = []
+    n = len(iq) // blocks
+    for i in range(blocks):
+        st, y = g.apply(st, jnp.asarray(iq[i * n:(i + 1) * n]))
+        outs.append(np.asarray(y))
+    return np.concatenate(outs, axis=1)
+
+
+def _signal(nch, tileF, blocks=2, seed=0):
+    rng = np.random.default_rng(seed)
+    n = nch * tileF * 2 * blocks
+    t = np.arange(n)
+    return (0.3 * np.exp(2j * np.pi * np.mod(0.213 * t, 1.0))
+            + 0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+            ).astype(np.complex64)
+
+
+@pytest.mark.parametrize("nch,tileF", [(8, 64), (16, 128), (64, 128)])
+def test_wide_matches_xla_and_orig(nch, tileF):
+    iq = _signal(nch, tileF)
+    n = len(iq)
+    want = xla_reference(iq, nch, blocks=2)
+
+    st_w = flagship_fused_wide_init(nch)
+    st_o = flagship_fused_init(nch)
+    outs_w, outs_o = [], []
+    half = n // 2
+    for i in range(2):
+        blk = jnp.asarray(iq[i * half:(i + 1) * half])
+        st_w, yw = flagship_fused_wide_step(st_w, blk, nch=nch, tileF=tileF,
+                                            interpret=True)
+        st_o, yo = flagship_fused_step(st_o, blk, nch=nch, tileF=tileF,
+                                       interpret=True)
+        outs_w.append(np.asarray(yw))
+        outs_o.append(np.asarray(yo))
+    got_w = np.concatenate(outs_w, axis=1)
+    got_o = np.concatenate(outs_o, axis=1)
+
+    assert got_w.shape == want.shape
+    # frame 0: demod seed differs; tolerance dominated by the shared bf16_3x
+    # DFT floor (the original kernel sits in the same band)
+    err_xla = np.max(np.abs(got_w[:, 1:] - want[:, 1:]))
+    assert err_xla < 7e-4, err_xla
+    # consistency with the original kernel: both are ~6e-4 from the oracle
+    # (bf16_3x DFT floor + differing fp32 DC-solve blocking), so their mutual
+    # distance can reach ~1e-3; the oracle bound above is the real check
+    err_orig = np.max(np.abs(got_w - got_o))  # incl. frame 0: same seed logic
+    assert err_orig < 1.5e-3, err_orig
+
+
+def test_wide_u8_planes_match_orig_u8():
+    rng = np.random.default_rng(2)
+    nch, tileF = 16, 64
+    n = nch * tileF * 2
+    u8 = rng.integers(0, 256, 2 * n).astype(np.uint8)
+    planes = (jnp.asarray(u8[0::2]), jnp.asarray(u8[1::2]))
+    st_w = flagship_fused_wide_init(nch)
+    st_o = flagship_fused_init(nch)
+    st_w, yw = flagship_fused_wide_step(st_w, planes, nch=nch, tileF=tileF,
+                                        interpret=True)
+    st_o, yo = flagship_fused_step(st_o, planes, nch=nch, tileF=tileF,
+                                   interpret=True)
+    err = np.max(np.abs(np.asarray(yw) - np.asarray(yo)))
+    assert err < 2e-4, err
+
+
+def test_wide_rejects_bad_shapes():
+    with pytest.raises(ValueError, match="nch"):
+        flagship_fused_wide_init(48)
+    st = flagship_fused_wide_init(64)
+    x = jnp.zeros((64 * 128,), jnp.complex64)
+    with pytest.raises(ValueError, match="tileF"):
+        flagship_fused_wide_step(st, x, nch=64, tileF=127, interpret=True)
