@@ -86,8 +86,10 @@ def run_u8(iters: int, tileF: int | None = None, wide: bool = False):
     return iters * block / (time.perf_counter() - t0) / 1e6
 
 
-HEALTHY_MSPS = 5000.0  # the relay's degraded-latency mode caps ~100-2000
-                       # MSPS regardless of the program; below this, retry
+HEALTHY_MSPS = 40000.0  # healthy windows measure 70-95 GSPS; the relay's
+                        # degraded-latency regimes cap anywhere from ~0.1 to
+                        # ~20 GSPS regardless of the program — below this,
+                        # retry rather than record a sick window
 
 
 def tune(iters: int):

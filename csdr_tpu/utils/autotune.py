@@ -57,12 +57,21 @@ def _platform() -> str:
         return "unknown"
 
 
+# Measured sweeps shipped with the package (benchmarks on the real chip
+# write here via CSDR_AUTOTUNE_CACHE and the result is committed) — the
+# user cache overrides per key.
+_PACKAGED = os.path.join(os.path.dirname(__file__), "autotune_tpu.json")
+
+
 def _load() -> dict:
-    try:
-        with open(cache_path()) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {}
+    d = {}
+    for path in (_PACKAGED, cache_path()):
+        try:
+            with open(path) as f:
+                d.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+    return d
 
 
 def _store(d: dict) -> None:
