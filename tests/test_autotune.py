@@ -59,6 +59,23 @@ def test_sweep_all_infeasible_raises(cache):
         autotune.sweep("pfb_fused", 64, (128, 256), bad, platform="testplat")
 
 
+def test_packaged_cache_ships_tpu_sweeps(cache):
+    # the committed package cache carries the real-chip sweep results and is
+    # consulted for keys the user cache lacks
+    assert autotune.has_entry("flagship_fused_wide", 64, platform="tpu")
+    assert autotune.lookup("flagship_fused_wide", 64, platform="tpu") == 128
+    assert autotune.lookup("flagship_fused", 64, variant="u8", platform="tpu") == 128
+    # ... but not invented for other platforms
+    assert not autotune.has_entry("flagship_fused_wide", 64, platform="cpu")
+
+
+def test_user_cache_overrides_packaged(cache):
+    autotune.record("flagship_fused_wide", 64, 999, 1.0, platform="tpu")
+    assert autotune.lookup("flagship_fused_wide", 64, platform="tpu") == 999
+    # packaged entries for other keys still visible
+    assert autotune.has_entry("pfb_fused", 64, platform="tpu")
+
+
 def test_corrupt_cache_is_ignored(cache):
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     with open(cache, "w") as f:
