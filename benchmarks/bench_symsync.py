@@ -20,8 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
+from csdr_tpu.core.runtime import encode_tree, decode_tree, _encode_host
 from csdr_tpu.models.symsync import sym_sync_c
 from csdr_tpu.models import modem
 from csdr_tpu.utils import firdes
@@ -47,15 +47,23 @@ def main():
     out = []
     for mode in ("block", "scan"):
         blk = sym_sync_c(m, k, 0.5, 32, mode=mode)
-        state = blk.init()
-        step = jax.jit(lambda s, xx: blk.apply(s, xx))
-        xd = jnp.asarray(x)
+        # complex-free jit boundary (core/runtime.CEnc): this TPU backend
+        # cannot transfer complex64 or run eager complex ops — same wrapping
+        # Pipeline/entry() use (docs/TPU_BACKEND_NOTES.md)
+        state = jax.jit(lambda: encode_tree(blk.init()))()
+
+        def _step(s_enc, x_enc):
+            s2, y = blk.apply(decode_tree(s_enc), decode_tree(x_enc))
+            return encode_tree(s2), encode_tree(y)
+
+        step = jax.jit(_step)
+        xd = _encode_host(x)
         state, y = step(state, xd)  # compile
-        jax.block_until_ready(y)
+        jax.block_until_ready(jax.tree.leaves(y))
         t0 = time.perf_counter()
         for _ in range(args.reps):
             state, y = step(state, xd)
-        jax.block_until_ready(y)
+        jax.block_until_ready(jax.tree.leaves(y))
         dt = (time.perf_counter() - t0) / args.reps
         r = {"mode": mode, "msps": round(n / dt / 1e6, 3),
              "n": n, "k": k}

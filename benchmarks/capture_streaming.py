@@ -10,8 +10,10 @@ attempt/probe history) in ``benchmarks/results/STREAMING_r02.json``.
 
 Each probe/bench runs in its own short-lived subprocess that exits cleanly —
 the relay is single-tenant and wedges on killed-mid-claim clients, so nothing
-here ever kills a child; the bench child gets a generous wall-clock budget via
-``timeout`` only as a last resort (SIGTERM, which JAX handles via atexit).
+here ever SIGKILLs a child: past its wall-clock budget a child gets SIGINT
+(KeyboardInterrupt → clean unwind + atexit), then SIGTERM after a grace
+period, and if it still won't die it is left to finish on its own
+(``_run_capped``).
 
 Usage: python benchmarks/capture_streaming.py [max_minutes] [min_up_MBps] [min_down_MBps]
 """
@@ -20,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -48,19 +51,47 @@ def _json_line(text: str):
     return None
 
 
+def _run_capped(cmd, secs):
+    """Run a TPU-client child with a wall-clock cap that never SIGKILLs.
+
+    subprocess.run(timeout=...) kills the child with SIGKILL on expiry —
+    exactly the killed-mid-claim failure that wedges the single-tenant relay
+    for ~10 min (docs/TPU_BACKEND_NOTES.md).  Instead: SIGINT first
+    (KeyboardInterrupt → normal unwind + atexit), then SIGTERM after a
+    grace period; if the child still won't die we return None and leave it
+    to finish on its own rather than wedge the chip."""
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, cwd=REPO)
+    try:
+        out, _ = p.communicate(timeout=secs)
+        return out
+    except subprocess.TimeoutExpired:
+        pass
+    for sig, grace in ((signal.SIGINT, 180), (signal.SIGTERM, 60)):
+        try:
+            p.send_signal(sig)
+            out, _ = p.communicate(timeout=grace)
+            return out
+        except subprocess.TimeoutExpired:
+            continue
+        except OSError:
+            break
+    print(f"# child {p.pid} ignored INT/TERM — leaving it (never SIGKILL a "
+          f"TPU client)", flush=True)
+    return None
+
+
 def probe():
-    r = subprocess.run([sys.executable, "-c", PROBE], capture_output=True,
-                       text=True, timeout=600, cwd=REPO)
-    return _json_line(r.stdout)
+    out = _run_capped([sys.executable, "-c", PROBE], 600)
+    return _json_line(out) if out else None
 
 
 def bench(variant=None):
     cmd = [sys.executable, os.path.join(HERE, "bench_streaming.py")]
     if variant == "cu8":
         cmd += [str(1 << 25), "64", "cu8"]
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=2400,
-                       cwd=REPO)
-    return _json_line(r.stdout)
+    out = _run_capped(cmd, 2400)
+    return _json_line(out) if out else None
 
 
 def main():
@@ -79,10 +110,7 @@ def main():
         pass
 
     while time.time() < deadline:
-        try:
-            p = probe()
-        except subprocess.TimeoutExpired:
-            p = None
+        p = probe()
         ts = round(time.time(), 1)
         if p is None:
             history.append({"ts": ts, "probe": "timeout"})
@@ -93,10 +121,7 @@ def main():
         print(f"# wire {p['up_MBps']} up / {p['down_MBps']} down MB/s", flush=True)
         if p["up_MBps"] >= min_up and p["down_MBps"] >= min_down:
             for variant in (None, "cu8"):
-                try:
-                    r = bench(variant)
-                except subprocess.TimeoutExpired:
-                    r = None
+                r = bench(variant)
                 if r is None:
                     history.append({"ts": round(time.time(), 1),
                                     "bench": variant or "cf32",

@@ -69,8 +69,9 @@ class RtlTcpSource(SdrSource):
         self.gain = gain
         self.sock = socket.create_connection((host, port), timeout=max(timeout, 5.0))
         self.sock.settimeout(timeout)  # 1 s read timeout (Source.chs:225)
+        self._pend = b""  # dangling I byte of a half-received IQ pair
         hdr = self._recv_exact(12)
-        if hdr is None or hdr[:4] != RTL_MAGIC:
+        if hdr is None or len(hdr) < 12 or hdr[:4] != RTL_MAGIC:
             self.sock.close()
             raise ConnectionError(
                 f"not an rtl_tcp server at {host}:{port} (header {hdr!r})")
@@ -101,13 +102,20 @@ class RtlTcpSource(SdrSource):
         return bytes(buf)
 
     def read(self):
-        raw = self._recv_exact(self.mtu * 2)
-        if not raw:
-            return None
-        u8 = np.frombuffer(raw, dtype=np.uint8)
-        u8 = u8[: len(u8) & ~1]
-        if len(u8) == 0:
-            return None
+        # A stalled server can hand _recv_exact an odd byte count; the
+        # dangling I byte is carried in self._pend so the I/Q pairing never
+        # desynchronizes across reads (dropping it would swap I/Q for the
+        # rest of the stream).  A half-pair at EOS is discarded with it.
+        while True:
+            raw = self._recv_exact(self.mtu * 2 - len(self._pend))
+            if not raw:
+                return None
+            data = self._pend + raw
+            keep = len(data) & ~1
+            self._pend = data[keep:]
+            if keep:
+                break
+        u8 = np.frombuffer(data[:keep], dtype=np.uint8)
         if self.raw_u8:
             return u8
         f = (u8.astype(np.float32) - 127.5) * _U8_SCALE

@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..pfb import pfb_dft_matrix, pfb_offset
 from ..nco import phase_ramp, phase_increment
+from .bf16x3 import split_bf16, cdot3
 from .pfb_fused import _atan2
 from .flagship_fused import (_permuted_tap_panel, _decay, _row_carry_matrix,
                              _powvec, _row_decay_col, _dc_solve)
@@ -182,26 +183,10 @@ def _kernel(xre_ref, xim_ref, ramp_ref, T128_ref, S_ref,
         uim = seg_im if uim is None else uim + seg_im
 
     # ---- block-diagonal DFT, bf16_3x ----
-    bf = jnp.bfloat16
-    f32 = jnp.float32
-
-    def split(u):
-        hi = u.astype(bf)
-        return hi, (u - hi.astype(f32)).astype(bf)
-
-    def dot3(u_pair, w_hi, w_lo):
-        u_hi, u_lo = u_pair
-        kw = dict(preferred_element_type=f32,
-                  precision=jax.lax.Precision.DEFAULT)
-        return (jnp.dot(u_hi, w_hi, **kw) + jnp.dot(u_lo, w_hi, **kw)
-                + jnp.dot(u_hi, w_lo, **kw))
-
-    ure_p = split(ure)
-    uim_p = split(uim)
-    wre_hi, wre_lo = wre_hi_ref[:], wre_lo_ref[:]
-    wim_hi, wim_lo = wim_hi_ref[:], wim_lo_ref[:]
-    dre = dot3(ure_p, wre_hi, wre_lo) - dot3(uim_p, wim_hi, wim_lo)
-    dim = dot3(ure_p, wim_hi, wim_lo) + dot3(uim_p, wre_hi, wre_lo)
+    ure_p = split_bf16(ure)
+    uim_p = split_bf16(uim)
+    dre, dim = cdot3(ure_p, uim_p, wre_hi_ref[:], wre_lo_ref[:],
+                     wim_hi_ref[:], wim_lo_ref[:])
 
     # ---- FM demod: previous frame = lane roll by nch, slot 0 wraps to the
     # previous row ----

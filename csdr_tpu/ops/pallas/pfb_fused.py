@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..pfb import pfb_taps, pfb_dft_matrix, pfb_offset
 from ..nco import phase_ramp, phase_increment
+from .bf16x3 import split_bf16, cdot3
 
 __all__ = ["pfb_fm_fused", "pfb_channelize_fused", "channelized_fm_pallas_init",
            "channelized_fm_pallas_step"]
@@ -74,26 +75,10 @@ def _branch_fir_dft(vre, vim, taps, wre, wim, L, nout):
         ure = sre if ure is None else ure + sre
         uim = sim if uim is None else uim + sim
 
-    bf = jnp.bfloat16
-    f32 = jnp.float32
-
-    def split(a):
-        hi = a.astype(bf)
-        return hi, (a - hi.astype(f32)).astype(bf)
-
-    kw = dict(preferred_element_type=f32, precision=jax.lax.Precision.DEFAULT)
-
-    def dot3(u_pair, w_pair):
-        u_hi, u_lo = u_pair
-        w_hi, w_lo = w_pair
-        return (jnp.dot(u_hi, w_hi, **kw) + jnp.dot(u_lo, w_hi, **kw)
-                + jnp.dot(u_hi, w_lo, **kw))
-
-    ure_p, uim_p = split(ure), split(uim)
-    wre_p, wim_p = split(wre), split(wim)
-    dre = dot3(ure_p, wre_p) - dot3(uim_p, wim_p)
-    dim = dot3(ure_p, wim_p) + dot3(uim_p, wre_p)
-    return dre, dim
+    ure_p, uim_p = split_bf16(ure), split_bf16(uim)
+    wre_hi, wre_lo = split_bf16(wre)
+    wim_hi, wim_lo = split_bf16(wim)
+    return cdot3(ure_p, uim_p, wre_hi, wre_lo, wim_hi, wim_lo)
 
 
 def _kernel(vre_ref, vim_ref, taps_ref, wre_ref, wim_ref, out_ref, *, L, tileF, inv_kf):
