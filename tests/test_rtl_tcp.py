@@ -115,6 +115,66 @@ def test_rtl_tcp_raw_u8_mode_matches_device_conversion():
     assert np.max(np.abs(np.asarray(iq) - want)) < 1e-6
 
 
+def test_rtl_tcp_odd_burst_stalls_keep_iq_pairing():
+    """A stalled server handing the client odd byte counts must not
+    desynchronize I/Q: the dangling byte is carried across reads."""
+    n = 8192
+    u8 = make_u8_iq(n, f=0.05)
+    buf = bytes(u8)
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        import time
+        conn, _ = srv.accept()
+        conn.sendall(RTL_MAGIC + struct.pack(">II", 1, 29))
+        conn.settimeout(0.5)
+        try:
+            conn.recv(64)
+        except socket.timeout:
+            pass
+        # odd-sized bursts separated by stalls longer than the client's
+        # read timeout, forcing partial _recv_exact returns mid-pair
+        cuts = [0, 4097, 4097 + 1999, len(buf)]
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            conn.sendall(buf[a:b])
+            time.sleep(0.35)
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    src = RtlTcpSource(host="127.0.0.1", port=port, raw_u8=True, timeout=0.2)
+    rx = np.concatenate(list(src))
+    assert len(rx) % 2 == 0
+    # byte k of the stream is byte k of the payload — pairing intact
+    assert np.array_equal(rx, u8[: len(rx)])
+    assert len(rx) >= len(u8) - 2
+
+
+def test_rtl_tcp_truncated_header_raises_connection_error():
+    """Valid magic + truncated header must raise ConnectionError (the type
+    the CLI's device-failure handler catches), not struct.error."""
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        import time
+        conn, _ = srv.accept()
+        conn.sendall(RTL_MAGIC + b"\x00\x01")
+        time.sleep(1.0)
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    with pytest.raises(ConnectionError, match="not an rtl_tcp server"):
+        RtlTcpSource(host="127.0.0.1", port=port, timeout=0.3)
+
+
 def test_rtl_tcp_rejects_non_rtl_server():
     srv = socket.socket()
     srv.bind(("127.0.0.1", 0))
