@@ -16,13 +16,25 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["split_bf16", "dot3", "cdot3"]
+__all__ = ["split_bf16", "split_bf16_np", "dot3", "cdot3"]
 
 
 def split_bf16(a):
     """f32 array → (hi, lo) bf16 planes with hi + lo ≈ a."""
     hi = a.astype(jnp.bfloat16)
     return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def split_bf16_np(a):
+    """Host-side (numpy/ml_dtypes) twin of split_bf16, for precomputed
+    constant planes (DFT matrices) shipped into the kernels — same rounding
+    contract so W-plane and u-plane splits can never diverge."""
+    import ml_dtypes
+    import numpy as np
+
+    full = np.ascontiguousarray(a).astype(np.float32)
+    hi = full.astype(ml_dtypes.bfloat16)
+    return hi, (full - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
 
 
 def dot3(u_pair, w_hi, w_lo):

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..pfb import pfb_taps, pfb_dft_matrix, pfb_offset
 from ..nco import phase_ramp, phase_increment
-from .bf16x3 import split_bf16, cdot3
+from .bf16x3 import split_bf16, split_bf16_np, cdot3
 from .pfb_fused import _atan2
 
 __all__ = ["flagship_fused_init", "flagship_fused_step"]
@@ -69,15 +69,8 @@ def _permuted_dft(nch: int):
     W = pfb_dft_matrix(nch)  # W[p, k]
     q = np.arange(nch)
     Whet = W[(nch - q) % nch, :]  # Ŵ[q, k]
-    import ml_dtypes
-
-    out = []
-    for comp in (Whet.real, Whet.imag):
-        full = np.ascontiguousarray(comp).astype(np.float32)
-        hi = full.astype(ml_dtypes.bfloat16)
-        lo = (full - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-        out.append((hi, lo))
-    return out  # [(wre_hi, wre_lo), (wim_hi, wim_lo)]
+    return [split_bf16_np(comp) for comp in (Whet.real, Whet.imag)]
+    # [(wre_hi, wre_lo), (wim_hi, wim_lo)]
 
 
 @functools.lru_cache(maxsize=None)

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..pfb import pfb_dft_matrix, pfb_offset
 from ..nco import phase_ramp, phase_increment
-from .bf16x3 import split_bf16, cdot3
+from .bf16x3 import split_bf16, split_bf16_np, cdot3
 from .pfb_fused import _atan2
 from .flagship_fused import (_permuted_tap_panel, _decay, _row_carry_matrix,
                              _powvec, _row_decay_col, _dc_solve)
@@ -77,16 +77,13 @@ def _wide_dft(nch: int):
     q = np.arange(nch)
     Whet = W[(nch - q) % nch, :]  # (nch, nch)
     R = _LANES // nch
-    import ml_dtypes
 
     out = []
     for comp in (Whet.real, Whet.imag):
         blk = np.zeros((_LANES, _LANES), dtype=np.float32)
         for a in range(R):
             blk[a * nch:(a + 1) * nch, a * nch:(a + 1) * nch] = comp
-        hi = blk.astype(ml_dtypes.bfloat16)
-        lo = (blk - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-        out.append((hi, lo))
+        out.append(split_bf16_np(blk))
     return out
 
 
