@@ -1,0 +1,195 @@
+"""On-chip probe: where does the cu8 path's time go?
+
+The cu8 flagship measures well below its 6 B/sample HBM light-speed while the
+f32 paths sit near theirs (docs/PERF.md) — so the binding cost is either the
+u8 DMA itself or the in-kernel u8→f32 conversion, not bandwidth.  This probe
+separates them with minimal Pallas kernels (one (tileH, 128) tile per grid
+step, same shapes the flagship uses):
+
+  f32_copy        y = x              (f32 in, f32 out)   — 8 B/elem control
+  u8_passthru     y = x              (u8 in, u8 out)     — 2 B/elem: DMA cost
+                                                            of 8-bit tiles
+  u8_i32_f32      y = cvt(x)         (u8 in, f32 out)    — the shipped route:
+                                                            astype(i32)→f32
+  u8_<route>      alternates that may lower better on Mosaic (direct f32,
+                  i16 hop, bf16 hop) — each tried and reported, or recorded
+                  as unsupported if Mosaic rejects the lowering.
+
+Also times the full wide flagship kernel u8 vs f32 at the SAME tileF, so the
+end-to-end conversion penalty is measured in situ, and sweeps tileH for the
+conversion kernel (u8 DMAs are small; latency may dominate at small tiles).
+
+Prints one JSON line and writes benchmarks/results/U8_CONVERT_r02.json
+(healthy runs only: f32_copy below HEALTH_GBPS means the relay is in its
+degraded-latency regime — retry later instead of recording).
+
+Usage: python benchmarks/probe_u8_convert.py [iters]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "results", "U8_CONVERT_r02.json")
+sys.path.insert(0, os.path.dirname(HERE))
+
+HEALTH_GBPS = 200.0  # healthy windows measure ~1 TB/s streaming f32 copy
+
+ROWS = 1 << 16       # 65536 rows x 128 lanes = 8.4M elems per array
+LANES = 128
+
+
+def _mk_kernel(route: str):
+    import jax.numpy as jnp
+
+    def kernel(x_ref, y_ref):
+        x = x_ref[0]
+        if route == "f32_copy" or route == "u8_passthru":
+            y_ref[0] = x
+        elif route == "u8_i32_f32":
+            y_ref[0] = x.astype(jnp.int32).astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        elif route == "u8_f32":
+            y_ref[0] = x.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        elif route == "u8_i16_f32":
+            y_ref[0] = x.astype(jnp.int16).astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        elif route == "u8_bf16_f32":
+            y_ref[0] = (x.astype(jnp.bfloat16).astype(jnp.float32)
+                        * (1.0 / 127.5) - 1.0)
+        else:
+            raise ValueError(route)
+
+    return kernel
+
+
+def _run_route(route: str, iters: int, tileH: int, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    in_u8 = route.startswith("u8")
+    out_u8 = route == "u8_passthru"
+    in_dt = jnp.uint8 if in_u8 else jnp.float32
+    out_dt = jnp.uint8 if out_u8 else jnp.float32
+    T = ROWS // tileH
+
+    f = pl.pallas_call(
+        _mk_kernel(route),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, tileH, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tileH, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, tileH, LANES), out_dt),
+        interpret=interpret,
+    )
+    fj = jax.jit(f)
+    x = jax.jit(lambda: jnp.full((T, tileH, LANES), 137, dtype=in_dt))()
+    y = fj(x)
+    jax.block_until_ready(y)
+    if interpret:
+        return y
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = fj(x)
+        jax.block_until_ready(y)
+        best = min(best, time.perf_counter() - t0)
+    n = ROWS * LANES
+    bytes_elem = (1 if in_u8 else 4) + (1 if out_u8 else 4)
+    return {
+        "GBps": round(iters * bytes_elem * n / best / 1e9, 1),
+        "Gelems_per_s": round(iters * n / best / 1e9, 2),
+    }
+
+
+def _flagship_pair(iters: int, tileF: int):
+    """Wide flagship u8 vs f32 at identical tileF: in-situ conversion cost."""
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.ops.pallas.flagship_fused_wide import (
+        flagship_fused_wide_init, flagship_fused_wide_step)
+
+    nch = 64
+    block = 1 << 22
+    out = {}
+    for tag in ("f32", "u8"):
+        state = flagship_fused_wide_init(nch)
+        if tag == "u8":
+            x = (jax.jit(lambda: jnp.full((block,), 137, jnp.uint8))(),
+                 jax.jit(lambda: jnp.full((block,), 120, jnp.uint8))())
+        else:
+            x = jax.jit(
+                lambda: jnp.full((block,), 0.5 + 0.25j, jnp.complex64))()
+        step = functools.partial(flagship_fused_wide_step, nch=nch, tileF=tileF)
+        state, y = step(state, x)
+        jax.block_until_ready(y)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, y = step(state, x)
+            jax.block_until_ready(y)
+            best = min(best, time.perf_counter() - t0)
+        out[f"flagship_wide_{tag}_msps_tileF{tileF}"] = round(
+            iters * block / best / 1e6, 1)
+    return out
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+    res = {"rows": ROWS, "lanes": LANES}
+    for route in ("f32_copy", "u8_passthru", "u8_i32_f32", "u8_f32",
+                  "u8_i16_f32", "u8_bf16_f32"):
+        try:
+            res[route] = _run_route(route, iters, tileH=512)
+        except Exception as e:  # Mosaic may reject a lowering — record it
+            res[route] = f"unsupported: {type(e).__name__}: {e}"[:160]
+        print(f"# {route}: {res[route]}", flush=True)
+
+    # tileH sweep for the shipped route (DMA latency vs VMEM pressure)
+    sweep = {}
+    for tileH in (128, 256, 512, 1024, 2048):
+        try:
+            sweep[tileH] = _run_route("u8_i32_f32", iters, tileH=tileH)
+        except Exception as e:
+            sweep[tileH] = f"unsupported: {type(e).__name__}"[:80]
+        print(f"# u8_i32_f32 tileH={tileH}: {sweep[tileH]}", flush=True)
+    res["u8_i32_f32_tileH_sweep"] = sweep
+
+    try:
+        res.update(_flagship_pair(max(10, iters // 5), tileF=128))
+    except Exception as e:
+        res["flagship_pair"] = f"failed: {type(e).__name__}: {e}"[:160]
+
+    healthy = (isinstance(res.get("f32_copy"), dict)
+               and res["f32_copy"]["GBps"] >= HEALTH_GBPS)
+    res["healthy_window"] = healthy
+    print(json.dumps(res), flush=True)
+    if healthy:
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        with open(OUT, "w") as f:
+            json.dump(res, f, indent=1)
+        print(f"# wrote {OUT}")
+    else:
+        print("# degraded relay window — artifact NOT written; retry later")
+
+
+if __name__ == "__main__":
+    if os.environ.get("CSDR_PROBE_INTERPRET"):
+        # CPU smoke: conversion-route kernels produce the expected values
+        import numpy as np
+
+        y = _run_route("u8_i32_f32", 1, tileH=128, interpret=True)
+        expect = 137 / 127.5 - 1.0
+        assert abs(float(np.asarray(y).ravel()[0]) - expect) < 1e-6
+        print("interpret smoke ok")
+    else:
+        main()
