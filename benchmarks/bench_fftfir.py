@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--complex", action="store_true",
                     help="complex input (pallas_mxu skipped for complex taps)")
+    ap.add_argument("--out", default=None,
+                    help="write results JSON (e.g. results/FFTFIR_r02.json); "
+                         "only written when at least one strategy ran cleanly")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -77,6 +80,16 @@ def main():
                  "rel_err_vs_fft": round(err, 8)}
             results.append(r)
             print(json.dumps(r))
+    if args.out and results:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out) \
+            if not os.path.isabs(args.out) else args.out
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"n": args.n, "reps": args.reps,
+                       "complex": args.complex, "results": results,
+                       "platform": jax.default_backend(),
+                       "device_kind": jax.devices()[0].device_kind}, f, indent=1)
+        print(f"# wrote {path}")
     return results
 
 

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--nsym", type=int, default=65536)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--out", default=None,
+                    help="write results JSON (e.g. results/SYMSYNC_r02.json)")
     args = ap.parse_args()
 
     k, m = args.k, 3
@@ -72,6 +74,16 @@ def main():
     if len(out) == 2:
         print(json.dumps({"block_over_scan_speedup":
                           round(out[0]["msps"] / out[1]["msps"], 1)}))
+    if args.out and out:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out) \
+            if not os.path.isabs(args.out) else args.out
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"nsym": args.nsym, "k": args.k, "reps": args.reps,
+                       "results": out,
+                       "platform": jax.default_backend(),
+                       "device_kind": jax.devices()[0].device_kind}, f, indent=1)
+        print(f"# wrote {path}")
 
 
 if __name__ == "__main__":

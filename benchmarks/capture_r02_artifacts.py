@@ -1,0 +1,143 @@
+"""Serialized capture of ALL missing round-2 on-chip artifacts.
+
+The relay-tunneled chip has long degraded windows (docs/TPU_BACKEND_NOTES.md)
+and is single-tenant, so every on-chip measurement must run one client at a
+time and only in a healthy window.  This orchestrator owns the chip: it
+probes the wire, and when a window opens it runs whichever artifact jobs are
+still missing, in order of value:
+
+  1. STREAMING_r02.json  — end-to-end host→device→host (capture_streaming's
+                           bench; needs BOTH directions healthy: the sinks
+                           pull ~134 MB of audio back over the wire)
+  2. ROOFLINE_r02.json   — probe_roofline.py (self-gated at 40 GSPS flagship;
+                           compute-bound, tolerant of a slow downlink)
+  3. U8_CONVERT_r02.json — probe_u8_convert.py (self-gated at 200 GB/s copy)
+  4. FFTFIR_r02.json     — bench_fftfir.py (gated here: only attempted right
+                           after a self-gated probe succeeded in this window)
+  5. SYMSYNC_r02.json    — bench_symsync.py (same gating)
+
+Jobs re-run until their artifact exists (or, for streaming, records a
+non-null best); children are never SIGKILLed (capture_streaming._run_capped).
+
+Usage: python benchmarks/capture_r02_artifacts.py [max_minutes]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+RES = os.path.join(HERE, "results")
+sys.path.insert(0, HERE)
+
+import capture_streaming as cap  # probe(), bench(), _run_capped, _json_line
+
+
+def _have_streaming() -> bool:
+    try:
+        with open(os.path.join(RES, "STREAMING_r02.json")) as f:
+            return json.load(f).get("best") is not None
+    except (OSError, ValueError):
+        return False
+
+
+def _have(name: str) -> bool:
+    return os.path.exists(os.path.join(RES, name))
+
+
+def _healthy_artifact(name: str, key: str) -> bool:
+    """True if the artifact exists and recorded a healthy window (probes
+    write degraded runs too, flagged: roofline 'healthy', u8 'healthy_window')."""
+    try:
+        with open(os.path.join(RES, name)) as f:
+            return bool(json.load(f).get(key))
+    except (OSError, ValueError):
+        return False
+
+
+def run_script(rel: str, args: list[str], secs: int):
+    out = cap._run_capped([sys.executable, os.path.join(HERE, rel)] + args, secs)
+    if out:
+        print(out.strip()[-2000:], flush=True)
+    return out
+
+
+def main():
+    max_minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 360.0
+    deadline = time.time() + 60 * max_minutes
+
+    while time.time() < deadline:
+        todo_streaming = not _have_streaming()
+        todo_roofline = not _healthy_artifact("ROOFLINE_r02.json", "healthy")
+        todo_u8 = not _healthy_artifact("U8_CONVERT_r02.json", "healthy_window")
+        todo_fft = not _have("FFTFIR_r02.json")
+        todo_sym = not _have("SYMSYNC_r02.json")
+        if not any((todo_streaming, todo_roofline, todo_u8, todo_fft, todo_sym)):
+            print("# all artifacts captured", flush=True)
+            return
+
+        p = cap.probe()
+        ts = time.strftime("%H:%M:%S")
+        if p is None:
+            print(f"# {ts} probe timed out — relay wedged, sleeping 600 s",
+                  flush=True)
+            time.sleep(600)
+            continue
+        print(f"# {ts} wire {p['up_MBps']} up / {p['down_MBps']} down MB/s "
+              f"(todo: streaming={todo_streaming} roofline={todo_roofline} "
+              f"u8={todo_u8} fft={todo_fft} sym={todo_sym})", flush=True)
+
+        dispatch_ok = p["up_MBps"] >= 80.0     # degraded dispatch collapses up too
+        both_ok = dispatch_ok and p["down_MBps"] >= 20.0
+
+        window_proved_healthy = False
+        if todo_roofline and dispatch_ok:
+            run_script("probe_roofline.py", ["20"], 2400)
+            window_proved_healthy = _healthy_artifact("ROOFLINE_r02.json",
+                                                      "healthy")
+        if todo_u8 and dispatch_ok:
+            run_script("probe_u8_convert.py", ["30"], 2400)
+            window_proved_healthy |= _healthy_artifact("U8_CONVERT_r02.json",
+                                                       "healthy_window")
+        if (todo_fft or todo_sym) and window_proved_healthy:
+            # same verified-healthy window: record the un-gated benches
+            if todo_fft:
+                run_script("bench_fftfir.py",
+                           ["--reps", "10", "--out", "results/FFTFIR_r02.json"],
+                           2400)
+            if todo_sym:
+                run_script("bench_symsync.py",
+                           ["--nsym", "16384", "--reps", "3",
+                            "--out", "results/SYMSYNC_r02.json"], 2400)
+        if todo_streaming and both_ok:
+            # preserve the existing attempt history (capture_streaming wrote it)
+            try:
+                with open(os.path.join(RES, "STREAMING_r02.json")) as f:
+                    prev = json.load(f)
+                history, best = prev.get("history", []), prev.get("best")
+            except (OSError, ValueError):
+                history, best = [], None
+            for variant in (None, "cu8"):
+                r = cap.bench(variant)
+                if r is None:
+                    history.append({"ts": round(time.time(), 1),
+                                    "bench": variant or "cf32",
+                                    "result": "failed/timeout"})
+                    continue
+                r["probe_before"] = p
+                history.append({"ts": round(time.time(), 1), "bench": r})
+                print(json.dumps(r), flush=True)
+                if variant is None and (best is None
+                                        or r["value"] > best["value"]):
+                    best = r
+            cap._write(best, history)
+        time.sleep(60 if (dispatch_ok or both_ok) else 240)
+
+    print("# budget exhausted", flush=True)
+
+
+if __name__ == "__main__":
+    main()
