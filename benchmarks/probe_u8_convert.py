@@ -14,6 +14,12 @@ step, same shapes the flagship uses):
   u8_<route>      alternates that may lower better on Mosaic (direct f32,
                   i16 hop, bf16 hop) — each tried and reported, or recorded
                   as unsupported if Mosaic rejects the lowering.
+  p32_unpack      int32 tiles carrying 4 packed u8 samples per word (a host/
+                  native-reader layout), unpacked in-kernel with shifts+masks
+                  into 4 f32 sub-tiles — bypasses Mosaic's 8-bit tile
+                  handling entirely; the candidate fix if u8_passthru itself
+                  is slow.  Writes the sum of the sub-tiles (keeps output
+                  traffic comparable to the converted-elements measure).
 
 Also times the full wide flagship kernel u8 vs f32 at the SAME tileF, so the
 end-to-end conversion penalty is measured in situ, and sweeps tileH for the
@@ -45,6 +51,7 @@ LANES = 128
 
 
 def _mk_kernel(route: str):
+    import jax
     import jax.numpy as jnp
 
     def kernel(x_ref, y_ref):
@@ -60,6 +67,13 @@ def _mk_kernel(route: str):
         elif route == "u8_bf16_f32":
             y_ref[0] = (x.astype(jnp.bfloat16).astype(jnp.float32)
                         * (1.0 / 127.5) - 1.0)
+        elif route == "p32_unpack":
+            acc = None
+            for m in range(4):
+                b = jax.lax.shift_right_logical(x, jnp.int32(8 * m)) & 255
+                f = b.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+                acc = f if acc is None else acc + f
+            y_ref[0] = acc
         else:
             raise ValueError(route)
 
@@ -74,7 +88,8 @@ def _run_route(route: str, iters: int, tileH: int, interpret: bool = False):
 
     in_u8 = route.startswith("u8")
     out_u8 = route == "u8_passthru"
-    in_dt = jnp.uint8 if in_u8 else jnp.float32
+    p32 = route == "p32_unpack"
+    in_dt = jnp.uint8 if in_u8 else (jnp.int32 if p32 else jnp.float32)
     out_dt = jnp.uint8 if out_u8 else jnp.float32
     T = ROWS // tileH
 
@@ -103,9 +118,10 @@ def _run_route(route: str, iters: int, tileH: int, interpret: bool = False):
         best = min(best, time.perf_counter() - t0)
     n = ROWS * LANES
     bytes_elem = (1 if in_u8 else 4) + (1 if out_u8 else 4)
+    samples = n * 4 if p32 else n  # p32 words carry 4 packed u8 samples
     return {
         "GBps": round(iters * bytes_elem * n / best / 1e9, 1),
-        "Gelems_per_s": round(iters * n / best / 1e9, 2),
+        "Gsamples_per_s": round(iters * samples / best / 1e9, 2),
     }
 
 
@@ -147,7 +163,7 @@ def main():
 
     res = {"rows": ROWS, "lanes": LANES}
     for route in ("f32_copy", "u8_passthru", "u8_i32_f32", "u8_f32",
-                  "u8_i16_f32", "u8_bf16_f32"):
+                  "u8_i16_f32", "u8_bf16_f32", "p32_unpack"):
         try:
             res[route] = _run_route(route, iters, tileH=512)
         except Exception as e:  # Mosaic may reject a lowering — record it
@@ -189,6 +205,10 @@ if __name__ == "__main__":
 
         y = _run_route("u8_i32_f32", 1, tileH=128, interpret=True)
         expect = 137 / 127.5 - 1.0
+        assert abs(float(np.asarray(y).ravel()[0]) - expect) < 1e-6
+        # p32: word 137 has bytes (137, 0, 0, 0) -> sum of 4 converted bytes
+        y = _run_route("p32_unpack", 1, tileH=128, interpret=True)
+        expect = (137 / 127.5 - 1.0) + 3 * (0 / 127.5 - 1.0)
         assert abs(float(np.asarray(y).ravel()[0]) - expect) < 1e-6
         print("interpret smoke ok")
     else:
