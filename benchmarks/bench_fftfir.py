@@ -25,12 +25,23 @@ from csdr_tpu.ops.fir import conv_valid
 
 
 def bench(xfull, taps, strategy, reps):
-    f = jax.jit(lambda a: conv_valid(a, taps, strategy=strategy))
-    y = f(xfull)
+    # every iteration must DEPEND on the previous one: this environment's
+    # relay dedups/caches repeated identical dispatches, so an unchained
+    # `y = f(x)` loop can report physically impossible rates
+    # (docs/TPU_BACKEND_NOTES.md).  A scalar from the previous output is
+    # folded into the input (one extra elementwise pass, identical for every
+    # strategy, so the shoot-out stays apples-to-apples).
+    def _f(a, s):
+        y = conv_valid(a + s.astype(a.dtype) * 1e-30, taps, strategy=strategy)
+        return y, jnp.real(y).ravel()[0] * 1e-30
+
+    f = jax.jit(_f)
+    s = jnp.zeros((), jnp.float32)
+    y, s = f(xfull, s)
     jax.block_until_ready(y)
     t0 = time.perf_counter()
     for _ in range(reps):
-        y = f(xfull)
+        y, s = f(xfull, s)
     jax.block_until_ready(y)
     dt = (time.perf_counter() - t0) / reps
     n = xfull.shape[0] - len(taps) + 1

@@ -12,9 +12,18 @@ still missing, in order of value:
   2. ROOFLINE_r02.json   — probe_roofline.py (self-gated at 40 GSPS flagship;
                            compute-bound, tolerant of a slow downlink)
   3. U8_CONVERT_r02.json — probe_u8_convert.py (self-gated at 200 GB/s copy)
-  4. FFTFIR_r02.json     — bench_fftfir.py (gated here: only attempted right
+  4. TUNE_r02.json       — `bench.py tune`: re-sweep tileF per kernel variant
+                           in a verified-healthy window (the shipped cache
+                           has one degraded-moment outlier: u8-wide@128
+                           recorded 21 GSPS where a healthy window measures
+                           78), then refresh the packaged cache
+                           csdr_tpu/utils/autotune_tpu.json
+  5. BACKENDS_r02.json   — same-window bench.py comparison of every backend
+                           (pallas_full / pallas_wide / pallas / xla / cu8 /
+                           cu8_wide) at the freshly tuned tiles
+  6. FFTFIR_r02.json     — bench_fftfir.py (gated here: only attempted right
                            after a self-gated probe succeeded in this window)
-  5. SYMSYNC_r02.json    — bench_symsync.py (same gating)
+  7. SYMSYNC_r02.json    — bench_symsync.py (same gating)
 
 Jobs re-run until their artifact exists (or, for streaming, records a
 non-null best); children are never SIGKILLed (capture_streaming._run_capped).
@@ -65,6 +74,70 @@ def run_script(rel: str, args: list[str], secs: int):
     return out
 
 
+REPO = os.path.dirname(HERE)
+
+
+def _user_cache():
+    root = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    return os.path.join(root, "csdr_tpu", "autotune.json")
+
+
+def run_tune(probe) -> bool:
+    """bench.py tune in this window; on success refresh the packaged cache
+    and record TUNE_r02.json.  Healthy iff the swept flagship best clears
+    bench.py's 40 GSPS gate."""
+    out = cap._run_capped([sys.executable, os.path.join(REPO, "bench.py"),
+                           "tune", "10"], 3600)
+    if out:
+        print(out.strip()[-2000:], flush=True)
+    try:
+        with open(_user_cache()) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        return False
+    best = max((v.get("msps", 0.0) for k, v in cache.items()
+                if k.startswith(("flagship_fused:tpu", "flagship_fused_wide:tpu"))
+                and not k.endswith(":u8")), default=0.0)
+    healthy = best >= 40000.0
+    rec = {"healthy": healthy, "best_flagship_msps": round(best, 1),
+           "probe_before": probe, "cache": cache}
+    with open(os.path.join(RES, "TUNE_r02.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    if healthy:
+        with open(os.path.join(REPO, "csdr_tpu", "utils",
+                               "autotune_tpu.json"), "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+        print("# packaged autotune cache refreshed", flush=True)
+    else:
+        # a degraded-window sweep must not poison later lookups (the user
+        # cache overrides the packaged one) — drop it and retry next window
+        try:
+            os.remove(_user_cache())
+            print("# degraded sweep — user cache dropped", flush=True)
+        except OSError:
+            pass
+    return healthy
+
+
+def run_backends(probe) -> bool:
+    """One bench.py run per backend, same window, tuned tiles (children read
+    the user cache).  Healthy iff the best fused backend clears 40 GSPS."""
+    res = {}
+    for be in ("pallas_full", "pallas_wide", "pallas", "xla", "cu8", "cu8_wide"):
+        out = cap._run_capped([sys.executable, os.path.join(REPO, "bench.py"),
+                               "15", be], 1800)
+        r = cap._json_line(out) if out else None
+        res[be] = (r or {}).get("value")
+        print(f"# backend {be}: {res[be]}", flush=True)
+    best = max((v for v in (res.get("pallas_full"), res.get("pallas_wide"))
+                if v), default=0.0)
+    healthy = best >= 40000.0
+    with open(os.path.join(RES, "BACKENDS_r02.json"), "w") as f:
+        json.dump({"healthy": healthy, "probe_before": probe,
+                   "msps_per_backend": res}, f, indent=1)
+    return healthy
+
+
 def main():
     max_minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 360.0
     deadline = time.time() + 60 * max_minutes
@@ -73,9 +146,12 @@ def main():
         todo_streaming = not _have_streaming()
         todo_roofline = not _healthy_artifact("ROOFLINE_r02.json", "healthy")
         todo_u8 = not _healthy_artifact("U8_CONVERT_r02.json", "healthy_window")
+        todo_tune = not _healthy_artifact("TUNE_r02.json", "healthy")
+        todo_backends = not _healthy_artifact("BACKENDS_r02.json", "healthy")
         todo_fft = not _have("FFTFIR_r02.json")
         todo_sym = not _have("SYMSYNC_r02.json")
-        if not any((todo_streaming, todo_roofline, todo_u8, todo_fft, todo_sym)):
+        if not any((todo_streaming, todo_roofline, todo_u8, todo_tune,
+                    todo_backends, todo_fft, todo_sym)):
             print("# all artifacts captured", flush=True)
             return
 
@@ -88,7 +164,8 @@ def main():
             continue
         print(f"# {ts} wire {p['up_MBps']} up / {p['down_MBps']} down MB/s "
               f"(todo: streaming={todo_streaming} roofline={todo_roofline} "
-              f"u8={todo_u8} fft={todo_fft} sym={todo_sym})", flush=True)
+              f"u8={todo_u8} tune={todo_tune} backends={todo_backends} "
+              f"fft={todo_fft} sym={todo_sym})", flush=True)
 
         dispatch_ok = p["up_MBps"] >= 80.0     # degraded dispatch collapses up too
         both_ok = dispatch_ok and p["down_MBps"] >= 20.0
@@ -102,6 +179,14 @@ def main():
             run_script("probe_u8_convert.py", ["30"], 2400)
             window_proved_healthy |= _healthy_artifact("U8_CONVERT_r02.json",
                                                        "healthy_window")
+        # each job self-reports health; a job may also run when every job
+        # before it in the chain is already done (nothing left to prove with)
+        probes_done = not (todo_roofline or todo_u8)
+        if todo_tune and dispatch_ok and (window_proved_healthy or probes_done):
+            window_proved_healthy = run_tune(p)
+        if todo_backends and dispatch_ok and \
+                (window_proved_healthy or (probes_done and not todo_tune)):
+            window_proved_healthy = run_backends(p)
         if (todo_fft or todo_sym) and window_proved_healthy:
             # same verified-healthy window: record the un-gated benches
             if todo_fft:

@@ -54,8 +54,19 @@ def _mk_kernel(route: str):
     import jax
     import jax.numpy as jnp
 
-    def kernel(x_ref, y_ref):
+    def kernel(s_ref, x_ref, y_ref):
+        # s is a runtime scalar that is ALWAYS 0 but is derived from the
+        # previous iteration's output: each dispatch depends on the last, so
+        # the relay cannot dedup/cache repeated identical calls (it does —
+        # unchained timing loops here report physically impossible rates).
         x = x_ref[0]
+        s = s_ref[0, 0]
+        if x.dtype == jnp.float32:
+            x = x + s.astype(jnp.float32) * 1e-30
+        elif x.dtype == jnp.uint8:
+            x = x ^ s.astype(jnp.uint8)
+        else:  # int32 packed words
+            x = x ^ s
         if route == "f32_copy" or route == "u8_passthru":
             y_ref[0] = x
         elif route == "u8_i32_f32":
@@ -96,16 +107,26 @@ def _run_route(route: str, iters: int, tileH: int, interpret: bool = False):
     f = pl.pallas_call(
         _mk_kernel(route),
         grid=(T,),
-        in_specs=[pl.BlockSpec((1, tileH, LANES), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, tileH, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, tileH, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, tileH, LANES), out_dt),
         interpret=interpret,
     )
-    fj = jax.jit(f)
+
+    def _step(x, s):
+        y = f(s.reshape(1, 1), x)
+        # always 0 at runtime, but data-dependent on y: serializes the chain
+        s2 = (jnp.abs(y.ravel()[0].astype(jnp.float32)) * 1e-30).astype(jnp.int32)
+        return y, s2
+
+    fj = jax.jit(_step)
     x = jax.jit(lambda: jnp.full((T, tileH, LANES), 137, dtype=in_dt))()
-    y = fj(x)
+    s = jax.jit(lambda: jnp.zeros((), jnp.int32))()
+    y, s = fj(x, s)
     jax.block_until_ready(y)
     if interpret:
         return y
@@ -113,7 +134,7 @@ def _run_route(route: str, iters: int, tileH: int, interpret: bool = False):
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            y = fj(x)
+            y, s = fj(x, s)
         jax.block_until_ready(y)
         best = min(best, time.perf_counter() - t0)
     n = ROWS * LANES
