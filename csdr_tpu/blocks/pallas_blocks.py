@@ -37,11 +37,17 @@ class FlagshipFused(Block):
 
         interpret = _interp_default(interpret)
         if layout == "auto":
-            # wide requires nch | 64; prefer it there once the autotune cache
-            # has an on-chip entry proving it ran (fresh checkouts without a
-            # cache stay on the long-soaked narrow kernel)
-            if 64 % nch == 0 and autotune.has_entry("flagship_fused_wide", nch):
-                layout = "wide"
+            # wide requires nch | 64 and an on-chip autotune entry proving it
+            # ran on this platform (fresh checkouts without a cache stay on
+            # the long-soaked narrow kernel); when BOTH layouts have measured
+            # entries — `bench.py tune` sweeps them in one window — pick the
+            # faster, not a fixed preference
+            wide_m = autotune.best_msps("flagship_fused_wide", nch) \
+                if 64 % nch == 0 else None
+            if wide_m is not None:
+                narrow_m = autotune.best_msps("flagship_fused", nch)
+                layout = "narrow" if (narrow_m is not None
+                                      and narrow_m > wide_m) else "wide"
             else:
                 layout = "narrow"
         if layout == "wide":
@@ -55,6 +61,7 @@ class FlagshipFused(Block):
             kernel_name = "flagship_fused"
         else:
             raise ValueError(f"layout must be auto|narrow|wide, got {layout!r}")
+        self.layout = layout
         if tileF is None:  # best-known tile from the autotune cache
             tileF = autotune.lookup(kernel_name, nch)
 

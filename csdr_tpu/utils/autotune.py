@@ -96,6 +96,16 @@ def has_entry(kernel: str, nch: int, variant: str | None = None,
     return _key(kernel, nch, variant, platform) in _load()
 
 
+def best_msps(kernel: str, nch: int, variant: str | None = None,
+              platform: str | None = None) -> float | None:
+    """Measured throughput of the cached winner for this key, or None.  Used
+    to choose BETWEEN kernel variants (e.g. flagship narrow vs wide layout):
+    `bench.py tune` sweeps all variants in one window, so their cached msps
+    are same-window comparable."""
+    ent = _load().get(_key(kernel, nch, variant, platform))
+    return float(ent["msps"]) if ent and "msps" in ent else None
+
+
 def lookup(kernel: str, nch: int, default: int | None = None,
            variant: str | None = None, platform: str | None = None) -> int:
     """Best-known tileF for (kernel, nch, variant) on this platform.
