@@ -135,7 +135,7 @@ def main():
         # measurement across attempts rather than reporting a sick window
         msps = None
         for attempt in range(5):
-            for be in ("pallas_full", "pallas", "xla"):
+            for be in ("pallas_full", "pallas_wide", "pallas", "xla"):
                 try:
                     v = run(be, iters)
                 except Exception as e:

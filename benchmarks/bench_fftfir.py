@@ -39,11 +39,18 @@ def bench(xfull, taps, strategy, reps):
     s = jnp.zeros((), jnp.float32)
     y, s = f(xfull, s)
     jax.block_until_ready(y)
-    t0 = time.perf_counter()
+    # per-rep sync + median: on this relay, costs bleed across async
+    # dispatch boundaries (a burst's cost lands in the NEXT timing window),
+    # so a single timed burst over-reports the first row and under-reports
+    # the next.  Median of individually-synced reps is immune to both.
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         y, s = f(xfull, s)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / reps
+        jax.block_until_ready(y)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
     n = xfull.shape[0] - len(taps) + 1
     return n / dt / 1e6, y
 
@@ -87,7 +94,11 @@ def main():
             else:
                 err = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b))
                                     / (jnp.max(jnp.abs(b)) + 1e-12))(yr, ref))
+            # implied HBM traffic (8 B/sample complex or 4 real, in+out) —
+            # values beyond the chip's bandwidth mark a mis-measured row
+            bps = (16 if args.complex else 8)
             r = {"taps": K, "strategy": strat, "msps": round(msps, 1),
+                 "implied_GBps": round(msps * bps / 1e3, 1),
                  "rel_err_vs_fft": round(err, 8)}
             results.append(r)
             print(json.dumps(r))

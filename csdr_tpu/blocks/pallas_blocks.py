@@ -8,7 +8,10 @@ import os
 
 
 def _interp_default(flag: bool) -> bool:
-    return flag or bool(os.environ.get("CSDR_PALLAS_INTERPRET"))
+    # "0"/"false"/"" mean OFF — bool(non-empty str) would force interpret
+    # mode (orders of magnitude slower) on CSDR_PALLAS_INTERPRET=0
+    env = os.environ.get("CSDR_PALLAS_INTERPRET", "").strip().lower()
+    return flag or env not in ("", "0", "false", "no", "off")
 
 from fractions import Fraction
 

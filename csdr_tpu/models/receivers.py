@@ -40,7 +40,9 @@ def front_end(sample_rate: float, offset_hz: float = 0.0, bandwidth: float = 0.0
 
 
 def _agc(threshold_db: float | None) -> list[Block]:
-    return [B.automatic_gain_control(threshold_db)] if threshold_db else []
+    # `is not None`: 0.0 dB is a legitimate squelch threshold, not "off"
+    return ([B.automatic_gain_control(threshold_db)]
+            if threshold_db is not None else [])
 
 
 def wbfm_receiver(sample_rate: float, bandwidth: float, decim: int,
@@ -104,7 +106,7 @@ def channelized_receiver(nch: int, per_channel: Block | None, mix: bool = False,
         B.firpfbch_channelizer(nch),
     ]
     per = chain(*_agc(agc_threshold_db), per_channel) if (
-        per_channel is not None and agc_threshold_db) else per_channel
+        per_channel is not None and agc_threshold_db is not None) else per_channel
     if per is not None:
         stages.append(PerChannel(per, nch))
     if mix:
@@ -124,6 +126,14 @@ def channelized_fm_receiver(nch: int, kf: float = 0.6, audio_decim: int = 1,
     if backend in ("pallas", "pallas_full", "pallas_wide"):
         from ..blocks.pallas_blocks import PallasChannelizedFM, FlagshipFused
 
+        if kw.get("agc_threshold_db") is not None:
+            # the fused kernels demodulate inside the kernel; per-channel AGC
+            # would have to sit between channelize and demod — reject loudly
+            # rather than silently dropping the squelch the caller asked for
+            raise ValueError(
+                "agc_threshold_db is not supported with the fused pallas "
+                "backends (AGC must run between channelizer and demod); use "
+                "backend='xla' or compose AGC explicitly")
         stages: list[Block] = [
             *front_end(kw.get("sample_rate", 2.56e6), kw.get("offset_hz", 0.0),
                        kw.get("bandwidth", 0.0)),
@@ -145,4 +155,5 @@ def channelized_fm_receiver(nch: int, kf: float = 0.6, audio_decim: int = 1,
         return chain(*stages)
     per = B.fm_demodulator(kf) if audio_decim == 1 else chain(
         B.fm_demodulator(kf), B.fir_decimator(audio_decim))
+    kw.pop("tileF", None)  # pallas-only knob; the xla fallback ignores it
     return channelized_receiver(nch, per, mix=mix, **kw)

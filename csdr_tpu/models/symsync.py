@@ -81,7 +81,14 @@ class SymSync(Block):
         self.out_per_sym = out_per_sym
         self.rate = Fraction(out_per_sym, k)
         self.granule = k
-        self.H = 2 * m * k + 2 * k  # history: filter span + slack for τ ∈ [0,k)
+        # History: filter span + symmetric slack of B+k samples each side.
+        # The output count per block is FIXED (static shapes under jit), so a
+        # persistent clock-rate offset makes |τ| grow ~eps·n per block; slack
+        # B lets it roam ±5 symbols before the carry snaps back by whole
+        # symbols (one unavoidable symbol slip per B/eps input samples — the
+        # same rate at which a feedback symsync slips cycles).
+        self.B = 5 * k
+        self.H = 2 * m * k + 2 * k + 2 * self.B
         self.name = f"{name}(k={k})"
 
     def init(self):
@@ -133,16 +140,27 @@ class SymSync(Block):
         slope = jnp.clip(slope, -0.2, 0.2)  # sanity: ≤ 0.2 samples drift/sample
 
         # --- parallel interpolation of all output samples ---
+        # Positions are kept as exact int32 grid points + a SMALL float32
+        # residual: a single float32 `base + tau` loses the polyphase
+        # fraction once positions pass ~2^22 (ulp 0.5 ≥ the 1/npfb bank
+        # step), silently picking wrong fractional-delay filters late in
+        # large blocks.
         bank = jnp.asarray(_interp_bank(k, m, npfb, self.ftype, self.beta))
         W = bank.shape[1]
-        start = self.H - (m * k + k)  # constant processing delay
-        base = jnp.asarray((start + np.arange(nout) * (k / self.out_per_sym))
-                           .astype(np.float32))
-        # τ(n) = tm + slope·(n − cm) marks boundaries; centers are k/2 later
-        tau = tm + slope * (base - cm) + np.float32(k / 2.0)
-        pos = base + tau
-        ipos = jnp.floor(pos).astype(jnp.int32)
-        frac = pos - ipos.astype(jnp.float32)
+        # constant processing delay, centered in the slack: τ may roam
+        # ±(B+k) samples before the interpolation window leaves the data
+        start = self.H - (m * k + k + self.B)
+        q, rem = np.divmod(np.arange(nout) * k, self.out_per_sym)
+        base_int = jnp.asarray((start + q).astype(np.int32))
+        base_frac = jnp.asarray((rem / self.out_per_sym).astype(np.float32))
+        # τ(n) = tm + slope·(n − cm) marks boundaries; centers are k/2 later.
+        # (base − cm) may be large but only multiplies the tiny slope — the
+        # f32 rounding of base_int there is harmless.
+        bdiff = (base_int.astype(jnp.float32) - cm) + base_frac
+        delta = tm + slope * bdiff + np.float32(k / 2.0) + base_frac
+        dlo = jnp.floor(delta)
+        frac = delta - dlo
+        ipos = base_int + dlo.astype(jnp.int32)
         ph = jnp.clip(jnp.round(frac * npfb).astype(jnp.int32), 0, npfb - 1)
         offs = jnp.asarray((np.arange(W) - m * k).astype(np.int32))
         win = xfull[ipos[:, None] + offs[None, :]]        # (nout, W) gather
@@ -151,6 +169,16 @@ class SymSync(Block):
 
         new_hist = xfull[-self.H:]
         tau_carry = tm + slope * (np.float32(n) - cm)  # τ at the block end
+        # Bounded carry with hysteresis: under a constant sample-clock offset
+        # τ otherwise grows without bound across blocks until the gather
+        # clamps and output silently corrupts.  Re-centering must NOT happen
+        # every block (an unconditional mod-k would slip one symbol at every
+        # boundary, corrupting a healthy stream) — only once |τ| exceeds the
+        # history slack does it snap back by whole symbols, the same minimal
+        # symbol slip a feedback symsync uses to absorb persistent rate error.
+        over = jnp.maximum(jnp.abs(tau_carry) - np.float32(self.B), 0.0)
+        slip_syms = jnp.ceil(over / np.float32(k))  # 0 while τ is in-slack
+        tau_carry = tau_carry - slip_syms * np.float32(k) * jnp.sign(tau_carry)
         return (new_hist, tau_carry, jnp.ones((), jnp.bool_)), y
 
 

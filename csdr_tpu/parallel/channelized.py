@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core.sharding import _apow_vec  # shared decay table (core/sharding.py)
 from ..ops import linrec as linrec_ops
 from ..ops import pfb as pfb_ops
 from ..ops.nco import phase_ramp, phase_increment
@@ -52,10 +53,11 @@ def make_mesh(n_devices: int | None = None, time_axis: int | None = None):
     n = n_devices or len(devs)
     devs = devs[:n]
     if time_axis is None:
-        # prefer more time-shards than channel-shards
+        # prefer more time-shards than channel-shards: the largest ch factor
+        # that still leaves time >= ch (n=8 → 4×2, n=4 → 2×2, n=2 → 2×1)
         ch = 1
         for c in (4, 2, 1):
-            if n % c == 0 and c <= n:
+            if n % c == 0 and n // c >= c:
                 ch = c
                 break
         time_axis = n // ch
@@ -190,7 +192,7 @@ class ShardedChannelizedFM:
         coef = jnp.where(j < ti, jnp.power(np.float32(r), expo.astype(jnp.float32)), 0.0)
         y_in = jnp.power(np.float32(r), (ti * nloc).astype(jnp.float32)) * state["dc_y"][0] \
             + jnp.sum(coef.astype(jnp.complex64) * ends)
-        apow = jnp.asarray(_apow_vec(float(r), nloc))
+        apow = jnp.asarray(_apow_vec(float(r), nloc, False))
         xdc = w + apow.astype(jnp.complex64) * y_in
         new_dc_x = self._from_last_device(x[-1:])
         new_dc_y = self._from_last_device(xdc[-1:])
@@ -235,6 +237,22 @@ class ShardedChannelizedFM:
             new_agc_above = state["agc_above"]
 
         # ---- per-channel FM demod (1-frame halo) ----
+        audio, new_demod_last = self._demod_with_prev(state, d, ti, ci)
+
+        # ---- optional per-channel audio decimator ----
+        audio, new_fir_tail = self._audio_decim(state, audio, ti, ci)
+
+        new_state = dict(
+            dc_x=new_dc_x, dc_y=new_dc_y, phase=new_phase,
+            pfb_tail=new_pfb_tail, demod_last=new_demod_last,
+            fir_tail=new_fir_tail, agc_lng=new_agc_lng, agc_above=new_agc_above,
+        )
+        return new_state, audio
+
+    def _demod_with_prev(self, state, d, ti, ci):
+        """Per-channel FM demod with a 1-frame halo: the previous frame is
+        the left time-neighbor's last frame (device 0: the carried
+        demod_last).  Returns (audio (nch_loc, F), new demod_last (nch,))."""
         dml = jax.lax.dynamic_slice_in_dim(state["demod_last"], ci * self.nch_loc,
                                            self.nch_loc, axis=0)
         last_frame = jax.lax.ppermute(d[:, -1], "time",
@@ -244,37 +262,31 @@ class ShardedChannelizedFM:
         audio = jnp.angle(d * jnp.conj(prevs)) * np.float32(1.0 / (_TWO_PI * self.kf))
         # reassemble the full demod_last (nch,) from channel shards
         dl_shards = jax.lax.all_gather(d[:, -1], "ch")  # (dc, nch_loc)
-        new_demod_last = self._from_last_device_time_only(dl_shards.reshape(self.nch))
+        return audio, self._from_last_device_time_only(dl_shards.reshape(self.nch))
 
-        # ---- optional per-channel audio decimator ----
-        if self.fir_taps is not None:
-            K = len(self.fir_taps)
-            ft = jax.lax.dynamic_slice_in_dim(state["fir_tail"], ci * self.nch_loc,
-                                              self.nch_loc, axis=0)
-            tail = audio[:, -(K - 1):]
-            left = jax.lax.ppermute(tail, "time", [(jj, jj + 1) for jj in range(self.dt - 1)])
-            hist = jnp.where(ti == 0, ft, left)
-            afull = jnp.concatenate([hist, audio], axis=1)
-            M = self.audio_decim
-            nout = audio.shape[1] // M
-            acc = None
-            for k in range(K):
-                seg = afull[:, K - 1 - k: K - 1 - k + audio.shape[1]:M][:, :nout]
-                term = seg * np.float32(self.fir_taps[k])
-                acc = term if acc is None else acc + term
-            tails = jax.lax.all_gather(audio[:, -(K - 1):], "ch")  # (dc, nch_loc, K-1)
-            new_fir_tail = self._from_last_device_time_only(
-                tails.reshape(self.nch, K - 1))
-            audio = acc
-        else:
-            new_fir_tail = state["fir_tail"]
-
-        new_state = dict(
-            dc_x=new_dc_x, dc_y=new_dc_y, phase=new_phase,
-            pfb_tail=new_pfb_tail, demod_last=new_demod_last,
-            fir_tail=new_fir_tail, agc_lng=new_agc_lng, agc_above=new_agc_above,
-        )
-        return new_state, audio
+    def _audio_decim(self, state, audio, ti, ci):
+        """Optional per-channel decimating FIR with a (K−1)-sample time halo.
+        Returns (audio, new fir_tail); pass-through when not configured."""
+        if self.fir_taps is None:
+            return audio, state["fir_tail"]
+        K = len(self.fir_taps)
+        ft = jax.lax.dynamic_slice_in_dim(state["fir_tail"], ci * self.nch_loc,
+                                          self.nch_loc, axis=0)
+        tail = audio[:, -(K - 1):]
+        left = jax.lax.ppermute(tail, "time", [(jj, jj + 1) for jj in range(self.dt - 1)])
+        hist = jnp.where(ti == 0, ft, left)
+        afull = jnp.concatenate([hist, audio], axis=1)
+        M = self.audio_decim
+        nout = audio.shape[1] // M
+        acc = None
+        for k in range(K):
+            seg = afull[:, K - 1 - k: K - 1 - k + audio.shape[1]:M][:, :nout]
+            term = seg * np.float32(self.fir_taps[k])
+            acc = term if acc is None else acc + term
+        tails = jax.lax.all_gather(audio[:, -(K - 1):], "ch")  # (dc, nch_loc, K-1)
+        new_fir_tail = self._from_last_device_time_only(
+            tails.reshape(self.nch, K - 1))
+        return acc, new_fir_tail
 
     def _agc(self, state, d, ti, ci):
         """Per-channel AGC + squelch across the time mesh: the log-gain
@@ -300,7 +312,7 @@ class ShardedChannelizedFM:
         coef = jnp.where(j < ti, jnp.power(np.float32(a), expo), 0.0)
         lng_in = jnp.power(np.float32(a), (ti * F).astype(jnp.float32)) * lng \
             + (coef[:, None] * ends).sum(axis=0)           # (nch_loc,)
-        apow = jnp.asarray(_apow_vec(float(a), F))
+        apow = jnp.asarray(_apow_vec(float(a), F, False))
         lng_next = w + apow[None, :] * lng_in[:, None]     # ln g[n+1]
         lng_applied = jnp.concatenate([lng_in[:, None], lng_next[:, :-1]], axis=1)
         g = jnp.exp(lng_applied)
@@ -347,16 +359,7 @@ class ShardedChannelizedFM:
                 nch=nch, L=L, tileF=self.tileF, interpret=self.interpret)
             d = jax.lax.complex(dre, dim).T  # (nch_loc, F)
             d, new_agc_lng, new_agc_above = self._agc(state, d, ti, ci)
-            dml = jax.lax.dynamic_slice_in_dim(state["demod_last"], ci * self.nch_loc,
-                                               self.nch_loc, axis=0)
-            last_frame = jax.lax.ppermute(d[:, -1], "time",
-                                          [(jj, jj + 1) for jj in range(self.dt - 1)])
-            prev0 = jnp.where(ti == 0, dml, last_frame)
-            prevs = jnp.concatenate([prev0[:, None], d[:, :-1]], axis=1)
-            audio = jnp.angle(d * jnp.conj(prevs)) * np.float32(1.0 / (_TWO_PI * self.kf))
-            dl_shards = jax.lax.all_gather(d[:, -1], "ch")
-            new_demod_last = self._from_last_device_time_only(
-                dl_shards.reshape(self.nch))
+            audio, new_demod_last = self._demod_with_prev(state, d, ti, ci)
         else:
             audio = pfb_fm_fused(jnp.real(vfull), jnp.imag(vfull), taps, wre, wim,
                                  nch=nch, L=L, tileF=self.tileF, kf=self.kf,
@@ -366,27 +369,7 @@ class ShardedChannelizedFM:
             new_demod_last = state["demod_last"]
         new_pfb_tail = self._from_last_device(xs[-self.pfb_halo:])
 
-        if self.fir_taps is not None:
-            K = len(self.fir_taps)
-            ft = jax.lax.dynamic_slice_in_dim(state["fir_tail"], ci * self.nch_loc,
-                                              self.nch_loc, axis=0)
-            tail = audio[:, -(K - 1):]
-            left = jax.lax.ppermute(tail, "time", [(jj, jj + 1) for jj in range(self.dt - 1)])
-            hist = jnp.where(ti == 0, ft, left)
-            afull = jnp.concatenate([hist, audio], axis=1)
-            M = self.audio_decim
-            nout = audio.shape[1] // M
-            acc = None
-            for k in range(K):
-                seg = afull[:, K - 1 - k: K - 1 - k + audio.shape[1]:M][:, :nout]
-                term = seg * np.float32(self.fir_taps[k])
-                acc = term if acc is None else acc + term
-            tails = jax.lax.all_gather(audio[:, -(K - 1):], "ch")
-            new_fir_tail = self._from_last_device_time_only(
-                tails.reshape(self.nch, K - 1))
-            audio = acc
-        else:
-            new_fir_tail = state["fir_tail"]
+        audio, new_fir_tail = self._audio_decim(state, audio, ti, ci)
 
         new_state = dict(
             dc_x=new_dc_x, dc_y=new_dc_y, phase=new_phase,
@@ -407,6 +390,3 @@ class ShardedChannelizedFM:
         return s > 0 if is_bool else s
 
 
-@functools.lru_cache(maxsize=None)
-def _apow_vec(a: float, n: int) -> np.ndarray:
-    return np.power(a, np.arange(1, n + 1)).astype(np.float32)

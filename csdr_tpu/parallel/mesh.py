@@ -27,8 +27,12 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        num_processes=(num_processes if num_processes is not None
+                       else int(os.environ.get("JAX_NUM_PROCESSES", "1"))),
+        # `or` would discard an explicit process_id=0 (rank 0!) in favor of a
+        # stale JAX_PROCESS_ID env var
+        process_id=(process_id if process_id is not None
+                    else int(os.environ.get("JAX_PROCESS_ID", "0"))),
     )
     return True
 

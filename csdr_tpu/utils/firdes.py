@@ -169,9 +169,11 @@ def nyquist_kaiser(k: int, m: int, beta: float) -> np.ndarray:
     n = 2 * k * m + 1
     t = (np.arange(n, dtype=np.float64) - (n - 1) / 2.0) / k
     h = np.sinc(t)
+    # the roll-off enters through the stop-band target above (wider beta →
+    # relaxed as_db → shorter effective transition); the window shape itself
+    # depends only on as_db
     as_db = 60.0 if beta <= 0 else max(40.0, 60.0 * (1.0 - 0.3 * beta))
-    # transition width scales with roll-off beta
-    w = np.kaiser(n, kaiser_beta(as_db) * max(beta, 0.1) ** 0.0)
+    w = np.kaiser(n, kaiser_beta(as_db))
     return h * w
 
 

@@ -77,6 +77,12 @@ def test_sharded_matches_single_device(mesh_shape, audio_decim):
 def test_make_mesh():
     m = make_mesh(8)
     assert m.shape["time"] * m.shape["ch"] == 8
+    # documented preference: never fewer time-shards than channel-shards
+    assert m.shape["time"] >= m.shape["ch"]
+    m4 = make_mesh(4)
+    assert (m4.shape["time"], m4.shape["ch"]) == (2, 2)
+    m2 = make_mesh(2)
+    assert (m2.shape["time"], m2.shape["ch"]) == (2, 1)
 
 
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 1)])

@@ -43,7 +43,7 @@ def test_sym_sync_r_recovers_pam_timing():
     centers = y[0::2]
     # constant processing delay: find bit alignment by correlation
     best = 0, 0
-    for lag in range(-6, 7):
+    for lag in range(-16, 17):
         a = bits[max(0, lag):]
         b = np.sign(centers[max(0, -lag):])
         m = min(len(a), len(b)) - 10
@@ -65,7 +65,7 @@ def test_sym_sync_c_bpsk():
     y = run_block(sym_sync_c(m, k), x)
     centers = np.real(y[0::2])
     best = 0, 0
-    for lag in range(-8, 9):
+    for lag in range(-16, 17):
         a = bits[max(0, lag):]
         b = np.sign(centers[max(0, -lag):])
         mm = min(len(a), len(b)) - 10
@@ -92,7 +92,7 @@ def test_fm_dem_with_sync_roundtrip():
     centers = np.sign(y[0::2])
     want = bits * 2 - 1
     best = 0, 0
-    for lag in range(-6, 7):
+    for lag in range(-16, 17):
         a = want[max(0, lag):]
         b = centers[max(0, -lag):]
         mm = min(len(a), len(b)) - 10
@@ -119,12 +119,53 @@ def test_sym_sync_r_tracks_clock_offset():
     y = run_block(blk, x.astype(np.float32), nblocks=4)
     centers = np.sign(y[0::2])
     best = 0
-    for lag in range(-8, 9):
+    for lag in range(-16, 17):
         a = bits[max(0, lag):]
         b = centers[max(0, -lag):]
         mm = min(len(a), len(b)) - 10
         best = max(best, np.mean(a[:mm] == b[:mm]))
     assert best > 0.99, best
+
+
+def test_sym_sync_r_bounded_carry_under_persistent_offset():
+    """Drift FAR beyond the history slack (τ would reach ~16 symbols).  The
+    carried τ must stay bounded (graceful whole-symbol slips) instead of
+    growing until the interpolation window leaves the data and output
+    silently corrupts — each output segment must still demodulate at some
+    local lag (a slip shifts the lag, it must not destroy the symbols)."""
+    rng = np.random.default_rng(17)
+    k, nsym = 10, 32000
+    eps = 5e-4  # 500 ppm: total drift ≈ 160 samples = 16 symbols >> slack
+    bits = rng.integers(0, 2, nsym) * 2 - 1
+    dense = np.repeat(bits.astype(np.float64), 8 * k)
+    t_rx = np.arange(int(nsym * k / (1 + eps) - 16)) * (1 + eps)
+    x = np.interp(t_rx * 8, np.arange(len(dense)), dense)
+    x = np.convolve(x, np.hanning(7) / np.hanning(7).sum(), mode="same")
+    x = x.astype(np.float32)
+
+    blk = sym_sync_r(k, 4, 0.0, 64)
+    st = blk.init()
+    nblocks = 16
+    n = (len(x) // (nblocks * k)) * k
+    taus, segs = [], []
+    for i in range(nblocks):
+        st, y = blk.apply(st, x[i * n:(i + 1) * n])
+        taus.append(abs(float(st[1])))
+        segs.append(np.sign(np.asarray(y)[0::2]))
+    # carry stays within slack + one block's drift
+    assert max(taus) < blk.B + eps * n + k, (max(taus), blk.B)
+    # every segment still demodulates cleanly at its own local lag
+    sym_per_blk = n // k
+    for i, seg in enumerate(segs):
+        ref = bits[i * sym_per_blk:(i + 1) * sym_per_blk]
+        best = 0.0
+        for lag in range(-24, 25):
+            a = ref[max(0, lag):]
+            b = seg[max(0, -lag):]
+            mm = min(len(a), len(b)) - 4
+            if mm > 100:
+                best = max(best, float(np.mean(a[:mm] == b[:mm])))
+        assert best > 0.97, (i, best)
 
 
 def test_sym_tracker_bpsk():
@@ -216,7 +257,7 @@ def test_sym_sync_scan_mode():
     centers = np.sign(y[0::2])
     half = len(centers) // 2  # judge post-convergence
     best = 0
-    for lag in range(-6, 7):
+    for lag in range(-16, 17):
         a = bits[half + max(0, lag):]
         b = centers[half + max(0, -lag):]
         m = min(len(a), len(b)) - 10
@@ -238,7 +279,7 @@ def test_sym_sync_scan_complex():
     centers = np.real(y[0::2])
     half = len(centers) // 2
     best = 0
-    for lag in range(-8, 9):
+    for lag in range(-16, 17):
         a = bits[half + max(0, lag):]
         b = np.sign(centers[half + max(0, -lag):])
         mm = min(len(a), len(b)) - 10
