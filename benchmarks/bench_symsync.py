@@ -30,7 +30,9 @@ from csdr_tpu.utils import firdes
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=4)
-    ap.add_argument("--nsym", type=int, default=65536)
+    ap.add_argument("--nsym", type=int, default=262144,
+                    help="symbols per rep; block mode is dispatch-latency-"
+                         "bound below ~1M samples on the relay-tunneled chip")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--out", default=None,
                     help="write results JSON (e.g. results/SYMSYNC_r02.json)")
