@@ -86,6 +86,23 @@ def _conv_valid_fft(xfull: jnp.ndarray, taps: np.ndarray, seg: int = 16384) -> j
     return y.astype(out_dtype)
 
 
+def _auto_strategy(taps: np.ndarray) -> str:
+    """Default strategy: short filters run as unrolled VPU FMAs; long REAL
+    filters on TPU run on the banded-Toeplitz MXU kernel (measured 7-9x the
+    XLA fft strategy at >=257 taps across several windows —
+    benchmarks/results/FFTFIR_r02.json); everything else overlap-saves
+    through XLA's fft."""
+    import jax
+
+    nz = int(np.count_nonzero(taps))
+    if nz <= _FFT_MIN_TAPS:
+        return "slices"
+    if (nz > 256 and not np.iscomplexobj(taps)
+            and jax.default_backend() == "tpu"):
+        return "pallas_mxu"
+    return "fft"
+
+
 def conv_valid(xfull: jnp.ndarray, taps: np.ndarray, strategy: str = "auto") -> jnp.ndarray:
     """Causal valid convolution: input length n + K - 1 → output length n.
 
@@ -95,8 +112,7 @@ def conv_valid(xfull: jnp.ndarray, taps: np.ndarray, strategy: str = "auto") -> 
     """
     taps = np.asarray(taps)
     if strategy == "auto":
-        nz = int(np.count_nonzero(taps))
-        strategy = "slices" if nz <= _FFT_MIN_TAPS else "fft"
+        strategy = _auto_strategy(taps)
     if strategy == "slices":
         return _conv_valid_slices(xfull, taps)
     if strategy == "fft":

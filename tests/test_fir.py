@@ -87,3 +87,21 @@ def test_fir_interp_stream():
     want = causal_ref(u, h)
     assert len(got) == len(want)
     assert np.max(np.abs(got - want)) < 2e-3 * (np.max(np.abs(want)) + 1e-12)
+
+
+def test_auto_strategy_routing(monkeypatch):
+    """auto: short -> slices; long real on TPU -> banded-Toeplitz MXU kernel;
+    long complex or non-TPU -> XLA fft overlap-save."""
+    import jax
+    from csdr_tpu.ops.fir import _auto_strategy
+
+    short = np.ones(32)
+    long_real = np.ones(401)
+    long_cplx = np.ones(401) + 1j
+
+    assert _auto_strategy(short) == "slices"
+    assert _auto_strategy(long_real) == "fft"  # cpu backend in tests
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _auto_strategy(long_real) == "pallas_mxu"
+    assert _auto_strategy(long_cplx) == "fft"
+    assert _auto_strategy(np.ones(128)) == "fft"  # 64 < nz <= 256 stays fft
