@@ -14,8 +14,15 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
+
+# 4 Msamples per step by default — large enough to amortize this
+# environment's relay dispatch latency (docs/TPU_BACKEND_NOTES.md); the env
+# override lets the block-size sweep probe whether a window is
+# dispatch-latency-bound (throughput rising with block size) or HBM-bound
+_BLOCK = int(os.environ.get("CSDR_BENCH_BLOCK", 1 << 22))
 
 
 def run(backend: str, iters: int, tileF: int | None = None):
@@ -25,8 +32,7 @@ def run(backend: str, iters: int, tileF: int | None = None):
     from csdr_tpu.core.runtime import Pipeline, CEnc
 
     nch = 64
-    block = 1 << 22  # 4 Msamples per step — large enough to amortize
-    # this environment's relay dispatch latency (see docs/TPU_BACKEND_NOTES.md)
+    block = _BLOCK
 
     graph = channelized_fm_receiver(nch, kf=0.6, backend=backend, tileF=tileF)
     pipe = Pipeline(graph, block_size=block, donate=True)
@@ -67,7 +73,7 @@ def run_u8(iters: int, tileF: int | None = None, wide: bool = False):
     from csdr_tpu.utils import autotune
 
     nch = 64
-    block = 1 << 22
+    block = _BLOCK
     if tileF is None:
         # cached sweep result; static default 512 (u8 DMAs are latency-bound
         # below; 1024 exceeds the 16 MB VMEM limit with the bf16_3x temps)

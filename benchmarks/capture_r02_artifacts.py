@@ -21,9 +21,11 @@ still missing, in order of value:
   5. BACKENDS_r02.json   — same-window bench.py comparison of every backend
                            (pallas_full / pallas_wide / pallas / xla / cu8 /
                            cu8_wide) at the freshly tuned tiles
-  6. FFTFIR_r02.json     — bench_fftfir.py (gated here: only attempted right
+  6. BLOCKSWEEP_r02.json — bench.py at 4/8/16 MS blocks: distinguishes
+                           dispatch-latency-bound windows from HBM-bound
+  7. FFTFIR_r02.json     — bench_fftfir.py (gated here: only attempted right
                            after a self-gated probe succeeded in this window)
-  7. SYMSYNC_r02.json    — bench_symsync.py (same gating)
+  8. SYMSYNC_r02.json    — bench_symsync.py (same gating)
 
 Jobs re-run until their artifact exists (or, for streaming, records a
 non-null best); children are never SIGKILLed (capture_streaming._run_capped).
@@ -119,6 +121,35 @@ def run_tune(probe) -> bool:
     return healthy
 
 
+def run_blocksweep(probe) -> bool:
+    """Block-size sweep of the best backends: distinguishes dispatch-latency-
+    bound windows (throughput rises with block size) from HBM-bound ones.
+    Records BLOCKSWEEP_r02.json; healthy iff the best point clears 40 GSPS."""
+    res = {}
+    best = 0.0
+    for be in ("pallas_full", "cu8"):
+        for blk_log2 in (22, 23, 24):
+            env = dict(os.environ, CSDR_BENCH_BLOCK=str(1 << blk_log2))
+            import subprocess
+            try:
+                p = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py"), "10", be],
+                    stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                    text=True, cwd=REPO, env=env, timeout=1500)
+                r = cap._json_line(p.stdout)
+            except subprocess.TimeoutExpired:
+                r = None
+            v = (r or {}).get("value")
+            res[f"{be}_block2e{blk_log2}"] = v
+            best = max(best, v or 0.0)
+            print(f"# blocksweep {be} 2^{blk_log2}: {v}", flush=True)
+    healthy = best >= 40000.0
+    with open(os.path.join(RES, "BLOCKSWEEP_r02.json"), "w") as f:
+        json.dump({"healthy": healthy, "probe_before": probe,
+                   "msps": res}, f, indent=1)
+    return healthy
+
+
 def run_backends(probe) -> bool:
     """One bench.py run per backend, same window, tuned tiles (children read
     the user cache).  Healthy iff the best fused backend clears 40 GSPS."""
@@ -148,10 +179,11 @@ def main():
         todo_u8 = not _healthy_artifact("U8_CONVERT_r02.json", "healthy_window")
         todo_tune = not _healthy_artifact("TUNE_r02.json", "healthy")
         todo_backends = not _healthy_artifact("BACKENDS_r02.json", "healthy")
+        todo_bsweep = not _healthy_artifact("BLOCKSWEEP_r02.json", "healthy")
         todo_fft = not _have("FFTFIR_r02.json")
         todo_sym = not _have("SYMSYNC_r02.json")
         if not any((todo_streaming, todo_roofline, todo_u8, todo_tune,
-                    todo_backends, todo_fft, todo_sym)):
+                    todo_backends, todo_bsweep, todo_fft, todo_sym)):
             print("# all artifacts captured", flush=True)
             return
 
@@ -187,6 +219,10 @@ def main():
         if todo_backends and dispatch_ok and \
                 (window_proved_healthy or (probes_done and not todo_tune)):
             window_proved_healthy = run_backends(p)
+        if todo_bsweep and dispatch_ok and \
+                (window_proved_healthy
+                 or (probes_done and not todo_tune and not todo_backends)):
+            window_proved_healthy = run_blocksweep(p)
         if (todo_fft or todo_sym) and window_proved_healthy:
             # same verified-healthy window: record the un-gated benches
             if todo_fft:
