@@ -38,6 +38,7 @@ from .io.sources import (
 )
 from .io.sinks import (
     RawFileSink, StdoutSink, AudioFileSink, ConstellationPlotSink,
+    SpectrumPlotSink,
     ChannelFileSinks, NullSink, CollectSink,
 )
 

@@ -14,6 +14,7 @@ from . import wav as wavio
 
 __all__ = [
     "RawFileSink", "StdoutSink", "AudioFileSink", "ConstellationPlotSink",
+    "SpectrumPlotSink",
     "ChannelFileSinks", "NullSink", "CollectSink",
 ]
 
@@ -101,6 +102,57 @@ class ConstellationPlotSink(SinkBase):
             "figure('color','white','position',[100 100 1200 400]);\n"
             "plot(real(v), imag(v), 'x', 'Color',[0 0.2 0.4]);\n"
             "xlabel('In-Phase');\nylabel('Quadrature');\ngrid on;\n"
+            f'print -dpng -color "-S1200,600" {self.base}.png\n'
+        )
+        self.f.close()
+
+
+class SpectrumPlotSink(SinkBase):
+    """Welch-averaged power spectral density, emitted as a GNU Octave plot
+    script — the spectral companion of ConstellationPlotSink (the reference
+    has no PSD sink; its workflow inspects spectra in inspectrum/baudline,
+    README.md:126-146 — this makes that eyeball step reproducible).
+
+    Accumulates Hann-windowed periodograms over every chunk received
+    (complex input → full-band spectrum, fftshifted; real input → same,
+    spectrum is conjugate-symmetric).  close() writes the averaged spectrum
+    in dB plus the plotting code."""
+
+    def __init__(self, path: str, nfft: int = 1024, sample_rate: float = 1.0):
+        self.f = open(path, "w")
+        self.base = os.path.splitext(os.path.basename(path))[0]
+        self.nfft = nfft
+        self.fs = float(sample_rate)
+        self.win = np.hanning(nfft).astype(np.float64)
+        # 'spectrum' scaling (scipy.signal.welch convention): a unit tone
+        # peaks at 0 dB regardless of nfft/window
+        self.scale = 1.0 / (np.sum(self.win) ** 2 + 1e-30)
+        self.acc = np.zeros(nfft, dtype=np.float64)
+        self.count = 0
+        self._tail = np.zeros(0, dtype=np.complex128)
+
+    def __call__(self, data):
+        x = np.asarray(data).reshape(-1).astype(np.complex128)
+        x = np.concatenate([self._tail, x])
+        nseg = len(x) // self.nfft
+        if nseg:
+            segs = x[: nseg * self.nfft].reshape(nseg, self.nfft) * self.win
+            spec = np.fft.fft(segs, axis=1)
+            self.acc += (np.abs(spec) ** 2).sum(axis=0) * self.scale
+            self.count += nseg
+        self._tail = x[nseg * self.nfft:]
+
+    def close(self):
+        psd = np.fft.fftshift(self.acc / max(self.count, 1))
+        db = 10.0 * np.log10(psd + 1e-30)
+        freqs = np.fft.fftshift(np.fft.fftfreq(self.nfft, d=1.0 / self.fs))
+        self.f.write("clear all; close all;\n")
+        self.f.write("f = [" + " ".join(f"{v:.6e}" for v in freqs) + "];\n")
+        self.f.write("p = [" + " ".join(f"{v:.3f}" for v in db) + "];\n")
+        self.f.write(
+            "figure('color','white','position',[100 100 1200 400]);\n"
+            "plot(f, p, 'Color',[0 0.2 0.4]);\n"
+            "xlabel('Frequency [Hz]');\nylabel('PSD [dB]');\ngrid on;\n"
             f'print -dpng -color "-S1200,600" {self.base}.png\n'
         )
         self.f.close()

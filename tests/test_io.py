@@ -142,3 +142,42 @@ def test_raw_bytes_source(tmp_path):
     chunks = list(raw_bytes_source(p, chunk_bytes=256))
     assert [len(c) for c in chunks] == [256, 256, 256, 232]
     assert np.array_equal(np.concatenate(chunks), payload)
+
+
+def test_spectrum_plot_sink(tmp_path):
+    """Welch PSD sink: tone at fs/8 peaks in the right bin, matches
+    scipy.signal.welch, and the Octave script is complete."""
+    from scipy import signal as sp_signal
+
+    from csdr_tpu.io.sinks import SpectrumPlotSink
+
+    fs, nfft, n = 1.0e6, 256, 256 * 40
+    t = np.arange(n)
+    x = np.exp(2j * np.pi * (fs / 8) / fs * t).astype(np.complex64)
+    x += 0.001 * (np.random.default_rng(0).standard_normal(n)
+                  + 1j * np.random.default_rng(1).standard_normal(n))
+
+    p = tmp_path / "spec.m"
+    snk = SpectrumPlotSink(str(p), nfft=nfft, sample_rate=fs)
+    # feed in uneven chunks to exercise the carry tail
+    for seg in np.split(x, [1000, 5000, 7777]):
+        snk(seg)
+    snk.close()
+
+    txt = p.read_text()
+    assert "plot(f, p" in txt and "print -dpng" in txt
+    fvals = np.array([float(v) for v in
+                      txt.split("f = [")[1].split("];")[0].split()])
+    pvals = np.array([float(v) for v in
+                      txt.split("p = [")[1].split("];")[0].split()])
+    assert len(fvals) == nfft and len(pvals) == nfft
+    # peak at fs/8
+    assert abs(fvals[np.argmax(pvals)] - fs / 8) < fs / nfft
+    # shape matches scipy.welch (rectangular segmenting, hann, no overlap)
+    f_sp, p_sp = sp_signal.welch(x[: (n // nfft) * nfft], fs=fs, nperseg=nfft,
+                                 noverlap=0, window="hann", detrend=False,
+                                 return_onesided=False, scaling="spectrum")
+    ref_db = 10 * np.log10(np.fft.fftshift(p_sp) + 1e-30)
+    # compare the top 20 dB of the spectrum (noise floor differs by eps)
+    mask = ref_db > ref_db.max() - 20.0
+    assert np.max(np.abs(pvals[mask] - ref_db[mask])) < 0.5

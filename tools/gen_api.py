@@ -94,7 +94,7 @@ def main():
             ["cf32_file_source", "cu8_file_source", "f32_file_source",
              "wav_iq_source", "SdrSource", "SyntheticSdrSource",
              "enumerate_devices", "open_sdr", "RawFileSink", "StdoutSink",
-             "AudioFileSink", "ConstellationPlotSink", "ChannelFileSinks",
+             "AudioFileSink", "ConstellationPlotSink", "SpectrumPlotSink", "ChannelFileSinks",
              "NullSink", "CollectSink"], out)
     section("io.sources (extras)", sources,
             ["raw_bytes_source", "register_sdr_driver"], out)
