@@ -120,8 +120,14 @@ def _open_source(opts):
         return None
     print(f"Using device: {opts.devname}")
     try:
+        kw = {}
+        if opts.devname == "synthetic" and opts.numsamples:
+            # a real radio streams until -n trims; the synthetic device has a
+            # finite default length — size it to the request so `-n` beyond
+            # the default is honored instead of silently short-delivering
+            kw["total_samples"] = int(opts.numsamples)
         return iter(SRC.open_sdr(opts.devname, opts.samplerate, opts.frequency,
-                                 opts.gain))
+                                 opts.gain, **kw))
     except (OSError, ConnectionError) as e:
         # graceful device failure like the reference's device-absent path
         # (apps/SoapySDR.hs:159-170) — no traceback for an unplugged bridge
