@@ -197,12 +197,15 @@ def run_opts(opts) -> int:
         if nch != 1:
             print("DeFMS does not support channel splitting")
             return 1
-        if opts.mesh:
-            print("--mesh: DeFMS (stereo PLL graph) cannot be time-sharded")
-            return 1
         per = chain(*agc_blocks, B.fm_demodulator(0.8),
                     stereo_fm_decoder(out_bw, decim))
         sink = S.AudioFileSink(opts.output, audio_sink_rate(decim), 2, fmt.lower())
+        if opts.mesh:
+            # the closed-form-PLL stereo graph time-shards like any other
+            # composition (models/stereo.StereoFMDecoder.shard_apply); the
+            # scan-PLL mode refuses inside shard_validate with a clear message
+            return _run_sharded_generic(opts, kind, per, None, stream,
+                                        out_sink=sink)
         graph = chain(B.dc_blocker(), per)
         pipe = Pipeline(graph, block_size=opts.blocksize)
         with sink:
@@ -268,9 +271,11 @@ def _mesh_of(opts):
     return Mesh(np.asarray(devs[:dt * dc]).reshape(dt, dc), ("time", "ch"))
 
 
-def _run_sharded_generic(opts, kind, per, make_sink, stream) -> int:
+def _run_sharded_generic(opts, kind, per, make_sink, stream,
+                         out_sink=None) -> int:
     """Any CLI flow over a Mesh('time','ch') via the compositional sharded
-    runtime (parallel/generic.ShardedChain)."""
+    runtime (parallel/generic.ShardedChain).  ``out_sink`` overrides the
+    default sink selection (DeFMS passes its 2-channel audio sink)."""
     from ..parallel.generic import ShardedChain
     from ..parallel.runner import ShardedPipeline
 
@@ -292,7 +297,7 @@ def _run_sharded_generic(opts, kind, per, make_sink, stream) -> int:
     else:
         if per is not None:
             stages.append(per)
-        sink = make_sink(opts.output)
+        sink = out_sink if out_sink is not None else make_sink(opts.output)
     graph = chain(*stages)
     dt = int(opts.mesh.lower().split("x")[0])
     g = graph.granule

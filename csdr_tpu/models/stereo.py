@@ -108,15 +108,37 @@ class StereoFMDecoder(Block):
         return st
 
     def apply(self, state, c):
+        n = int(c.shape[0])
+        theta0 = state["phase19"]
+        new_phase = jnp.mod(state["phase19"] + phase_increment(self.omega19, n),
+                            _TWO_PI)
+
+        def delay_fn(buf, x):
+            full = jnp.concatenate([buf, x])
+            return full[n:], full[:n]
+
+        def decim_fn(hist, x):
+            return fir_ops.fir_decim_stream(self.h_decim, self.decim, hist, x)
+
+        return self._process(state, c, theta0, new_phase,
+                             fir_ops.fir_stream, delay_fn,
+                             iir_ops.onepole_cascade_stream, decim_fn)
+
+    def _process(self, state, c, theta0, new_phase, fir_fn, delay_fn,
+                 deemph_fn, decim_fn):
+        """The decode graph with its stateful primitives injected: the serial
+        `apply` passes the plain streaming forms; `shard_apply` passes
+        ShardCtx-backed ones (halo-exchanged FIR histories, distributed pole
+        carries, halo delay) — same math either way."""
         n = c.shape[0]
         s = dict(state)
 
         # --- pilot extraction: mixDown 19k → LPF (group delay gd) ---
         ramp = jnp.asarray(phase_ramp(self.omega19, int(n)))
-        theta = s["phase19"] + ramp
+        theta = theta0 + ramp
         m19 = c.astype(jnp.complex64) * jnp.exp(-1j * theta).astype(jnp.complex64)
-        s["pilot_hist"], pilot_bb = fir_ops.fir_stream(self.h_pilot, s["pilot_hist"], m19)
-        s["phase19"] = jnp.mod(s["phase19"] + phase_increment(self.omega19, int(n)), _TWO_PI)
+        s["pilot_hist"], pilot_bb = fir_fn(self.h_pilot, s["pilot_hist"], m19)
+        s["phase19"] = new_phase
 
         # analytic pilot at the delayed time base: e^{+jω19(n−gd)}
         gd_phase = np.float32(np.mod(self.omega19 * self.gdelay, _TWO_PI))
@@ -128,29 +150,90 @@ class StereoFMDecoder(Block):
             sub38 = u * u  # e^{j(2ω19(n−gd)+2θp)} — regenerated 38 kHz subcarrier
 
         # --- delayed composite (group-delay compensation, Trans.delay) ---
-        full = jnp.concatenate([s["delay_buf"], c])
-        cd = full[:n]
-        s["delay_buf"] = full[n:]
+        s["delay_buf"], cd = delay_fn(s["delay_buf"], c)
 
         # --- L−R: mix down by the subcarrier, 15 kHz LPF, ×2 ---
         lmr_in = cd.astype(jnp.complex64) * jnp.conj(sub38)
-        s["lmr_hist"], lmr_bb = fir_ops.fir_stream(self.h_audio, s["lmr_hist"], lmr_in)
+        s["lmr_hist"], lmr_bb = fir_fn(self.h_audio, s["lmr_hist"], lmr_in)
         lmr = np.float32(self.stereo_gain) * jnp.real(lmr_bb)
 
         # --- L+R: 15 kHz LPF of the delayed composite ---
-        s["lpr_hist"], lpr = fir_ops.fir_stream(self.h_audio, s["lpr_hist"], cd)
+        s["lpr_hist"], lpr = fir_fn(self.h_audio, s["lpr_hist"], cd)
 
         # --- matrix, de-emphasis, decimation ---
         left = lpr + lmr
         right = lpr - lmr
-        s["deemph_l"], left = iir_ops.onepole_cascade_stream(self.deemph, s["deemph_l"], left)
-        s["deemph_r"], right = iir_ops.onepole_cascade_stream(self.deemph, s["deemph_r"], right)
+        s["deemph_l"], left = deemph_fn(self.deemph, s["deemph_l"], left)
+        s["deemph_r"], right = deemph_fn(self.deemph, s["deemph_r"], right)
         if self.h_decim is not None:
-            s["decim_l"], left = fir_ops.fir_decim_stream(self.h_decim, self.decim,
-                                                          s["decim_l"], left)
-            s["decim_r"], right = fir_ops.fir_decim_stream(self.h_decim, self.decim,
-                                                           s["decim_r"], right)
+            s["decim_l"], left = decim_fn(s["decim_l"], left)
+            s["decim_r"], right = decim_fn(s["decim_r"], right)
         return s, jnp.stack([left, right])
+
+    # ---- sharded execution (core/sharding protocol) -------------------------
+    def shard_apply(self, state, c, ctx):
+        """Time-sharded decode: the NCO phase is affine in the global index
+        (per-device offsets from a float64 table, like blocks.Mixer), FIR
+        histories and the group-delay line ride ppermute halos, and the
+        de-emphasis pole carries are reconstructed in closed form
+        (ShardCtx.linrec) — the same primitives every other sharded block
+        uses, so the full DeFMS graph composes under ShardedChain."""
+        from ..ops import nco as nco_ops
+
+        nloc = c.shape[0]
+        table = jnp.asarray(nco_ops.phase_table(self.omega19, nloc, ctx.dt))
+        theta0 = jnp.mod(state["phase19"] + table[ctx.ti()], np.float32(_TWO_PI))
+        new_phase = jnp.mod(
+            state["phase19"] + phase_increment(self.omega19, nloc * ctx.dt),
+            np.float32(_TWO_PI))
+
+        def delay_fn(buf, x):
+            halo = ctx.left_halo(x, buf, self.gdelay)
+            cd = jnp.concatenate([halo, x])[:nloc]
+            return ctx.from_last_time(x[-self.gdelay:]), cd
+
+        def dist_linrec(v, a, carry):
+            y, _, new_carry = ctx.linrec(v, a, carry)
+            return y, new_carry
+
+        def deemph_fn(casc, st, x):
+            return iir_ops.onepole_cascade_stream(casc, st, x,
+                                                  linrec_fn=dist_linrec,
+                                                  fir_fn=ctx.fir)
+
+        def decim_fn(hist, x):
+            K = len(self.h_decim)
+            eff = ctx.left_halo(x, hist, K - 1)
+            _, y = fir_ops.fir_decim_stream(self.h_decim, self.decim, eff, x)
+            return ctx.from_last_time(x[-(K - 1):]), y
+
+        return self._process(state, c, theta0, new_phase,
+                             ctx.fir, delay_fn, deemph_fn, decim_fn)
+
+    def shard_validate(self, nloc, ctx):
+        if self.pll_mode == "scan":
+            raise NotImplementedError(
+                f"{self.name}: pll_mode='scan' is a per-sample feedback loop "
+                f"and cannot be time-sharded; use the closed-form default")
+        if ctx.dc != 1:
+            raise ValueError(
+                f"{self.name}: stereo output (2, n) shards over time only — "
+                f"use a mesh with ch=1")
+        halo = max(len(self.h_pilot) - 1, len(self.h_audio) - 1, self.gdelay,
+                   (len(self.h_decim) - 1) if self.h_decim is not None else 0)
+        if nloc < halo:
+            raise ValueError(
+                f"{self.name}: local segment {nloc} shorter than the largest "
+                f"halo {halo} — grow block_size or reduce time shards")
+        if nloc % self.decim:
+            raise ValueError(f"{self.name}: local segment {nloc} not a "
+                             f"multiple of decim {self.decim}")
+        return nloc // self.decim
+
+    def shard_layout(self, in_layout):
+        from ..core.sharding import CH
+
+        return CH  # (2, n') panel: P(None, time) on a ch=1 mesh
 
 
 def stereo_fm_decoder(quad_rate: float, decim: int, **kw) -> Block:

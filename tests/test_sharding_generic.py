@@ -241,3 +241,48 @@ def test_shard_validate_errors():
 
     with pytest.raises(NotImplementedError):
         ShardedChain(sym_sync_r(2, 4, 0.5, 64), mesh, 4 * 1024)
+
+
+@pytest.mark.parametrize("dt", [2, 4, 8])
+def test_sharded_stereo_fm_decoder(dt):
+    """The full DeFMS graph — FM demod → stereo decoder (pilot NCO + three
+    FIRs + group-delay line + distributed de-emphasis poles + decimators) —
+    matches single-device on multiple time-mesh shapes."""
+    from csdr_tpu.models.stereo import stereo_fm_decoder
+
+    mesh = mesh_of(dt, 1)
+    quad = 192000.0
+    decim = 4
+    n = 1 << 16
+    t = np.arange(2 * n) / quad
+    fL, fR = 800.0, 2500.0
+    L = 0.8 * np.sin(2 * np.pi * fL * t)
+    R = 0.8 * np.sin(2 * np.pi * fR * t)
+    pilot = 0.1 * np.cos(2 * np.pi * 19000.0 * t + 0.7)
+    sub = np.cos(2 * np.pi * 38000.0 * t + 1.4)
+    mpx = (0.45 * (L + R) + pilot + 0.45 * (L - R) * sub).astype(np.float32)
+
+    graph = cs.chain(stereo_fm_decoder(quad, decim))
+    ref_pipe = Pipeline(graph, n)
+    sc = ShardedChain(cs.chain(stereo_fm_decoder(quad, decim)), mesh, n)
+    st = sc.init()
+    for i in range(2):  # two global blocks: exercises carried state too
+        blk = mpx[i * n:(i + 1) * n]
+        ref = np.asarray(decode_tree_host(ref_pipe.process_block(blk)))
+        st, y = sc.step(st, blk)
+        got = np.asarray(decode_tree_host(y))
+        assert got.shape == ref.shape == (2, n // decim)
+        err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-12)
+        assert err < 2e-3, (dt, i, err)
+
+
+def test_sharded_stereo_rejections():
+    from csdr_tpu.models.stereo import stereo_fm_decoder
+
+    mesh = mesh_of(2, 2)
+    with pytest.raises(ValueError, match="time only"):
+        ShardedChain(cs.chain(stereo_fm_decoder(192000.0, 4)), mesh, 1 << 16)
+    mesh_t = mesh_of(4, 1)
+    with pytest.raises(NotImplementedError, match="scan"):
+        ShardedChain(cs.chain(stereo_fm_decoder(192000.0, 4, pll_mode="scan")),
+                     mesh_t, 1 << 16)
