@@ -50,6 +50,29 @@ class GMSKDemod(Block):
         bits = (sym > 0).astype(jnp.uint32)
         return (last, hist), bits
 
+    def shard_apply(self, state, x, ctx):
+        """Time-sharded demod: both carried tails (demod's previous sample,
+        matched-filter history) come from the left neighbor; the symbol
+        stride stays aligned because every local segment is a multiple of k."""
+        last, hist = state
+        kf = 0.25 / self.k
+        prev = ctx.left_halo(x, last, 1)
+        _, d = freqdem_stream(prev, x, kf)
+        new_last = ctx.from_last_time(x[-1:])
+        new_hist, y = ctx.fir(self.taps, hist, d)
+        sym = y[self.offset::self.k]
+        bits = (sym > 0).astype(jnp.uint32)
+        return (new_last, new_hist), bits
+
+    def shard_validate(self, nloc, ctx):
+        if nloc % self.granule:
+            raise ValueError(f"{self.name}: local segment {nloc} not a "
+                             f"multiple of k={self.k}")
+        if nloc < len(self.taps) - 1:
+            raise ValueError(f"{self.name}: local segment {nloc} shorter than "
+                             f"the matched-filter halo {len(self.taps) - 1}")
+        return nloc // self.k
+
 
 def gmsk_demodulator(m: int, k: int, bw: float = 0.3) -> Block:
     return GMSKDemod(m, k, bw)

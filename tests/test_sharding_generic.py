@@ -286,3 +286,28 @@ def test_sharded_stereo_rejections():
     with pytest.raises(NotImplementedError, match="scan"):
         ShardedChain(cs.chain(stereo_fm_decoder(192000.0, 4, pll_mode="scan")),
                      mesh_t, 1 << 16)
+
+
+@pytest.mark.parametrize("dt", [2, 8])
+def test_sharded_gmsk_demod(dt):
+    """GMSK demod (freqdem tail + matched-filter history) sharded over time:
+    identical bit decisions to single-device, across two streamed blocks."""
+    from csdr_tpu.blocks.gmsk import gmsk_demodulator, gmsk_mod
+
+    mesh = mesh_of(dt, 1)
+    k, m = 4, 3
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, 4096)
+    x = gmsk_mod(bits, k, m).astype(np.complex64)
+    n = (len(x) // (2 * dt * k)) * dt * k  # two global blocks
+
+    graph = cs.chain(gmsk_demodulator(m, k))
+    ref_pipe = Pipeline(graph, n)
+    sc = ShardedChain(cs.chain(gmsk_demodulator(m, k)), mesh, n)
+    st = sc.init()
+    for i in range(2):
+        blk = x[i * n:(i + 1) * n]
+        ref = np.asarray(decode_tree_host(ref_pipe.process_block(blk)))
+        st, y = sc.step(st, blk)
+        got = np.asarray(decode_tree_host(y))
+        assert np.array_equal(got, ref), (dt, i, int(np.sum(got != ref)))
