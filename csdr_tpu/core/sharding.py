@@ -127,6 +127,23 @@ class ShardCtx:
         ti = self.ti()
         return jnp.where(ti == 0, carried_tail, left)
 
+    def right_halo(self, x: jnp.ndarray, r: int):
+        """First ``r`` samples of the RIGHT time-neighbor's segment (the
+        stream's immediate future — available inside the same global block).
+        The last device, which has no right neighbor, gets its own final
+        sample edge-replicated — matching the clamped-gather behavior a
+        single device shows at the end of xfull."""
+        if r <= 0:
+            return x[:0]
+        edge = jnp.broadcast_to(x[-1:], (r,) + x.shape[1:])
+        if self.dt == 1:
+            return edge
+        head = x[:r]
+        right = jax.lax.ppermute(head, self.time_axis,
+                                 [(j + 1, j) for j in range(self.dt - 1)])
+        ti = self.ti()
+        return jnp.where(ti == self.dt - 1, edge, right)
+
     # ---- carried-state updates --------------------------------------------
     def from_last_time(self, val: jnp.ndarray):
         """``val`` as computed on the last time device, replicated over

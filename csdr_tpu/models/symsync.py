@@ -99,9 +99,13 @@ class SymSync(Block):
             jnp.zeros((), jnp.bool_),         # τ̂ valid?
         )
 
+    @staticmethod
+    def _nw(n: int, k: int) -> int:
+        return max(1, min(8, n // (64 * k)))  # sub-windows (≥64 symbols each)
+
     def apply(self, state, x):
         hist, tau_prev, tau_valid = state
-        k, m, npfb = self.k, self.m, self.npfb
+        k = self.k
         n = x.shape[0]
         nout = (n // k) * self.out_per_sym
         xfull = jnp.concatenate([hist, x])
@@ -117,9 +121,22 @@ class SymSync(Block):
         s = jnp.concatenate([s[:1], s])  # keep length n for the rotator
         rot = jnp_const(_timing_rotator(k, int(n)))
         z = s.astype(jnp.complex64) * rot
-        nw = max(1, min(8, n // (64 * k)))  # sub-windows (≥64 symbols each)
+        nw = self._nw(int(n), k)
         wlen = n // nw
         Tw = z[: nw * wlen].reshape(nw, wlen).sum(axis=1)       # (nw,)
+        tm, slope, cm, tau_carry = self._fit_line(Tw, int(n), tau_prev, tau_valid)
+
+        y = self._interp(xfull, 0, int(nout), tm, slope, cm, origin=0)
+        new_hist = xfull[-self.H:]
+        return (new_hist, tau_carry, jnp.ones((), jnp.bool_)), y
+
+    def _fit_line(self, Tw, n: int, tau_prev, tau_valid):
+        """Weighted least-squares τ(n) line through the per-window timing
+        estimates, plus the bounded end-of-block carry.  All inputs/outputs
+        are GLOBAL quantities — under sharding every device evaluates this
+        identically from the all-gathered Tw."""
+        k = self.k
+        nw = Tw.shape[0]
         tau_w = -jnp.angle(Tw) * (k / _TWO_PI)                  # mod k
         # unwrap: first window vs carried estimate, then successive windows
         t0 = jnp.mod(tau_w[0], float(k))
@@ -139,35 +156,6 @@ class SymSync(Block):
                           jnp.zeros((), jnp.float32))
         slope = jnp.clip(slope, -0.2, 0.2)  # sanity: ≤ 0.2 samples drift/sample
 
-        # --- parallel interpolation of all output samples ---
-        # Positions are kept as exact int32 grid points + a SMALL float32
-        # residual: a single float32 `base + tau` loses the polyphase
-        # fraction once positions pass ~2^22 (ulp 0.5 ≥ the 1/npfb bank
-        # step), silently picking wrong fractional-delay filters late in
-        # large blocks.
-        bank = jnp.asarray(_interp_bank(k, m, npfb, self.ftype, self.beta))
-        W = bank.shape[1]
-        # constant processing delay, centered in the slack: τ may roam
-        # ±(B+k) samples before the interpolation window leaves the data
-        start = self.H - (m * k + k + self.B)
-        q, rem = np.divmod(np.arange(nout) * k, self.out_per_sym)
-        base_int = jnp.asarray((start + q).astype(np.int32))
-        base_frac = jnp.asarray((rem / self.out_per_sym).astype(np.float32))
-        # τ(n) = tm + slope·(n − cm) marks boundaries; centers are k/2 later.
-        # (base − cm) may be large but only multiplies the tiny slope — the
-        # f32 rounding of base_int there is harmless.
-        bdiff = (base_int.astype(jnp.float32) - cm) + base_frac
-        delta = tm + slope * bdiff + np.float32(k / 2.0) + base_frac
-        dlo = jnp.floor(delta)
-        frac = delta - dlo
-        ipos = base_int + dlo.astype(jnp.int32)
-        ph = jnp.clip(jnp.round(frac * npfb).astype(jnp.int32), 0, npfb - 1)
-        offs = jnp.asarray((np.arange(W) - m * k).astype(np.int32))
-        win = xfull[ipos[:, None] + offs[None, :]]        # (nout, W) gather
-        taps = bank[ph]                                   # (nout, W) gather
-        y = jnp.sum(win * taps.astype(win.dtype), axis=-1)
-
-        new_hist = xfull[-self.H:]
         tau_carry = tm + slope * (np.float32(n) - cm)  # τ at the block end
         # Bounded carry with hysteresis: under a constant sample-clock offset
         # τ otherwise grows without bound across blocks until the gather
@@ -179,7 +167,107 @@ class SymSync(Block):
         over = jnp.maximum(jnp.abs(tau_carry) - np.float32(self.B), 0.0)
         slip_syms = jnp.ceil(over / np.float32(k))  # 0 while τ is in-slack
         tau_carry = tau_carry - slip_syms * np.float32(k) * jnp.sign(tau_carry)
+        return tm, slope, cm, tau_carry
+
+    def _interp(self, ext, j0, nout_local: int, tm, slope, cm, origin):
+        """Interpolate output samples j = j0 .. j0+nout_local−1 against the
+        polyphase matched-filter bank.  ``ext`` is the available data indexed
+        in GLOBAL xfull coordinates minus ``origin`` (serial: ext = xfull,
+        origin = 0; sharded: ext = [left halo | local x | right halo],
+        origin = ti·nloc).
+
+        Positions are kept as exact int grid points + a SMALL float32
+        residual: a single float32 `base + tau` loses the polyphase fraction
+        once positions pass ~2^22 (ulp 0.5 ≥ the 1/npfb bank step), silently
+        picking wrong fractional-delay filters late in large blocks."""
+        k, m, npfb = self.k, self.m, self.npfb
+        bank = jnp.asarray(_interp_bank(k, m, npfb, self.ftype, self.beta))
+        W = bank.shape[1]
+        # constant processing delay, centered in the slack: τ may roam
+        # ±(B+k) samples before the interpolation window leaves the data
+        start = self.H - (m * k + k + self.B)
+        num = (j0 + jnp.arange(nout_local)) * k
+        base_int = np.int32(start) + (num // self.out_per_sym).astype(jnp.int32)
+        base_frac = ((num % self.out_per_sym).astype(jnp.float32)
+                     / np.float32(self.out_per_sym))
+        # τ(n) = tm + slope·(n − cm) marks boundaries; centers are k/2 later.
+        # (base − cm) may be large but only multiplies the tiny slope — the
+        # f32 rounding of base_int there is harmless.
+        bdiff = (base_int.astype(jnp.float32) - cm) + base_frac
+        delta = tm + slope * bdiff + np.float32(k / 2.0) + base_frac
+        dlo = jnp.floor(delta)
+        frac = delta - dlo
+        ipos = base_int + dlo.astype(jnp.int32) - origin
+        ph = jnp.clip(jnp.round(frac * npfb).astype(jnp.int32), 0, npfb - 1)
+        offs = jnp.asarray((np.arange(W) - m * k).astype(np.int32))
+        win = ext[ipos[:, None] + offs[None, :]]          # (nout, W) gather
+        taps = bank[ph]                                   # (nout, W) gather
+        return jnp.sum(win * taps.astype(win.dtype), axis=-1)
+
+    # ---- sharded execution (core/sharding protocol) -------------------------
+    def shard_apply(self, state, x, ctx):
+        """Time-sharded symbol sync with the SAME global math: each device
+        sums the timing tone over the global sub-windows it owns (windows
+        align with device boundaries — enforced statically), the per-window
+        sums are all-gathered over 'time' (nw complex scalars), every device
+        evaluates the identical global line fit, and interpolates its own
+        outputs against [left halo | local x | right halo]."""
+        hist, tau_prev, tau_valid = state
+        k = self.k
+        nloc = x.shape[0]
+        n = nloc * ctx.dt
+        nout_loc = (nloc // k) * self.out_per_sym
+
+        d_inner = x[1:] - x[:-1]
+        s_inner = jnp.abs(d_inner) ** 2 if self.complex_input else d_inner * d_inner
+        # device 0 mirrors the serial block-head duplication; others use the
+        # true cross-boundary difference
+        prev1 = ctx.left_halo(x, x[:1], 1)
+        d0 = x[:1] - prev1
+        s0_true = jnp.abs(d0) ** 2 if self.complex_input else d0 * d0
+        s0 = jnp.where(ctx.ti() == 0, s_inner[:1], s0_true)
+        s = jnp.concatenate([s0, s_inner])
+        # the rotator phase offset per device is a multiple of 2π (k | nloc)
+        rot = jnp_const(_timing_rotator(k, int(nloc)))
+        z = s.astype(jnp.complex64) * rot
+        nw = self._nw(int(n), k)
+        nw_loc = nw // ctx.dt
+        wlen = n // nw
+        Tw_loc = z[: nw_loc * wlen].reshape(nw_loc, wlen).sum(axis=1)
+        Tw = jax.lax.all_gather(Tw_loc, ctx.time_axis).reshape(nw)
+
+        tm, slope, cm, tau_carry = self._fit_line(Tw, int(n), tau_prev, tau_valid)
+
+        ext = jnp.concatenate([
+            ctx.left_halo(x, hist, self.H), x,
+            ctx.right_halo(x, self.m * k + self.k + self.B)])
+        y = self._interp(ext, ctx.ti() * nout_loc, int(nout_loc),
+                         tm, slope, cm, origin=ctx.ti() * nloc)
+        new_hist = ctx.from_last_time(x[-self.H:])
         return (new_hist, tau_carry, jnp.ones((), jnp.bool_)), y
+
+    def shard_validate(self, nloc, ctx):
+        k = self.k
+        n = nloc * ctx.dt
+        if nloc % k:
+            raise ValueError(f"{self.name}: local segment {nloc} not a "
+                             f"multiple of k={k}")
+        nw = self._nw(n, k)
+        if nw % ctx.dt:
+            raise ValueError(
+                f"{self.name}: {nw} timing sub-windows cannot align with "
+                f"{ctx.dt} time shards — grow block_size (needs ≥ "
+                f"{64 * k * ctx.dt} samples) or use dt dividing {nw}")
+        wlen = n // nw
+        if nloc % wlen:
+            raise ValueError(
+                f"{self.name}: sub-window length {wlen} does not divide the "
+                f"local segment {nloc}")
+        halo = max(self.H, self.m * k + k + self.B)
+        if nloc < halo:
+            raise ValueError(
+                f"{self.name}: local segment {nloc} shorter than halo {halo}")
+        return (nloc // k) * self.out_per_sym
 
 
 class SymSyncScan(Block):

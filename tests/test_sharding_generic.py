@@ -236,11 +236,13 @@ def test_shard_validate_errors():
     # channel axis does not divide nch
     with pytest.raises(ValueError, match="divisible"):
         ShardedChain(cs.chain(cs.firpfbch_channelizer(6)), mesh_of(2, 4), 2 * 6 * 256)
-    # non-shardable block (sequential scan) refuses loudly
+    # non-shardable block (sequential scan) refuses loudly.  (The block-mode
+    # symsync itself shards since round-2 session 2 — the scan-mode feedback
+    # loop is the remaining genuinely sequential case.)
     from csdr_tpu.models.symsync import sym_sync_r
 
     with pytest.raises(NotImplementedError):
-        ShardedChain(sym_sync_r(2, 4, 0.5, 64), mesh, 4 * 1024)
+        ShardedChain(sym_sync_r(2, 4, 0.5, 64, mode="scan"), mesh, 4 * 1024)
 
 
 @pytest.mark.parametrize("dt", [2, 4, 8])
@@ -311,3 +313,42 @@ def test_sharded_gmsk_demod(dt):
         st, y = sc.step(st, blk)
         got = np.asarray(decode_tree_host(y))
         assert np.array_equal(got, ref), (dt, i, int(np.sum(got != ref)))
+
+
+@pytest.mark.parametrize("dt", [2, 4, 8])
+def test_sharded_symsync_fm_dem_with_sync(dt):
+    """DeNBFMSync's graph — FM demod → block-parallel symbol sync — sharded:
+    the timing-tone windows are summed per device and all-gathered, the
+    global line fit is evaluated identically everywhere, and interpolation
+    rides left+right halos.  Must match single-device almost exactly."""
+    from csdr_tpu.models.symsync import fm_dem_with_sync
+
+    mesh = mesh_of(dt, 1)
+    k, nsym = 10, 16384
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, nsym)
+    iq = np.exp(1j * np.cumsum(
+        np.repeat((bits * 2 - 1) * 0.02 * k * 0.5, k) * 2 * np.pi)
+    ).astype(np.complex64)
+    n = (len(iq) // (2 * dt * k * 8)) * dt * k * 8  # two global blocks
+
+    graph = cs.chain(fm_dem_with_sync(k))
+    ref_pipe = Pipeline(graph, n)
+    sc = ShardedChain(cs.chain(fm_dem_with_sync(k)), mesh, n)
+    st = sc.init()
+    for i in range(2):
+        blk = iq[i * n:(i + 1) * n]
+        ref = np.asarray(decode_tree_host(ref_pipe.process_block(blk)))
+        st, y = sc.step(st, blk)
+        got = np.asarray(decode_tree_host(y))
+        assert got.shape == ref.shape
+        err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-12)
+        assert err < 2e-3, (dt, i, err)
+
+
+def test_sharded_symsync_rejects_tiny_blocks():
+    from csdr_tpu.models.symsync import sym_sync_r
+
+    mesh = mesh_of(8, 1)
+    with pytest.raises(ValueError, match="sub-windows|halo|multiple"):
+        ShardedChain(cs.chain(sym_sync_r(4, 4, 0.0, 64)), mesh, 8 * 4 * 8)
