@@ -66,9 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Kernel backend for the channelized FM path "
                         "(-c N + DeNBFM): fused Pallas kernels or pure XLA")
     p.add_argument("--mesh", default=None, metavar="TxC",
-                   help="Run the channelized FM path on a device mesh, e.g. "
-                        "'4x2' = 4 time-shards x 2 channel-shards "
-                        "(requires -c N and --demod 'DeNBFM kf')")
+                   help="Run the flow on a device mesh, e.g. '4x2' = 4 "
+                        "time-shards x 2 channel-shards.  Every demod flow "
+                        "shards (channelized FM uses the fused fast path); "
+                        "per-sample scan modes refuse with a clear message")
     return p
 
 
