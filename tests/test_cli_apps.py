@@ -366,14 +366,23 @@ def test_cli_mesh_generic_wbfm_and_mix(tmp_path):
     assert np.max(np.abs(a - b)) / scale < 2e-3
 
 
-def test_cli_mesh_rejects_sequential_flow(tmp_path):
+def test_cli_mesh_symsync_flow_and_bad_mesh(tmp_path):
+    """DeNBFMSync shards since round-2 session 2 (the block-parallel symsync
+    gained shard_apply) — the CLI runs it over a mesh with exact accounting;
+    an oversized mesh still refuses cleanly (rc 1, no traceback)."""
     import jax
     if len(jax.devices()) < 4:
         import pytest
         pytest.skip("needs 4 devices")
     os.chdir(tmp_path)
-    np.zeros(1 << 16, np.complex64).tofile("z.cf32")
-    rc = cli_main(["--filename", "z.cf32", "-n", str(1 << 16),
+    n = 1 << 16
+    np.exp(1j * np.linspace(0, 500.0, n)).astype(np.complex64).tofile("z.cf32")
+    rc = cli_main(["--filename", "z.cf32", "-n", str(n),
                    "--demod", "DeNBFMSync 10", "-o", "seq",
                    "--mesh", "4x1", "--blocksize", str(1 << 15)])
-    assert rc == 1  # clean refusal, not a traceback
+    assert rc == 0
+    assert os.path.getsize("seq.f32") == (n * 2 // 10) * 4  # 2 samp/sym f32
+    rc = cli_main(["--filename", "z.cf32", "-n", str(n),
+                   "--demod", "DeNBFMSync 10", "-o", "seq2",
+                   "--mesh", "64x1", "--blocksize", str(1 << 15)])
+    assert rc == 1  # more devices than exist: clean refusal, not a traceback
