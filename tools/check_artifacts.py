@@ -1,0 +1,83 @@
+"""Validate the committed benchmark artifacts and print a round summary.
+
+Each artifact records its own health gate (the relay's windows swing wildly
+— docs/PERF.md §4), so "present" is not enough: this tool checks schema +
+health flags and prints one line per artifact, then a one-line JSON verdict.
+Run it before closing out a round: anything UNHEALTHY is a re-capture TODO
+(`python benchmarks/capture_r02_artifacts.py`), anything MISSING was never
+recorded.
+
+Usage: python tools/check_artifacts.py [results_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+RES = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "benchmarks", "results")
+
+# name -> (health key or None (presence = ok), required fields)
+SPEC = {
+    "TUNE_r02.json": ("healthy", ["best_flagship_msps", "cache"]),
+    "BACKENDS_r02.json": ("healthy", ["msps_per_backend"]),
+    "ROOFLINE_r02.json": ("healthy", ["hbm_copy_GBps", "device_kind"]),
+    "U8_CONVERT_r02.json": ("healthy_window", ["u8_i32_f32"]),
+    "BLOCKSWEEP_r02.json": ("healthy", ["msps"]),
+    "FFTFIR_r02.json": (None, ["results"]),
+    "SYMSYNC_r02.json": (None, ["results"]),
+    "SCALING_virtual_r02.json": (None, []),
+    "STREAMING_r02.json": ("__best__", ["history"]),
+}
+
+
+def main() -> int:
+    rows = []
+    ok = True
+    for name, (hkey, fields) in SPEC.items():
+        path = os.path.join(RES, name)
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except OSError:
+            rows.append((name, "MISSING", ""))
+            ok = False
+            continue
+        except ValueError as e:
+            rows.append((name, "CORRUPT", str(e)[:60]))
+            ok = False
+            continue
+        missing = [k for k in fields if k not in d]
+        if missing:
+            rows.append((name, "BAD-SCHEMA", f"missing {missing}"))
+            ok = False
+            continue
+        if hkey == "__best__":
+            healthy = d.get("best") is not None
+            note = (f"best={d['best'].get('value')} {d['best'].get('unit', '')}"
+                    if healthy else f"{len(d.get('history', []))} attempts, "
+                                    f"no healthy window yet")
+        elif hkey is None:
+            healthy, note = True, ""
+        else:
+            healthy = bool(d.get(hkey))
+            note = "" if healthy else "recorded in a degraded window"
+        rows.append((name, "ok" if healthy else "UNHEALTHY", note))
+        if not healthy:
+            ok = False
+
+    width = max(len(n) for n in SPEC)
+    for name, status, note in rows:
+        print(f"{name:<{width}}  {status:<10} {note}")
+    summary = {"artifacts": len(SPEC),
+               "ok": sum(1 for _, s, _ in rows if s == "ok"),
+               "all_healthy": ok}
+    print(json.dumps(summary))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
