@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Output file(s) name (without extension)")
     p.add_argument("--demod", default="DeNo", metavar="DEMOD",
                    help='Demodulation type, e.g. "DeNBFM 0.6 WAV"')
+    p.add_argument("--rds", action="store_true",
+                   help="With --demod 'DeFMS ...': also decode the 57 kHz RDS "
+                        "subcarrier (PS/RadioText/PI) to <output>.rds.txt "
+                        "(capability extension; buffers the demodulated "
+                        "composite in host memory, 4 B/sample)")
     p.add_argument("-a", "--agc", type=float, default=0.0, metavar="DOUBLE",
                    help="Enable AGC with squelch threshold in dB (0 = no AGC)")
     p.add_argument("-c", "--channels", type=int, default=1, metavar="INT",
@@ -207,6 +212,30 @@ def run_opts(opts) -> int:
             # scan-PLL mode refuses inside shard_validate with a clear message
             return _run_sharded_generic(opts, kind, per, None, stream,
                                         out_sink=sink)
+        if opts.rds:
+            # decode the 57 kHz RDS subcarrier alongside the stereo audio
+            # (capability extension — models/rds.py).  The demodulated
+            # composite is materialized once (4 B/sample host memory) and fed
+            # to both decoders; stereo and RDS run at incompatible rational
+            # rates, so they are separate graphs rather than one Tee.
+            from ..models.rds import rds_receiver, decode_groups
+
+            fm = chain(B.dc_blocker(), *agc_blocks, B.fm_demodulator(0.8))
+            comp = list(Pipeline(fm, block_size=opts.blocksize).stream(stream))
+            with sink:
+                Pipeline(stereo_fm_decoder(out_bw, decim),
+                         block_size=opts.blocksize).run(iter(comp), sink)
+            bit_sink = S.CollectSink()
+            Pipeline(rds_receiver(out_bw),
+                     block_size=opts.blocksize).run(iter(comp), bit_sink)
+            info = decode_groups(bit_sink.concat())
+            pi = f"{info['pi']:04X}" if info["pi"] is not None else "----"
+            print(f"RDS: PI={pi} PS={info['ps']!r} RT={info['rt']!r} "
+                  f"({info['groups']} groups)")
+            with open(opts.output + ".rds.txt", "w") as f:
+                f.write(f"PI: {pi}\nPS: {info['ps']}\nRT: {info['rt']}\n"
+                        f"groups: {info['groups']}\n")
+            return 0
         graph = chain(B.dc_blocker(), per)
         pipe = Pipeline(graph, block_size=opts.blocksize)
         with sink:
