@@ -34,6 +34,7 @@ from __future__ import annotations
 from fractions import Fraction
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.block import Block, chain
@@ -103,6 +104,41 @@ class RDSBaseband(Block):
         s["data_hist"], y = fir_ops.fir_stream(self.h_data, s["data_hist"], bb)
         return s, y
 
+    # ---- sharded execution (same primitives as models/stereo.py) -----------
+    def shard_apply(self, state, c, ctx):
+        from ..ops import nco as nco_ops
+
+        nloc = c.shape[0]
+        s = dict(state)
+        table = jnp.asarray(nco_ops.phase_table(self.omega19, nloc, ctx.dt))
+        theta0 = jnp.mod(s["phase19"] + table[ctx.ti()], np.float32(_TWO_PI))
+        ramp = jnp.asarray(phase_ramp(self.omega19, int(nloc)))
+        theta = theta0 + ramp
+        m19 = c.astype(jnp.complex64) * jnp.exp(-1j * theta).astype(jnp.complex64)
+        s["pilot_hist"], pilot_bb = ctx.fir(self.h_pilot, s["pilot_hist"], m19)
+        s["phase19"] = jnp.mod(
+            state["phase19"] + phase_increment(self.omega19, nloc * ctx.dt),
+            np.float32(_TWO_PI))
+        gd_phase = np.float32(np.mod(self.omega19 * self.gdelay, _TWO_PI))
+        p_a = pilot_bb * jnp.exp(1j * (theta - gd_phase)).astype(jnp.complex64)
+        u = p_a / (jnp.abs(p_a) + 1e-12)
+        sub57 = u * u * u
+
+        halo = ctx.left_halo(c, s["delay_buf"], self.gdelay)
+        cd = jnp.concatenate([halo, c])[:nloc]
+        s["delay_buf"] = ctx.from_last_time(c[-self.gdelay:])
+
+        bb = jnp.real(cd.astype(jnp.complex64) * jnp.conj(sub57))
+        s["data_hist"], y = ctx.fir(self.h_data, s["data_hist"], bb)
+        return s, y
+
+    def shard_validate(self, nloc, ctx):
+        halo = max(len(self.h_pilot) - 1, len(self.h_data) - 1, self.gdelay)
+        if nloc < halo:
+            raise ValueError(f"{self.name}: local segment {nloc} shorter than "
+                             f"the largest halo {halo}")
+        return nloc
+
 
 class RDSBitSlicer(Block):
     """RDS baseband at 19 kHz → decoded data bits at 1187.5 bps.
@@ -136,6 +172,35 @@ class RDSBitSlicer(Block):
         prevs = jnp.concatenate([prev_raw[None], raw[:-1]])
         bits = jnp.bitwise_xor(raw, prevs).astype(jnp.uint8)
         return (hist, raw[-1]), bits
+
+    # ---- sharded execution --------------------------------------------------
+    def shard_apply(self, state, x, ctx):
+        """The bit phase is a block-GLOBAL decision: per-phase energies are
+        psum'd over 'time' so every device picks the same phase (k | nloc
+        keeps the stride grid aligned across devices); the differential
+        decode takes its previous raw bit from the left neighbor."""
+        hist, prev_raw = state
+        k = SAMPLES_PER_BIT
+        nloc = x.shape[0]
+        nb = nloc // k
+        new_hist, y = ctx.fir(self.h_bi, hist, x)
+        rows = y[: nb * k].reshape(nb, k)
+        energy = jax.lax.psum(jnp.sum(rows * rows, axis=0), ctx.time_axis) \
+            if ctx.dt > 1 else jnp.sum(rows * rows, axis=0)
+        ph = jnp.argmax(energy)
+        raw = (jnp.take(rows, ph, axis=1) > 0).astype(jnp.uint32)
+        prev0 = ctx.left_halo(raw, prev_raw[None].astype(raw.dtype), 1)
+        prevs = jnp.concatenate([prev0, raw[:-1]])
+        bits = jnp.bitwise_xor(raw, prevs).astype(jnp.uint8)
+        new_prev = ctx.from_last_time(raw[-1])
+        return (new_hist, new_prev), bits
+
+    def shard_validate(self, nloc, ctx):
+        k = SAMPLES_PER_BIT
+        if nloc % k:
+            raise ValueError(f"{self.name}: local segment {nloc} not a "
+                             f"multiple of {k}")
+        return nloc // k
 
 
 def rds_receiver(quad_rate: float) -> Block:

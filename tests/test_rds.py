@@ -109,3 +109,36 @@ def test_cli_defms_rds_flag(tmp_path, monkeypatch):
     assert os.path.exists("st.wav")
     txt = open("st.rds.txt").read()
     assert f"PS: {ps}" in txt and f"PI: {pi:04X}" in txt
+
+
+@pytest.mark.parametrize("dt", [2, 4])
+def test_sharded_rds_receiver_bit_identical(dt):
+    """The RDS chain (pilot-locked baseband → rational resampler → bit
+    slicer with psum'd phase energies) sharded over time produces exactly
+    the single-device bit stream."""
+    import jax
+    from jax.sharding import Mesh
+    from csdr_tpu.parallel.generic import ShardedChain
+    from csdr_tpu.core.runtime import Pipeline, decode_tree_host
+
+    if dt > len(jax.devices()):
+        pytest.skip("not enough devices")
+    mesh = Mesh(np.asarray(jax.devices()[:dt]).reshape(dt, 1), ("time", "ch"))
+
+    quad = 192000.0
+    pi, ps = 0x52D4, "CSDR-TPU"
+    groups = [rds.make_group_0a(pi, s, ps[2 * s:2 * s + 2]) for s in range(4)]
+    g = rds.rds_receiver(quad)
+    block = g.granule * dt * max(1, (1 << 16) // (g.granule * dt))
+    n = 2 * block
+    mpx = _mpx_with_rds(quad, n, 0.7, groups)
+
+    ref_pipe = Pipeline(rds.rds_receiver(quad), block)
+    sc = ShardedChain(rds.rds_receiver(quad), mesh, block)
+    st = sc.init()
+    for i in range(2):
+        blk = mpx[i * block:(i + 1) * block]
+        ref = np.asarray(decode_tree_host(ref_pipe.process_block(blk)))
+        st, y = sc.step(st, blk)
+        got = np.asarray(decode_tree_host(y))
+        assert np.array_equal(got, ref), (dt, i, int(np.sum(got != ref)))
