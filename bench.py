@@ -92,6 +92,104 @@ def run_u8(iters: int, tileF: int | None = None, wide: bool = False):
     return iters * block / (time.perf_counter() - t0) / 1e6
 
 
+def run_scan(backend: str, outer: int, inner: int, tileF: int | None = None):
+    """On-device scan-loop benchmark: one dispatch executes ``inner``
+    state-chained pipeline steps inside ``lax.scan``, so the relay's dispatch
+    latency (which swings ~50x between health regimes,
+    docs/TPU_BACKEND_NOTES.md) is amortized over seconds of device work
+    instead of microseconds.  This measures the same thing a production
+    deployment sees — there, async dispatch pipelining hides launch latency;
+    here the tunnel forbids that, so the loop moves inside the program.
+
+    Honesty properties (CLAUDE.md rule 6):
+      * within a dispatch, iterations are ONE compiled program — the relay
+        has nothing to dedup, and XLA executes every scan iteration;
+      * the carried Block state (NCO phase, DC carry, FIR tails) makes each
+        iteration data-depend on the previous one — the kernel call can't be
+        hoisted out of the loop (loop-variant operand);
+      * one element of each iteration's output rides the carry and the last
+        one is returned, keeping the output live.  The fused Pallas kernel is
+        opaque to XLA, so partial-output DCE/narrowing is impossible — which
+        is why scan mode only accepts the fused backends;
+      * across outer dispatches the carried state differs, so dispatches are
+        never byte-identical.
+    """
+    if backend not in ("pallas_full", "pallas_wide", "pallas",
+                       "cu8", "cu8_wide"):
+        # XLA-tail backends could legally be slice-narrowed by the compiler
+        # when only one output element is observed — refuse rather than risk
+        # a flattering number
+        raise ValueError(f"scan mode supports fused backends only, not {backend}")
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.core.runtime import encode_tree, decode_tree, CEnc
+
+    nch = 64
+    block = _BLOCK
+
+    if backend in ("cu8", "cu8_wide"):
+        wide = backend == "cu8_wide"
+        if wide:
+            from csdr_tpu.ops.pallas.flagship_fused_wide import (
+                flagship_fused_wide_init as k_init,
+                flagship_fused_wide_step as k_step)
+            kname = "flagship_fused_wide"
+        else:
+            from csdr_tpu.ops.pallas.flagship_fused import (
+                flagship_fused_init as k_init, flagship_fused_step as k_step)
+            kname = "flagship_fused"
+        from csdr_tpu.utils import autotune
+        if tileF is None:
+            tileF = autotune.lookup(kname, nch, variant="u8")
+        from csdr_tpu.blocks.pallas_blocks import _interp_default
+
+        interp = _interp_default(False)
+        x_in = (jax.jit(lambda: jnp.full((block,), 137, jnp.uint8))(),
+                jax.jit(lambda: jnp.full((block,), 120, jnp.uint8))())
+        state0 = k_init(nch)
+
+        def one(s, x):
+            return k_step(s, x, nch=nch, tileF=tileF, interpret=interp)
+    else:
+        from csdr_tpu.models.receivers import channelized_fm_receiver
+
+        graph = channelized_fm_receiver(nch, kf=0.6, backend=backend,
+                                        tileF=tileF)
+        x_in = CEnc(jax.jit(lambda: jnp.full((block, 2), 0.5, jnp.float32))())
+        state0 = jax.jit(lambda: encode_tree(graph.init()))()
+
+        def one(s_enc, x_enc):
+            s2, y = graph.apply(decode_tree(s_enc), decode_tree(x_enc))
+            return encode_tree(s2), encode_tree(y)
+
+    def chunk(state, probe, x):
+        def body(carry, _):
+            st, pr = carry
+            st2, y = one(st, x)
+            leaf = jax.tree.leaves(y)[0]
+            arr = leaf.ri if isinstance(leaf, CEnc) else leaf
+            pr2 = arr.reshape(-1)[0].astype(jnp.float32) + 0.0 * pr
+            return (st2, pr2), None
+        return jax.lax.scan(body, (state, probe), None, length=inner)[0]
+
+    step = jax.jit(chunk, donate_argnums=(0,))
+    state, probe = state0, jnp.float32(0.0)
+    state, probe = step(state, probe, x_in)  # compile + warm
+    jax.block_until_ready(probe)
+    t0 = time.perf_counter()
+    for _ in range(outer):
+        state, probe = step(state, probe, x_in)
+    jax.block_until_ready(probe)
+    dt = time.perf_counter() - t0
+    return outer * inner * block / dt / 1e6
+
+
+# scan-mode shape: per-dispatch work = inner * block samples (~8.6 G samples
+# at the defaults = ~0.1 s of healthy device time per dispatch)
+_SCAN_INNER = int(os.environ.get("CSDR_BENCH_SCAN_INNER", 2048))
+_SCAN_OUTER = int(os.environ.get("CSDR_BENCH_SCAN_OUTER", 3))
+
+
 HEALTHY_MSPS = 40000.0  # healthy windows measure 70-95 GSPS; the relay's
                         # degraded-latency regimes cap anywhere from ~0.1 to
                         # ~20 GSPS regardless of the program — below this,
@@ -128,6 +226,13 @@ def main():
         return
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     backend = sys.argv[2] if len(sys.argv) > 2 else None
+    if backend is not None and backend.endswith(":scan"):
+        be = backend[: -len(":scan")]
+        msps = run_scan(be, _SCAN_OUTER, _SCAN_INNER)
+        print(json.dumps({"metric": f"pfb64_fm_demod_throughput_{be}_scan",
+                          "value": round(msps, 2), "unit": "Msamples/s/chip",
+                          "vs_baseline": round(msps / 3.2, 2)}))
+        return
     if backend in ("cu8", "cu8_wide"):
         msps = run_u8(iters, wide=backend == "cu8_wide")
         print(json.dumps({"metric": f"pfb64_fm_demod_throughput_{backend}",
@@ -137,16 +242,24 @@ def main():
     if backend is None:
         # the tunneled TPU here has two failure modes: slow CLAIMS (retry on
         # exception) and a degraded-latency regime where every dispatch is
-        # ~50x slower (same code, values collapse) — keep the best healthy
-        # measurement across attempts rather than reporting a sick window
+        # ~50x slower (same code, values collapse).  The scan-loop mode (one
+        # dispatch = 2048 state-chained steps on device) is immune to the
+        # latter, so it leads the chain; host-loop modes back it up in case
+        # a kernel regression breaks the scan compile.  Keep the best healthy
+        # measurement across attempts rather than reporting a sick window.
+        attempts_plan = (
+            [("scan", be) for be in ("pallas_full", "pallas_wide")]
+            + [("loop", be) for be in ("pallas_full", "pallas_wide",
+                                       "pallas", "xla")])
         msps = None
         for attempt in range(5):
-            for be in ("pallas_full", "pallas_wide", "pallas", "xla"):
+            for mode, be in attempts_plan:
                 try:
-                    v = run(be, iters)
+                    v = (run_scan(be, _SCAN_OUTER, _SCAN_INNER)
+                         if mode == "scan" else run(be, iters))
                 except Exception as e:
-                    print(f"# backend {be} failed ({type(e).__name__}: {e})"[:200],
-                          file=sys.stderr)
+                    print(f"# {mode} backend {be} failed "
+                          f"({type(e).__name__}: {e})"[:200], file=sys.stderr)
                     continue
                 msps = v if msps is None else max(msps, v)
                 break

@@ -6,6 +6,10 @@ time and only in a healthy window.  This orchestrator owns the chip: it
 probes the wire, and when a window opens it runs whichever artifact jobs are
 still missing, in order of value:
 
+  0. SCANLOOP_r02.json   — bench.py scan-mode per fused backend (one
+                           dispatch = 2048 state-chained steps on device —
+                           immune to dispatch-latency regimes; tried in any
+                           window where programs upload at all)
   1. STREAMING_r02.json  — end-to-end host→device→host (capture_streaming's
                            bench; needs BOTH directions healthy: the sinks
                            pull ~134 MB of audio back over the wire)
@@ -150,6 +154,31 @@ def run_blocksweep(probe) -> bool:
     return healthy
 
 
+def run_scanloop(probe) -> bool:
+    """bench.py scan-mode (one dispatch = 2048 state-chained steps inside
+    lax.scan — immune to the relay's dispatch-latency regimes, see
+    bench.run_scan) per fused backend, plus the same-window host-loop number
+    for pallas_full so the dispatch-latency gap is quantified.  Records
+    SCANLOOP_r02.json; healthy iff the best scan point clears 40 GSPS."""
+    res = {}
+    for be in ("pallas_full:scan", "pallas_wide:scan", "cu8:scan",
+               "pallas_full"):
+        out = cap._run_capped([sys.executable, os.path.join(REPO, "bench.py"),
+                               "10", be], 1800)
+        r = cap._json_line(out) if out else None
+        res[be] = (r or {}).get("value")
+        print(f"# scanloop {be}: {res[be]}", flush=True)
+    best = max((v for k, v in res.items() if k.endswith(":scan") and v),
+               default=0.0)
+    healthy = best >= 40000.0
+    with open(os.path.join(RES, "SCANLOOP_r02.json"), "w") as f:
+        json.dump({"healthy": healthy, "probe_before": probe,
+                   "msps": res}, f, indent=1)
+    # scan health does NOT prove the window's dispatch path is healthy (that
+    # is the whole point of scan mode) — only the host-loop point does
+    return (res.get("pallas_full") or 0.0) >= 40000.0
+
+
 def run_backends(probe) -> bool:
     """One bench.py run per backend, same window, tuned tiles (children read
     the user cache).  Healthy iff the best fused backend clears 40 GSPS."""
@@ -175,6 +204,7 @@ def main():
 
     while time.time() < deadline:
         todo_streaming = not _have_streaming()
+        todo_scanloop = not _healthy_artifact("SCANLOOP_r02.json", "healthy")
         todo_roofline = not _healthy_artifact("ROOFLINE_r02.json", "healthy")
         todo_u8 = not _healthy_artifact("U8_CONVERT_r02.json", "healthy_window")
         todo_tune = not _healthy_artifact("TUNE_r02.json", "healthy")
@@ -182,8 +212,9 @@ def main():
         todo_bsweep = not _healthy_artifact("BLOCKSWEEP_r02.json", "healthy")
         todo_fft = not _have("FFTFIR_r02.json")
         todo_sym = not _have("SYMSYNC_r02.json")
-        if not any((todo_streaming, todo_roofline, todo_u8, todo_tune,
-                    todo_backends, todo_bsweep, todo_fft, todo_sym)):
+        if not any((todo_streaming, todo_scanloop, todo_roofline, todo_u8,
+                    todo_tune, todo_backends, todo_bsweep, todo_fft,
+                    todo_sym)):
             print("# all artifacts captured", flush=True)
             return
 
@@ -195,14 +226,19 @@ def main():
             time.sleep(600)
             continue
         print(f"# {ts} wire {p['up_MBps']} up / {p['down_MBps']} down MB/s "
-              f"(todo: streaming={todo_streaming} roofline={todo_roofline} "
-              f"u8={todo_u8} tune={todo_tune} backends={todo_backends} "
-              f"fft={todo_fft} sym={todo_sym})", flush=True)
+              f"(todo: streaming={todo_streaming} scanloop={todo_scanloop} "
+              f"roofline={todo_roofline} u8={todo_u8} tune={todo_tune} "
+              f"backends={todo_backends} fft={todo_fft} sym={todo_sym})",
+              flush=True)
 
         dispatch_ok = p["up_MBps"] >= 80.0     # degraded dispatch collapses up too
         both_ok = dispatch_ok and p["down_MBps"] >= 20.0
 
         window_proved_healthy = False
+        if todo_scanloop and p["up_MBps"] >= 10.0:
+            # scan mode amortizes dispatch latency on device — worth trying
+            # in any window where programs can be uploaded at all
+            window_proved_healthy = run_scanloop(p)
         if todo_roofline and dispatch_ok:
             run_script("probe_roofline.py", ["20"], 2400)
             window_proved_healthy = _healthy_artifact("ROOFLINE_r02.json",

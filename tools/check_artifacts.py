@@ -27,6 +27,7 @@ SPEC = {
     "ROOFLINE_r02.json": ("healthy", ["hbm_copy_GBps", "device_kind"]),
     "U8_CONVERT_r02.json": ("healthy_window", ["u8_i32_f32"]),
     "BLOCKSWEEP_r02.json": ("healthy", ["msps"]),
+    "SCANLOOP_r02.json": ("healthy", ["msps"]),
     "FFTFIR_r02.json": (None, ["results"]),
     "SYMSYNC_r02.json": (None, ["results"]),
     "SCALING_virtual_r02.json": (None, []),
