@@ -34,6 +34,7 @@ from .blocks import (
 )
 from .io.sources import (
     cf32_file_source, cu8_file_source, f32_file_source, wav_iq_source,
+    raw_bytes_source,
     SdrSource, SyntheticSdrSource, enumerate_devices, open_sdr,
 )
 from .io.sinks import (
