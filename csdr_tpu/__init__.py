@@ -40,7 +40,7 @@ from .io.sources import (
 from .io.sinks import (
     RawFileSink, StdoutSink, AudioFileSink, ConstellationPlotSink,
     SpectrumPlotSink,
-    ChannelFileSinks, NullSink, CollectSink,
+    ChannelFileSinks, NullSink, CollectSink, PlaybackSink, TeeSink,
 )
 
 __version__ = "0.1.0"

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "subcarrier (PS/RadioText/PI) to <output>.rds.txt "
                         "(capability extension; buffers the demodulated "
                         "composite in host memory, 4 B/sample)")
+    p.add_argument("--play", nargs="?", const="", default=None, metavar="CMD",
+                   help="Also play demodulated audio live (pacat/aplay/play "
+                        "autodetected, or give a command; float32le PCM on "
+                        "its stdin) — the reference's PulseAudio TODO")
     p.add_argument("-a", "--agc", type=float, default=0.0, metavar="DOUBLE",
                    help="Enable AGC with squelch threshold in dB (0 = no AGC)")
     p.add_argument("-c", "--channels", type=int, default=1, metavar="INT",
@@ -176,6 +180,14 @@ def run_opts(opts) -> int:
     def audio_sink_rate(decim: int) -> int:
         return int(round(out_bw)) // decim // nch
 
+    def with_play(sink, rate, channels: int):
+        """--play: tee single-stream audio into a live player as well."""
+        if opts.play is None or rate is None:
+            return sink
+        return S.TeeSink(sink, S.PlaybackSink(rate, channels,
+                                              opts.play or None))
+
+    play_rate = None  # set per demod kind where the output is mono audio
     kind = demod[0]
     if kind == "DeNo":
         per = chain(*agc_blocks) if agc_blocks else None
@@ -184,14 +196,17 @@ def run_opts(opts) -> int:
         _, kf, fmt = demod
         per = chain(*agc_blocks, B.fm_demodulator(kf))
         make_sink = lambda name: S.AudioFileSink(name, audio_sink_rate(1), 1, fmt.lower())
+        play_rate = audio_sink_rate(1)
     elif kind == "DeWBFM":
         _, decim, fmt = demod
         per = chain(*agc_blocks, B.wbfm_demodulator(out_bw, decim))
         make_sink = lambda name: S.AudioFileSink(name, audio_sink_rate(decim), 1, fmt.lower())
+        play_rate = audio_sink_rate(decim)
     elif kind == "DeAM":
         _, fmt = demod
         per = chain(*agc_blocks, B.am_demodulator())
         make_sink = lambda name: S.AudioFileSink(name, audio_sink_rate(1), 1, fmt.lower())
+        play_rate = audio_sink_rate(1)
     elif kind == "DeNBFMSync":
         _, k = demod
         from ..models.symsync import fm_dem_with_sync
@@ -205,7 +220,10 @@ def run_opts(opts) -> int:
             return 1
         per = chain(*agc_blocks, B.fm_demodulator(0.8),
                     stereo_fm_decoder(out_bw, decim))
-        sink = S.AudioFileSink(opts.output, audio_sink_rate(decim), 2, fmt.lower())
+        sink = with_play(
+            S.AudioFileSink(opts.output, audio_sink_rate(decim), 2,
+                            fmt.lower()),
+            audio_sink_rate(decim), 2)
         if opts.mesh:
             # the closed-form-PLL stereo graph time-shards like any other
             # composition (models/stereo.StereoFMDecoder.shard_apply); the
@@ -244,12 +262,19 @@ def run_opts(opts) -> int:
     else:
         raise AssertionError(kind)
 
+    if opts.play is not None and (play_rate is None
+                                  or (nch > 1 and not opts.mix)):
+        print("--play ignored: output is not a single audio stream")
+
     if opts.mesh:
         # generic compositional sharded path: the SAME graph the
         # single-device branch builds, run under shard_map
         # (parallel/generic.ShardedChain) — any demod flow that its blocks
         # support shards; sequential blocks refuse with a clear message
-        return _run_sharded_generic(opts, kind, per, make_sink, stream)
+        out_sink = (with_play(make_sink(opts.output), play_rate, 1)
+                    if nch == 1 else None)
+        return _run_sharded_generic(opts, kind, per, make_sink, stream,
+                                    out_sink=out_sink)
 
     if (nch > 1 and kind == "DeNBFM" and opts.backend != "xla"
             and not agc_blocks and not opts.mix):
@@ -271,14 +296,14 @@ def run_opts(opts) -> int:
             stages.append(PerChannel(per, nch))
         if opts.mix:
             stages.append(MixChannels())
-            sink = make_sink(opts.output)
+            sink = with_play(make_sink(opts.output), play_rate, 1)
         else:
             sink = S.ChannelFileSinks(
                 lambda i: make_sink(f"{opts.output}_ch{i + 1}"), nch)
     else:
         if per is not None:
             stages.append(per)
-        sink = make_sink(opts.output)
+        sink = with_play(make_sink(opts.output), play_rate, 1)
 
     graph = chain(*stages)
     pipe = Pipeline(graph, block_size=opts.blocksize)

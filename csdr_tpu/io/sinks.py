@@ -15,7 +15,7 @@ from . import wav as wavio
 __all__ = [
     "RawFileSink", "StdoutSink", "AudioFileSink", "ConstellationPlotSink",
     "SpectrumPlotSink",
-    "ChannelFileSinks", "NullSink", "CollectSink",
+    "ChannelFileSinks", "NullSink", "CollectSink", "PlaybackSink", "TeeSink",
 ]
 
 
@@ -59,8 +59,10 @@ class StdoutSink(SinkBase):
 
 class AudioFileSink(SinkBase):
     """Float WAV/AU writer (reference audioFileSink, Sink.hs:64-74).
-    ``fmt`` in {"wav", "au"}; interleaves (n,) mono, (n, ch), or a tuple of
-    per-channel arrays."""
+    ``fmt`` in {"wav", "au"}; interleaves (n,) mono, (channels, n)
+    runtime-layout blocks (what multi-channel graphs emit, e.g. the stereo
+    decoder's ``jnp.stack([left, right])``), (n, channels) frames, or a
+    tuple of per-channel arrays."""
 
     def __init__(self, path: str, sample_rate: int, channels: int = 1, fmt: str = "wav"):
         cls = wavio.WavWriter if fmt.lower() == "wav" else wavio.AuWriter
@@ -68,12 +70,16 @@ class AudioFileSink(SinkBase):
         if not path.endswith(ext):
             path += ext
         self.w = cls(path, sample_rate, channels)
+        self.channels = int(channels)
         self.path = path
 
     def __call__(self, data):
         if isinstance(data, tuple):
             data = np.stack([np.asarray(d) for d in data], axis=-1)
-        self.w.write(np.asarray(data))
+        data = np.asarray(data)
+        if data.ndim == 2 and data.shape[0] == self.channels > 1:
+            data = data.T  # (channels, n) runtime layout → interleaved frames
+        self.w.write(data)
 
     def close(self):
         self.w.close()
@@ -156,6 +162,83 @@ class SpectrumPlotSink(SinkBase):
             f'print -dpng -color "-S1200,600" {self.base}.png\n'
         )
         self.f.close()
+
+
+class TeeSink(SinkBase):
+    """Fan one output stream into several sinks (the sink-side counterpart
+    of core/block.Tee; reference distribute_ feeds one stream to many
+    consumers the same way, Trans.hs:106-117)."""
+
+    def __init__(self, *sinks):
+        self.sinks = sinks
+
+    def __call__(self, data):
+        for s in self.sinks:
+            s(data)
+
+    def close(self):
+        for s in self.sinks:
+            s.close()
+
+
+class PlaybackSink(SinkBase):
+    """Live audio playback through an external player's stdin — the
+    reference's TODO "add live playback via PulseAudio"
+    (/root/reference/README.md:302) and its documented workaround
+    (README.md:160-165: ``mkfifo output.au && play output.au``), built in.
+
+    Streams little-endian float32 PCM (interleaved for multi-channel) to the
+    first player found — ``pacat`` (PulseAudio), ``aplay`` (ALSA), ``play``
+    (sox) — or to an explicit ``command`` / ``$CSDR_PLAYER`` (shell-split;
+    ``{rate}``/``{channels}`` are substituted).  Raises if no player exists;
+    a dead player ends playback silently (like pulling headphones out
+    mid-stream) rather than killing the capture."""
+
+    _CANDIDATES = (
+        "pacat --rate {rate} --channels {channels} --format float32le",
+        "aplay -q -f FLOAT_LE -r {rate} -c {channels} -t raw -",
+        "play -q -t raw -r {rate} -e floating-point -b 32 -c {channels} -",
+    )
+
+    def __init__(self, sample_rate: int, channels: int = 1,
+                 command: str | None = None):
+        import shlex
+        import shutil
+        import subprocess
+
+        command = command or os.environ.get("CSDR_PLAYER")
+        if command is None:
+            for cand in self._CANDIDATES:
+                if shutil.which(cand.split()[0]):
+                    command = cand
+                    break
+            else:
+                raise FileNotFoundError(
+                    "no audio player found (tried pacat/aplay/play); install "
+                    "one or set CSDR_PLAYER / pass command=")
+        argv = [a.format(rate=int(sample_rate), channels=int(channels))
+                for a in shlex.split(command)]
+        self.proc = subprocess.Popen(argv, stdin=subprocess.PIPE)
+        self.alive = True
+
+    def __call__(self, data):
+        if not self.alive:
+            return
+        a = np.asarray(data)
+        if a.ndim == 2:  # (channels, n) runtime layout → interleaved frames
+            a = a.T
+        try:
+            self.proc.stdin.write(np.ascontiguousarray(a, np.float32).tobytes())
+        except (BrokenPipeError, OSError):
+            self.alive = False
+
+    def close(self):
+        if self.proc.stdin and not self.proc.stdin.closed:
+            try:
+                self.proc.stdin.close()
+            except (BrokenPipeError, OSError):
+                pass
+        self.proc.wait()
 
 
 class ChannelFileSinks(SinkBase):

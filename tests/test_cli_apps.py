@@ -156,6 +156,15 @@ def test_cli_fms_stereo(tmp_path):
     assert rc == 0
     audio, sr = wavio.read_wav("stereo.wav")
     assert audio.shape == (n // 4, 2)
+    # the WAV must be frame-interleaved (L R L R ...), not block-channel-
+    # major: the dominant tone of column 0 is L's 700 Hz, column 1 R's
+    # 2200 Hz.  (A raw channel-major write passes the shape check above but
+    # scrambles both columns' spectra.)
+    tail = audio[len(audio) // 2:]  # skip filter transients
+    freqs = np.fft.rfftfreq(len(tail), d=4.0 / quad)
+    for col, f_want in ((0, 700.0), (1, 2200.0)):
+        spec = np.abs(np.fft.rfft(tail[:, col] * np.hanning(len(tail))))
+        assert abs(freqs[np.argmax(spec)] - f_want) < 30.0, (col, f_want)
 
 
 def test_cli_cu8_capture(tmp_path):
@@ -386,3 +395,39 @@ def test_cli_mesh_symsync_flow_and_bad_mesh(tmp_path):
                    "--demod", "DeNBFMSync 10", "-o", "seq2",
                    "--mesh", "64x1", "--blocksize", str(1 << 15)])
     assert rc == 1  # more devices than exist: clean refusal, not a traceback
+
+
+def test_cli_play_tees_live_audio(tmp_path):
+    """--play tees the demodulated audio into a player's stdin as float32le
+    PCM; the stream must be byte-identical to the WAV payload (the built-in
+    version of the reference's mkfifo playback workaround, README.md:160-165
+    / the "live playback via PulseAudio" TODO, README.md:302)."""
+    os.chdir(tmp_path)
+    n = 1 << 16
+    fs = 256000.0
+    _write_fm_capture("cap.cf32", n, fs)
+    rc = cli_main([
+        "--filename", "cap.cf32", "-s", str(fs), "-n", str(n),
+        "--demod", "DeWBFM 8 WAV", "-o", "radio",
+        "--blocksize", str(1 << 14),
+        "--play", "sh -c 'cat > play.bin'",
+    ])
+    assert rc == 0
+    audio, sr = wavio.read_wav("radio.wav")
+    played = np.fromfile("play.bin", dtype=np.float32)
+    assert np.array_equal(played, audio)
+
+
+def test_cli_play_ignored_without_audio(tmp_path, capsys):
+    os.chdir(tmp_path)
+    n = 1 << 14
+    rng = np.random.default_rng(2)
+    (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)\
+        .tofile("wide.cf32")
+    rc = cli_main([
+        "--filename", "wide.cf32", "-n", str(n), "-o", "raw",
+        "--play", "sh -c 'cat > should_not_exist.bin'",
+    ])
+    assert rc == 0
+    assert "--play ignored" in capsys.readouterr().out
+    assert not os.path.exists("should_not_exist.bin")

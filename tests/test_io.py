@@ -181,3 +181,69 @@ def test_spectrum_plot_sink(tmp_path):
     # compare the top 20 dB of the spectrum (noise floor differs by eps)
     mask = ref_db > ref_db.max() - 20.0
     assert np.max(np.abs(pvals[mask] - ref_db[mask])) < 0.5
+
+
+def test_audio_sink_channel_major_blocks(tmp_path):
+    """(channels, n) runtime-layout blocks (what the stereo decoder emits)
+    must be interleaved into frames, across multiple write calls."""
+    p = tmp_path / "st"
+    L = np.arange(10, dtype=np.float32)
+    R = -np.arange(10, dtype=np.float32)
+    snk = cs.AudioFileSink(str(p), 8000, 2)
+    snk(np.stack([L[:6], R[:6]]))
+    snk(np.stack([L[6:], R[6:]]))
+    snk.close()
+    from csdr_tpu.io.wav import read_wav
+    audio, sr = read_wav(str(p) + ".wav")
+    assert np.array_equal(audio[:, 0], L) and np.array_equal(audio[:, 1], R)
+
+
+def test_tee_sink(tmp_path):
+    p = tmp_path / "tee.f32"
+    raw = cs.RawFileSink(str(p))
+    col = cs.CollectSink()
+    tee = cs.TeeSink(raw, col)
+    data = np.arange(100, dtype=np.float32)
+    tee(data[:60])
+    tee(data[60:])
+    tee.close()
+    assert np.array_equal(np.fromfile(str(p), dtype=np.float32), data)
+    assert np.array_equal(col.concat(), data)
+
+
+def test_playback_sink_streams_pcm(tmp_path):
+    """PlaybackSink pipes float32le PCM into the player's stdin; the {rate}
+    and {channels} placeholders are substituted; (channels, n) runtime-layout
+    blocks are interleaved into frames."""
+    out = tmp_path / "pcm.bin"
+    log = tmp_path / "argv.txt"
+    cmd = f"sh -c 'echo $0 $1 > {log}; cat > {out}' {{rate}} {{channels}}"
+    snk = cs.PlaybackSink(48000, channels=2, command=cmd)
+    blk = np.arange(8, dtype=np.float32).reshape(2, 4)  # (channels, n)
+    snk(blk)
+    snk.close()
+    assert log.read_text().split() == ["48000", "2"]
+    got = np.frombuffer(out.read_bytes(), dtype=np.float32)
+    assert np.array_equal(got, blk.T.ravel())  # interleaved L R L R ...
+
+
+def test_playback_sink_dead_player_is_nonfatal(tmp_path):
+    """A player that exits mid-stream must not kill the capture (like
+    unplugging headphones): writes become no-ops, close() still works."""
+    snk = cs.PlaybackSink(8000, command="true")
+    snk.proc.wait()
+    for _ in range(64):  # enough to overflow the pipe buffer → EPIPE
+        snk(np.zeros(1 << 16, np.float32))
+    assert not snk.alive
+    snk.close()
+
+
+def test_playback_sink_no_player_raises(monkeypatch):
+    import shutil
+
+    monkeypatch.delenv("CSDR_PLAYER", raising=False)
+    monkeypatch.setattr(shutil, "which", lambda _: None)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        cs.PlaybackSink(8000)
