@@ -50,6 +50,12 @@ class RtlTcpSource(SdrSource):
     ``raw_u8=True`` yields the wire's interleaved uint8 pairs instead of
     complex64 — feed those through blocks.u8_to_iq so the host→device wire
     carries 2 bytes/sample instead of 8 (conversion on the TPU).
+
+    ``reconnect=N`` (or ``$CSDR_RTLTCP_RECONNECT``) re-dials up to N times
+    after an unexpected disconnect/timeout, replaying the tuner config on
+    the fresh connection; only after N consecutive failed dials does the
+    stream end.  Default 0 keeps the reference's semantics: first
+    timeout/close is a graceful EOS (Source.chs:226-233).
     """
 
     mtu = 1 << 17  # samples per read (MTU-sized like Source.chs:197)
@@ -57,7 +63,8 @@ class RtlTcpSource(SdrSource):
     def __init__(self, sample_rate: float = 2.4e6, frequency: float = 100e6,
                  gain: float = 0.0, host: str | None = None,
                  port: int | None = None, timeout: float = 1.0,
-                 raw_u8: bool = False):
+                 raw_u8: bool = False, reconnect: int | None = None,
+                 reconnect_wait: float = 0.1):
         if host is None or port is None:
             addr = os.environ.get("CSDR_RTLTCP_ADDR", "127.0.0.1:1234")
             h, _, p = addr.rpartition(":")
@@ -67,22 +74,61 @@ class RtlTcpSource(SdrSource):
         self.sample_rate = sample_rate
         self.frequency = frequency
         self.gain = gain
-        self.sock = socket.create_connection((host, port), timeout=max(timeout, 5.0))
-        self.sock.settimeout(timeout)  # 1 s read timeout (Source.chs:225)
+        self.host, self.port = host, port
+        self.timeout = timeout
+        if reconnect is None:
+            reconnect = int(os.environ.get("CSDR_RTLTCP_RECONNECT", "0"))
+        self.reconnect = int(reconnect)
+        self.reconnect_wait = float(reconnect_wait)
+        self.reconnects = 0  # successful re-dials over the source's lifetime
+        self._dial()
+
+    def _dial(self):
+        """Connect, validate the RTL0 header, push the device config.
+        Shared by __init__ and mid-stream reconnection — an rtl_tcp server
+        forgets all tuner state with the connection, so every (re)connect
+        must replay sample rate / frequency / gain."""
+        self.sock = socket.create_connection(
+            (self.host, self.port), timeout=max(self.timeout, 5.0))
+        self.sock.settimeout(self.timeout)  # 1 s read timeout (Source.chs:225)
         self._pend = b""  # dangling I byte of a half-received IQ pair
         hdr = self._recv_exact(12)
         if hdr is None or len(hdr) < 12 or hdr[:4] != RTL_MAGIC:
             self.sock.close()
             raise ConnectionError(
-                f"not an rtl_tcp server at {host}:{port} (header {hdr!r})")
+                f"not an rtl_tcp server at {self.host}:{self.port} "
+                f"(header {hdr!r})")
         self.tuner_type, self.gain_count = struct.unpack(">II", hdr[4:])
-        self._cmd(_CMD_SAMPLE_RATE, int(sample_rate))
-        self._cmd(_CMD_FREQUENCY, int(frequency))
-        if gain:
+        self._cmd(_CMD_SAMPLE_RATE, int(self.sample_rate))
+        self._cmd(_CMD_FREQUENCY, int(self.frequency))
+        if self.gain:
             self._cmd(_CMD_GAIN_MODE, 1)
-            self._cmd(_CMD_GAIN, int(round(gain * 10.0)))
+            self._cmd(_CMD_GAIN, int(round(self.gain * 10.0)))
         else:
             self._cmd(_CMD_GAIN_MODE, 0)
+
+    def _try_reconnect(self) -> bool:
+        """After an unexpected EOS: re-dial up to ``reconnect`` times with
+        linear backoff (failure-detection depth the reference lacks — its
+        Source.chs:226-233 can only Stop).  Samples lost during the outage
+        are gone (live radio, not a file); I/Q pairing restarts clean on the
+        fresh connection.  Returns False when the budget is exhausted, which
+        becomes the usual graceful EOS."""
+        import time
+
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+        for attempt in range(self.reconnect):
+            time.sleep(self.reconnect_wait * (attempt + 1))
+            try:
+                self._dial()
+            except (OSError, ConnectionError):
+                continue
+            self.reconnects += 1
+            return True
+        return False
 
     def _cmd(self, cmd: int, arg: int):
         self.sock.sendall(struct.pack(">BI", cmd, arg & 0xFFFFFFFF))
@@ -109,6 +155,8 @@ class RtlTcpSource(SdrSource):
         while True:
             raw = self._recv_exact(self.mtu * 2 - len(self._pend))
             if not raw:
+                if self._try_reconnect():
+                    continue
                 return None
             data = self._pend + raw
             keep = len(data) & ~1

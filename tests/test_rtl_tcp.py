@@ -192,6 +192,88 @@ def test_rtl_tcp_rejects_non_rtl_server():
         RtlTcpSource(host="127.0.0.1", port=port)
 
 
+class FlakyRtlTcp:
+    """rtl_tcp server that drops the connection after each payload segment,
+    then accepts a fresh one — a radio host rebooting mid-capture."""
+
+    def __init__(self, segments: list[bytes], tuner_type=5, gain_count=29):
+        self.segments = segments
+        self.tuner_type, self.gain_count = tuner_type, gain_count
+        self.configs: list[dict] = []  # commands seen per connection
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(4)
+        self.port = self.srv.getsockname()[1]
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _serve(self):
+        import time
+        for seg in self.segments:
+            conn, _ = self.srv.accept()
+            conn.sendall(RTL_MAGIC
+                         + struct.pack(">II", self.tuner_type, self.gain_count))
+            conn.settimeout(0.5)
+            seen = {}
+            try:  # the client config replay arrives before it reads data
+                buf = b""
+                while len(seen) < 3:
+                    buf += conn.recv(5)
+                    while len(buf) >= 5:
+                        cmd, arg = struct.unpack(">BI", buf[:5])
+                        seen[cmd] = arg
+                        buf = buf[5:]
+            except OSError:
+                pass
+            self.configs.append(seen)
+            try:
+                conn.sendall(seg)
+                time.sleep(0.25)  # let the client drain before the drop
+            except OSError:
+                pass
+            conn.close()
+        self.srv.close()
+
+
+def test_rtl_tcp_reconnect_resumes_stream():
+    """reconnect=N: an unexpected server drop re-dials and replays the tuner
+    config; the stream continues with the new connection's samples instead
+    of ending (failure-detection depth; with reconnect=0 the same drop is a
+    graceful EOS, tested above)."""
+    n1, n2 = 100_000, 60_000
+    a = make_u8_iq(n1, f=0.03)
+    b = make_u8_iq(n2, f=0.11)
+    srv = FlakyRtlTcp([bytes(a), bytes(b)])
+    src = RtlTcpSource(sample_rate=1.024e6, frequency=99.5e6,
+                       host="127.0.0.1", port=srv.port, raw_u8=True,
+                       timeout=0.3, reconnect=3, reconnect_wait=0.05)
+    rx = np.concatenate(list(src))
+    src.close()
+    srv.thread.join(timeout=10)
+    assert src.reconnects == 1
+    # both segments arrive, in order, with clean I/Q pairing at the splice
+    assert len(rx) == 2 * (n1 + n2)
+    assert np.array_equal(rx[: 2 * n1], a)
+    assert np.array_equal(rx[2 * n1:], b)
+    # every connection (initial + reconnect) got the tuner config replayed
+    assert len(srv.configs) == 2
+    for cfg in srv.configs:
+        assert cfg.get(0x02) == 1_024_000 and cfg.get(0x01) == 99_500_000
+
+
+def test_rtl_tcp_reconnect_budget_exhaustion_is_graceful_eos():
+    """When the server never comes back, N failed dials end the stream
+    gracefully (no exception), matching the reference's timeout→Stop."""
+    n = 50_000
+    a = make_u8_iq(n)
+    srv = FlakyRtlTcp([bytes(a)])  # serves once, then the port closes
+    src = RtlTcpSource(host="127.0.0.1", port=srv.port, raw_u8=True,
+                       timeout=0.3, reconnect=2, reconnect_wait=0.05)
+    rx = np.concatenate(list(src))
+    assert np.array_equal(rx, a)
+    assert src.reconnects == 0
+
+
 def test_rtl_tcp_through_full_cli(tmp_path, monkeypatch):
     """The whole CLI device path: --devname rtl_tcp → NBFM demod → WAV with
     exact sample accounting (reference byte-count invariant,
