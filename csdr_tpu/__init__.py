@@ -27,6 +27,7 @@ from .core.block import Block, Chain, chain, Lambda, Tee, PerChannel, MixChannel
 from .core.runtime import Pipeline, rechunk, take_n
 from .blocks import (
     mix_up, mix_down, fm_demodulator, am_demodulator, fsk_demodulator,
+    ssb_demodulator, cw_demodulator,
     fir_decimator, fir_interpolator, automatic_gain_control, dc_blocker,
     iir_filter, iir_cfilter, fir_filter, fir_filter_c_kaiser,
     fir_filter_rnyquist, real_to_complex, complex_to_real,

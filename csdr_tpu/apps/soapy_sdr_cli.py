@@ -52,7 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default="output", metavar="FILENAME",
                    help="Output file(s) name (without extension)")
     p.add_argument("--demod", default="DeNo", metavar="DEMOD",
-                   help='Demodulation type, e.g. "DeNBFM 0.6 WAV"')
+                   help='Demodulation type, e.g. "DeNBFM 0.6 WAV" (also '
+                        'DeWBFM/DeFMS/DeAM/DeNBFMSync like the reference, '
+                        'plus extensions "DeUSB 3000 WAV" / "DeLSB 3000 WAV" '
+                        '/ "DeCW [bw pitch] WAV")')
     p.add_argument("--rds", action="store_true",
                    help="With --demod 'DeFMS ...': also decode the 57 kHz RDS "
                         "subcarrier (PS/RadioText/PI) to <output>.rds.txt "
@@ -101,6 +104,15 @@ def parse_demod(s: str):
         return ("DeNBFMSync", int(toks[1]))
     if kind == "DeAM":
         return ("DeAM", toks[1].upper())
+    if kind in ("DeUSB", "DeLSB"):
+        # capability extensions beyond the reference's Demod ADT:
+        # "DeUSB 3000 WAV" — single-sideband, audio bandwidth in Hz
+        return (kind, float(toks[1]), toks[2].upper())
+    if kind == "DeCW":
+        # "DeCW WAV" or "DeCW <bw Hz> <pitch Hz> WAV"
+        if len(toks) == 2:
+            return ("DeCW", 500.0, 700.0, toks[1].upper())
+        return ("DeCW", float(toks[1]), float(toks[2]), toks[3].upper())
     raise ValueError(f"unknown demod {s!r}")
 
 
@@ -205,6 +217,21 @@ def run_opts(opts) -> int:
     elif kind == "DeAM":
         _, fmt = demod
         per = chain(*agc_blocks, B.am_demodulator())
+        make_sink = lambda name: S.AudioFileSink(name, audio_sink_rate(1), 1, fmt.lower())
+        play_rate = audio_sink_rate(1)
+    elif kind in ("DeUSB", "DeLSB"):
+        _, bw_hz, fmt = demod
+        chan_rate = out_bw / nch  # SSB bandwidth normalized per channel
+        per = chain(*agc_blocks,
+                    B.ssb_demodulator("usb" if kind == "DeUSB" else "lsb",
+                                      bw_hz / chan_rate))
+        make_sink = lambda name: S.AudioFileSink(name, audio_sink_rate(1), 1, fmt.lower())
+        play_rate = audio_sink_rate(1)
+    elif kind == "DeCW":
+        _, bw_hz, pitch_hz, fmt = demod
+        chan_rate = out_bw / nch
+        per = chain(*agc_blocks,
+                    B.cw_demodulator(bw_hz / chan_rate, pitch_hz / chan_rate))
         make_sink = lambda name: S.AudioFileSink(name, audio_sink_rate(1), 1, fmt.lower())
         play_rate = audio_sink_rate(1)
     elif kind == "DeNBFMSync":

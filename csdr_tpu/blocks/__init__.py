@@ -52,6 +52,7 @@ _TWO_PI = 2.0 * np.pi
 
 __all__ = [
     "mix_up", "mix_down", "fm_demodulator", "am_demodulator", "fsk_demodulator",
+    "ssb_demodulator", "cw_demodulator",
     "fir_decimator", "fir_interpolator", "automatic_gain_control", "dc_blocker",
     "iir_filter", "iir_cfilter", "fir_filter_c_kaiser", "fir_filter",
     "fir_filter_rnyquist", "real_to_complex", "complex_to_real",
@@ -155,6 +156,53 @@ class AMDemod(Block):
 
     def apply(self, state, x):
         return state, demod_ops.amdem(x, self.mod_index, self.suppressed)
+
+
+def ssb_demodulator(side: str = "usb", bandwidth: float = 0.0125,
+                    as_db: float = 60.0, gain: float = 2.0,
+                    n: int | None = None) -> Block:
+    """Single-sideband demodulator — capability extension; the reference's
+    demod surface (Liquid.chs / apps/SoapySDR.hs:19-29) stops at FM/AM/FSK.
+
+    A tuned SSB signal at complex baseband is (half of) the analytic signal
+    of the audio: USB occupies (0, +B], LSB [-B, 0).  Demodulation is a
+    one-sided complex band-pass (kaiser low-pass of cutoff B/2, frequency-
+    shifted by ±B/2 — still linear-phase, group delay (n-1)/2) followed by
+    the real part; ``gain=2`` undoes the ½ from Re[A·e^{jωct}] mixing.
+    ``bandwidth`` = B normalized to the sample rate (liquid convention);
+    default 0.0125 is 3 kHz audio at fs=240k.  Shards like any FIR (the
+    band-pass is a TailStateBlock; Re is stateless)."""
+    side = side.lower()
+    if side not in ("usb", "lsb"):
+        raise ValueError(f"ssb_demodulator side must be 'usb'/'lsb', got {side!r}")
+    if not (0.0 < bandwidth < 0.5):
+        raise ValueError(f"ssb bandwidth {bandwidth} not in (0, 0.5) of fs")
+    if n is None:
+        n = firdes.kaiser_filter_len(max(0.1 * bandwidth, 0.002), as_db)
+    h = firdes.kaiser_lowpass(n, bandwidth / 2.0, as_db) * gain
+    shift = bandwidth / 2.0 if side == "usb" else -bandwidth / 2.0
+    k = np.arange(n) - (n - 1) / 2.0
+    taps = (h * np.exp(2j * np.pi * shift * k)).astype(np.complex64)
+    bp = FIRFilter(taps, complex_input=True, name=f"ssb_{side}({bandwidth:.4g})")
+    re = Lambda(lambda x: x.real, name="re")
+    return chain(bp, re)
+
+
+def cw_demodulator(bandwidth: float = 0.002, pitch: float = 0.0029,
+                   as_db: float = 60.0) -> Block:
+    """CW (Morse) demodulator — capability extension.  The tuned carrier
+    sits at DC; a narrow kaiser low-pass (±bandwidth/2) isolates it, a BFO
+    shift moves it to an audible ``pitch``, and the real part is the audio
+    tone.  Both normalized to the sample rate (defaults: 500 Hz-wide filter,
+    ~700 Hz side-tone at fs=240k).  Shards: FIR halo + NCO affine phase."""
+    if not (0.0 < bandwidth < 0.5):
+        raise ValueError(f"cw bandwidth {bandwidth} not in (0, 0.5) of fs")
+    n = firdes.kaiser_filter_len(max(0.5 * bandwidth, 0.001), as_db)
+    lp = FIRFilter(firdes.kaiser_lowpass(n, bandwidth / 2.0, as_db),
+                   complex_input=True, name=f"cw_lp({bandwidth:.4g})")
+    bfo = mix_up(_TWO_PI * pitch)
+    re = Lambda(lambda x: x.real, name="re")
+    return chain(lp, bfo, re)
 
 
 def am_demodulator(mod_index: float = 0.8, suppressed: bool = False) -> Block:
