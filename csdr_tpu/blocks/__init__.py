@@ -74,8 +74,6 @@ class U8ToIQ(Block):
     def apply(self, state, x):
         f = (x.astype(jnp.float32) - 127.5) * np.float32(1.0 / 127.5)
         pairs = f.reshape(-1, 2)
-        import jax
-
         return state, jax.lax.complex(pairs[:, 0], pairs[:, 1])
 
 
@@ -264,9 +262,13 @@ def fir_filter_c_kaiser(n: int, fc: float, as_db: float = 60.0, mu: float = 0.0)
 
 
 def fir_filter_rnyquist(k: int, m: int, beta: float, mu: float = 0.0) -> FIRFilter:
-    """Real GMSK-RX matched filter scaled by 1/k (reference
-    firFilterRNyquist, Liquid.chs:935-941)."""
-    taps = firdes.gmsk_rx(k, m, max(beta, 0.1))
+    """Real GMSK-RX matched filter (reference firFilterRNyquist,
+    Liquid.chs:935-941).  Our design bakes unity tx·rx cascade gain at the
+    symbol instant (firdes.gmsk_rx) instead of the reference's post-hoc 1/k
+    scale; ``mu`` is the fractional-sample timing offset, applied as an
+    exact frequency-domain delay."""
+    taps = firdes.fractional_delay(firdes.gmsk_rx(k, m, max(beta, 0.1)), mu,
+                                   extend=True)
     return FIRFilter(taps, complex_input=False, scale=1.0, name=f"fir_gmskrx(k={k},m={m})")
 
 

@@ -178,7 +178,11 @@ class ShardCtx:
         from ..ops import linrec as linrec_ops
 
         nloc = forcing.shape[0]
-        a_complex = isinstance(a, complex) and a.imag != 0.0
+        # demote complex-typed-but-real poles (imag == 0) like ops/linrec:
+        # the _apow/_astep/_carry tables call float(a) on the real branch
+        if isinstance(a, complex) and a.imag == 0.0:
+            a = a.real
+        a_complex = isinstance(a, complex)
         out_complex = a_complex or jnp.iscomplexobj(forcing) or jnp.iscomplexobj(carry0)
         dtt = jnp.complex64 if out_complex else jnp.float32
         zero = jnp.zeros((), dtype=dtt)

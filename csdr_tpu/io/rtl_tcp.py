@@ -64,12 +64,21 @@ class RtlTcpSource(SdrSource):
                  gain: float = 0.0, host: str | None = None,
                  port: int | None = None, timeout: float = 1.0,
                  raw_u8: bool = False, reconnect: int | None = None,
-                 reconnect_wait: float = 0.1):
+                 reconnect_wait: float = 0.1, gain_mode: str | None = None):
         if host is None or port is None:
             addr = os.environ.get("CSDR_RTLTCP_ADDR", "127.0.0.1:1234")
-            h, _, p = addr.rpartition(":")
+            h, colon, p = addr.rpartition(":")
+            if not colon or not p.isdigit():
+                raise ValueError(
+                    f"CSDR_RTLTCP_ADDR must be host:port, got {addr!r}")
             host = host or h
             port = port or int(p)
+        if gain_mode not in (None, "auto", "manual"):
+            raise ValueError(f"gain_mode must be 'auto'/'manual', got {gain_mode!r}")
+        # protocol-wide convention (CLI -g, reference apps/SoapySDR.hs): gain
+        # 0 means hardware AGC.  rtl-sdr tuners have a legal manual 0 dB step;
+        # gain_mode="manual" selects it explicitly.
+        self.gain_mode = gain_mode or ("manual" if gain else "auto")
         self.raw_u8 = raw_u8
         self.sample_rate = sample_rate
         self.frequency = frequency
@@ -101,7 +110,7 @@ class RtlTcpSource(SdrSource):
         self.tuner_type, self.gain_count = struct.unpack(">II", hdr[4:])
         self._cmd(_CMD_SAMPLE_RATE, int(self.sample_rate))
         self._cmd(_CMD_FREQUENCY, int(self.frequency))
-        if self.gain:
+        if self.gain_mode == "manual":
             self._cmd(_CMD_GAIN_MODE, 1)
             self._cmd(_CMD_GAIN, int(round(self.gain * 10.0)))
         else:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.block import Block
@@ -107,8 +108,11 @@ def hard_decision(y, ms: str):
     m = _metric_panel(y, ms)
     idx = jnp.argmax(m, axis=-1).astype(jnp.int32)
     C = constellation(ms).astype(np.complex64)
-    sym = jnp_const(np.ascontiguousarray(C.real))[idx] + \
-        1j * jnp_const(np.ascontiguousarray(C.imag))[idx]
+    # lax.complex, not "re + 1j*im": eager 1j-arithmetic on the TPU backend
+    # creates a complex array outside jit (CLAUDE.md rule 1) and this helper
+    # is documented as usable standalone
+    sym = jax.lax.complex(jnp_const(np.ascontiguousarray(C.real))[idx],
+                          jnp_const(np.ascontiguousarray(C.imag))[idx])
     return idx, sym.astype(jnp.complex64)
 
 

@@ -315,7 +315,7 @@ def decode_groups(bits: np.ndarray) -> dict:
     pi_votes: dict[int, int] = {}
     ngroups = 0
     i = 0
-    while i + 78 + 26 <= len(vals) + 25 and i + 78 < len(synd):
+    while i + 78 < len(synd):  # need blocks at i, i+26, i+52, i+78
         if (synd[i] == offA and synd[i + 26] == offB
                 and synd[i + 52] in (offC, offCp) and synd[i + 78] == offD):
             b1, b2 = int(vals[i]) >> 10, int(vals[i + 26]) >> 10

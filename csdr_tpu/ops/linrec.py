@@ -58,7 +58,13 @@ def linrec(b: jax.Array, a: complex | float, y0: jax.Array, block: int = _DEF_L)
     same shape/dtype promotion of (b, a, y0).
     """
     n = b.shape[0]
-    a_complex = isinstance(a, complex) and a.imag != 0.0
+    # normalize: a complex-typed pole with zero imaginary part IS a real pole
+    # (iirdes partial fractions hand over complex(p) unconditionally; real
+    # poles occur for wide bandpass/odd-order designs) — float(a) on a
+    # complex raises TypeError, so demote before classifying
+    if isinstance(a, complex) and a.imag == 0.0:
+        a = a.real
+    a_complex = isinstance(a, complex)
     out_complex = a_complex or jnp.iscomplexobj(b) or jnp.iscomplexobj(y0)
     dt = jnp.complex64 if out_complex else jnp.float32
     b = b.astype(dt)

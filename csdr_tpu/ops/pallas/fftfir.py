@@ -144,6 +144,10 @@ def fft_fir_valid(xfull: jnp.ndarray, taps: np.ndarray, ts: int = 4,
     if K >= S:
         raise ValueError(f"taps ({K}) must be shorter than the {S} segment")
     n = xfull.shape[0] - (K - 1)
+    if n <= 0:
+        raise ValueError(
+            f"input ({xfull.shape[0]}) must be longer than taps-1 ({K - 1}) "
+            f"— the valid convolution would be empty")
     hop = S - (K - 1)
     nseg = -(-n // hop)
     nseg_p = -(-nseg // ts) * ts

@@ -32,6 +32,7 @@ __all__ = [
     "nyquist_kaiser",
     "gmsk_tx",
     "gmsk_rx",
+    "fractional_delay",
     "group_delay",
 ]
 
@@ -245,6 +246,35 @@ def gmsk_rx(k: int, m: int, bt: float = 0.3) -> np.ndarray:
     h = hr[c - (n - 1) // 2 : c + (n - 1) // 2 + 1]
     # unity cascade gain at the symbol sampling instant
     return h / np.sum(h * htx)
+
+
+def fractional_delay(h: np.ndarray, mu: float, extend: bool = False) -> np.ndarray:
+    """Apply a fractional-sample timing offset ``mu`` ∈ (−1, 1) to real FIR
+    taps via an exact frequency-domain linear phase (liquid's filter designs
+    accept the same ``mu`` parameter; e.g. firfilt rnyquist,
+    /root/reference/src/ComposableSDR/Liquid.chs:935-941).  The taps are
+    zero-padded 8× so the shifted tails don't wrap.
+
+    With ``extend=False`` the result keeps length n, truncating the one
+    sample of spill past the window — fine for smoothly-decaying designs.
+    ``extend=True`` returns n+1 taps capturing the spill exactly (needed for
+    hard-truncated designs like gmsk_rx whose edge taps are large); a
+    negative ``mu`` then also adds one integer sample of delay (irrelevant
+    to matched filtering, which only cares about the fractional part)."""
+    if mu == 0.0:
+        return h
+    if not -1.0 < mu < 1.0:
+        raise ValueError(f"fractional delay mu={mu} not in (-1, 1)")
+    n = len(h)
+    nfft = 1 << int(np.ceil(np.log2(8 * n)))
+    H = np.fft.rfft(h, nfft)
+    f = np.fft.rfftfreq(nfft)
+    y = np.fft.irfft(H * np.exp(-2j * np.pi * f * mu), nfft)
+    if not extend:
+        return y[:n]
+    if mu > 0:
+        return y[: n + 1]  # spill lands at index n
+    return np.concatenate([y[-1:], y[:n]])  # spill wraps to index −1
 
 
 def group_delay(h: np.ndarray, f: float = 0.0) -> float:

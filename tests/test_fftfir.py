@@ -86,3 +86,11 @@ def test_too_long_taps_rejected():
     with pytest.raises(ValueError, match="shorter than"):
         fft_fir_valid(jnp.zeros(20000, jnp.float32), np.zeros(16384),
                       interpret=True)
+
+
+def test_fftfir_input_shorter_than_taps_raises():
+    import pytest
+
+    taps = np.ones(64, np.float32)
+    with pytest.raises(ValueError, match="longer than taps"):
+        fft_fir_valid(jnp.zeros(63, jnp.float32), taps)

@@ -93,3 +93,27 @@ def test_gmsk_pair_isi():
 def test_group_delay_linear_phase():
     h = firdes.kaiser_lowpass(101, 0.1, 60.0)
     assert abs(firdes.group_delay(h, 0.01) - 50.0) < 1e-6
+
+
+def test_fractional_delay_shifts_group_delay():
+    """fractional_delay(h, mu) adds exactly mu samples of group delay
+    (liquid's rnyquist designs accept the same timing offset)."""
+    h = firdes.kaiser_lowpass(101, 0.2, 60.0)
+    for mu in (0.25, -0.4):
+        hd = firdes.fractional_delay(h, mu)
+        got = firdes.group_delay(hd, 0.05) - firdes.group_delay(h, 0.05)
+        assert abs(got - mu) < 1e-3, (mu, got)
+    assert firdes.fractional_delay(h, 0.0) is h
+    import pytest
+
+    with pytest.raises(ValueError, match="mu"):
+        firdes.fractional_delay(h, 1.5)
+
+
+def test_fir_filter_rnyquist_honors_mu():
+    import csdr_tpu as cs
+
+    h0 = cs.fir_filter_rnyquist(4, 3, 0.3).taps
+    h1 = cs.fir_filter_rnyquist(4, 3, 0.3, mu=0.5).taps
+    assert abs(firdes.group_delay(h1, 0.01)
+               - firdes.group_delay(h0, 0.01) - 0.5) < 1e-3

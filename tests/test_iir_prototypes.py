@@ -103,3 +103,33 @@ def test_prototype_errors():
         prototype_sos("butter", 4, 0.2, f0=0.4)  # f0+fc ≥ 0.5
     with pytest.raises(ValueError):
         prototype_sos("butter", 4, 0.7)
+
+
+def test_complex_typed_real_pole_bandpass():
+    """Wide odd-order bandpass designs produce SOS sections with two distinct
+    REAL poles, handed to linrec as complex-typed scalars with zero imag —
+    these must not crash (regression: float() of a complex raised TypeError
+    in both the serial and sharded paths)."""
+    import scipy.signal as sig
+
+    import csdr_tpu as cs
+    from csdr_tpu.utils.iirdes import prototype_sos
+
+    blk = cs.iir_cfilter(1, 0.1, f0=0.15)
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=8192) + 1j * rng.normal(size=8192)).astype(np.complex64)
+    _, y = blk.apply(blk.init(), x)
+    ref = sig.sosfilt(prototype_sos("butter", 1, 0.1, f0=0.15),
+                      x.astype(np.complex128))
+    assert np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref)) < 1e-3
+
+    import jax
+    from jax.sharding import Mesh
+
+    from csdr_tpu.core.runtime import decode_tree_host
+    from csdr_tpu.parallel import ShardedChain
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("time", "ch"))
+    sc = ShardedChain(cs.iir_cfilter(1, 0.1, f0=0.15), mesh, 8192)
+    _, ys = sc.step(sc.init(), x)
+    assert np.max(np.abs(decode_tree_host(ys) - np.asarray(y))) < 2e-3

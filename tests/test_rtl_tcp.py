@@ -309,3 +309,29 @@ def test_rtl_tcp_through_full_cli(tmp_path, monkeypatch):
     peak = np.argmax(S[1:]) + 1
     f_peak = peak / len(seg)
     assert abs(f_peak - 0.002) < 2e-4, f_peak
+
+
+def test_rtl_tcp_manual_zero_db_gain():
+    """gain_mode='manual' makes the legal 0 dB tuner step reachable (plain
+    gain=0 keeps the protocol-wide '0 = hardware AGC' convention)."""
+    n = 1024
+    srv = LoopbackRtlTcp(bytes(make_u8_iq(n)))
+    src = RtlTcpSource(host="127.0.0.1", port=srv.port, gain=0.0,
+                       gain_mode="manual")
+    list(src)
+    srv.thread.join(timeout=5)
+    cmds = dict((c, a) for c, a in srv.commands)
+    assert cmds.get(0x03) == 1 and cmds.get(0x04) == 0
+
+
+def test_rtl_tcp_bad_addr_and_gain_mode_raise():
+    import pytest
+
+    os.environ["CSDR_RTLTCP_ADDR"] = "justahost"
+    try:
+        with pytest.raises(ValueError, match="host:port"):
+            RtlTcpSource()
+    finally:
+        del os.environ["CSDR_RTLTCP_ADDR"]
+    with pytest.raises(ValueError, match="gain_mode"):
+        RtlTcpSource(host="127.0.0.1", port=1, gain_mode="loud")
