@@ -42,6 +42,7 @@ from .io.sinks import (
     RawFileSink, StdoutSink, AudioFileSink, ConstellationPlotSink,
     SpectrumPlotSink,
     ChannelFileSinks, NullSink, CollectSink, PlaybackSink, TeeSink,
+    BranchSinks,
 )
 
 __version__ = "0.1.0"

@@ -59,8 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rds", action="store_true",
                    help="With --demod 'DeFMS ...': also decode the 57 kHz RDS "
                         "subcarrier (PS/RadioText/PI) to <output>.rds.txt "
-                        "(capability extension; buffers the demodulated "
-                        "composite in host memory, 4 B/sample)")
+                        "(capability extension; one pipeline — the composite "
+                        "feeds a multi-rate Tee, stereo + bit branches)")
     p.add_argument("--play", nargs="?", const="", default=None, metavar="CMD",
                    help="Also play demodulated audio live (pacat/aplay/play "
                         "autodetected, or give a command; float32le PCM on "
@@ -259,20 +259,20 @@ def run_opts(opts) -> int:
                                         out_sink=sink)
         if opts.rds:
             # decode the 57 kHz RDS subcarrier alongside the stereo audio
-            # (capability extension — models/rds.py).  The demodulated
-            # composite is materialized once (4 B/sample host memory) and fed
-            # to both decoders; stereo and RDS run at incompatible rational
-            # rates, so they are separate graphs rather than one Tee.
+            # (capability extension — models/rds.py).  One pipeline: the
+            # demodulated composite feeds a multi-rate Tee (stereo at
+            # 1/decim, RDS bits at 19/3840) — no host materialization; each
+            # branch is trimmed by its own rational rate (core/runtime).
+            from ..core.block import Tee
             from ..models.rds import rds_receiver, decode_groups
 
-            fm = chain(B.dc_blocker(), *agc_blocks, B.fm_demodulator(0.8))
-            comp = list(Pipeline(fm, block_size=opts.blocksize).stream(stream))
-            with sink:
-                Pipeline(stereo_fm_decoder(out_bw, decim),
-                         block_size=opts.blocksize).run(iter(comp), sink)
             bit_sink = S.CollectSink()
-            Pipeline(rds_receiver(out_bw),
-                     block_size=opts.blocksize).run(iter(comp), bit_sink)
+            graph = chain(B.dc_blocker(), *agc_blocks, B.fm_demodulator(0.8),
+                          Tee(stereo_fm_decoder(out_bw, decim),
+                              rds_receiver(out_bw)))
+            with sink:
+                Pipeline(graph, block_size=opts.blocksize).run(
+                    stream, S.BranchSinks(sink, bit_sink))
             info = decode_groups(bit_sink.concat())
             pi = f"{info['pi']:04X}" if info["pi"] is not None else "----"
             print(f"RDS: PI={pi} PS={info['ps']!r} RT={info['rt']!r} "

@@ -55,6 +55,13 @@ class Block:
     def apply(self, state: Any, x: Any):
         raise NotImplementedError
 
+    def rate_tree(self):
+        """Per-output-leaf rational rates: a Fraction (all leaves share it —
+        the common case, incl. Delay's same-rate tuple) or a pytree of
+        Fractions matching the output structure (multi-rate Tee).  The
+        runtime trims each output leaf by its own rate (core/runtime)."""
+        return self.rate
+
     # ---- sharding protocol ------------------------------------------------
     def shard_apply(self, state, x, ctx):
         if self.stateless:
@@ -154,6 +161,22 @@ class Chain(Block):
             in_layout = b.shard_layout(in_layout)
         return in_layout
 
+    def rate_tree(self):
+        acc = Fraction(1)
+        for b in self.blocks:
+            rt = b.rate_tree()
+            if isinstance(rt, Fraction):
+                acc = (acc * rt if isinstance(acc, Fraction)
+                       else jax.tree.map(lambda r: r * rt, acc))
+            else:
+                if not isinstance(acc, Fraction):
+                    raise NotImplementedError(
+                        f"{self.name}: two structured-rate blocks in one "
+                        f"chain — compose the second inside the Tee branches")
+                upstream = acc
+                acc = jax.tree.map(lambda r: upstream * r, rt)
+        return acc
+
 
 def chain(*blocks: Block) -> Chain:
     return Chain(blocks)
@@ -209,13 +232,24 @@ class Lambda(Block):
 
 class Tee(Block):
     """Run two blocks on the same input, produce a tuple (reference `tee`,
-    Trans.hs:131-144 — without the Haskell-list zip)."""
+    Trans.hs:131-144 — without the Haskell-list zip).
+
+    The branches may run at DIFFERENT rational rates (beyond the reference,
+    whose tee zips same-length outputs): ``rate_tree()`` reports per-branch
+    rates and the runtime trims each output leaf independently — e.g. tee a
+    WBFM audio path (1/decim) with a constellation tap (1:1) in one graph.
+    ``self.rate`` is branch 1's rate (the primary output for sample
+    accounting); under a mesh, multi-rate tees refuse (branch outputs would
+    need different per-device lengths)."""
 
     def __init__(self, b1: Block, b2: Block, name: str = "tee"):
-        assert b1.rate == b2.rate, (b1.rate, b2.rate)
         self.b1, self.b2 = b1, b2
         self.rate = b1.rate
-        self.granule = b1.granule * b2.granule // math.gcd(b1.granule, b2.granule)
+        g = b1.granule * b2.granule // math.gcd(b1.granule, b2.granule)
+        # full blocks must yield integral outputs on BOTH branches
+        for r in (b1.rate, b2.rate):
+            g = g * r.denominator // math.gcd(g, r.denominator)
+        self.granule = g
         self.name = name
 
     def init(self):
@@ -234,11 +268,18 @@ class Tee(Block):
     def shard_validate(self, nloc, ctx):
         n1 = self.b1.shard_validate(nloc, ctx.clone())
         n2 = self.b2.shard_validate(nloc, ctx.clone())
-        assert n1 == n2, (n1, n2)
+        if n1 != n2:
+            raise NotImplementedError(
+                f"{self.name}: branches produce different local lengths "
+                f"({n1} vs {n2}) — multi-rate tees run on the serial "
+                f"Pipeline only")
         return n1
 
     def shard_layout(self, in_layout):
         return (self.b1.shard_layout(in_layout), self.b2.shard_layout(in_layout))
+
+    def rate_tree(self):
+        return (self.b1.rate_tree(), self.b2.rate_tree())
 
 
 class PerChannel(Block):

@@ -16,6 +16,7 @@ Reference equivalent: the Streamly fold driver `runFold = S.fold fdl (prep src)`
 
 from __future__ import annotations
 
+from fractions import Fraction
 from typing import Callable, Iterable, Iterator, NamedTuple
 
 import numpy as np
@@ -212,18 +213,16 @@ class Pipeline:
         it: Iterable[np.ndarray] = source
         if num_samples is not None:
             it = take_n(it, num_samples)
-        r = self.block.rate
+        rt = self.block.rate_tree()
         for chunk in rechunk(it, n):
             valid = len(chunk)
             if valid < n:
                 chunk = np.pad(chunk, [(0, n - valid)] + [(0, 0)] * (chunk.ndim - 1))
             y_enc = self.process_block(chunk)
-            valid_out = (valid * r.numerator) // r.denominator
-            arr = decode_tree_host(y_enc)
-            # tree-aware trim: tuple outputs (Tee/Delay graphs) trim per leaf
-            yield jax.tree.map(
-                lambda a: a[..., :valid_out] if a.ndim >= 2 else a[:valid_out],
-                arr)
+            # tree-aware trim: tuple outputs (Tee/Delay graphs) trim per
+            # leaf, each by its own rational rate (multi-rate Tee)
+            out, _ = _trim_tree(decode_tree_host(y_enc), rt, valid)
+            yield out
 
     def run(self, source: Iterable[np.ndarray], sink: Callable[[np.ndarray], None],
             num_samples: int | None = None, progress: Callable | None = None,
@@ -246,18 +245,17 @@ class Pipeline:
         total_out = 0
         total_in = 0
         last_ckpt = 0
-        pending = None  # (device result, valid_out) — drain one step late to
+        rt = self.block.rate_tree()
+        pending = None  # (device result, valid_in) — drain one step late to
         # overlap host IO with device compute
         for chunk in rechunk(it, n):
             valid = len(chunk)
             if valid < n:
                 chunk = np.pad(chunk, [(0, n - valid)] + [(0, 0)] * (chunk.ndim - 1))
             y = self.process_block(chunk)
-            r = self.block.rate
-            valid_out = (valid * r.numerator) // r.denominator
             if pending is not None:
-                total_out += _drain(pending[0], pending[1], sink)
-            pending = (y, valid_out)
+                total_out += _drain(pending[0], pending[1], rt, sink)
+            pending = (y, valid)
             total_in += valid
             if progress is not None:
                 progress(valid)
@@ -268,20 +266,37 @@ class Pipeline:
                 save_pipeline(checkpoint_path, self, position=total_in)
                 last_ckpt = total_in
         if pending is not None:
-            total_out += _drain(pending[0], pending[1], sink)
+            total_out += _drain(pending[0], pending[1], rt, sink)
         return total_out
 
 
-def _drain(y_enc, valid_out: int, sink: Callable[[np.ndarray], None]) -> int:
-    """Decode + trim the output pytree to valid_out samples (along the last
-    axis for channelized (nch, n) outputs, leading axis otherwise) and hand
-    to sink."""
-    y = decode_tree_host(y_enc)
+def _trim_tree(arr, rt, valid_in: int):
+    """Trim each output leaf to its own rational-rate sample count (along
+    the last axis for channelized (nch, n) leaves, leading axis otherwise).
+    ``rt`` is a Fraction (broadcast over all leaves — same-rate tuples like
+    Delay) or a tuple mirroring the output structure (multi-rate Tee).
+    Returns (trimmed, primary_count) — the first leaf's count, used for
+    sample accounting."""
+    if isinstance(rt, Fraction):
+        k = (valid_in * rt.numerator) // rt.denominator
 
-    def trim(a):
-        if a.ndim >= 2:
-            return a[..., :valid_out]
-        return a[:valid_out]
-    out = jax.tree.map(trim, y)
+        def trim(a):
+            if a.ndim >= 2:
+                return a[..., :k]
+            return a[:k]
+        return jax.tree.map(trim, arr), k
+    trimmed = []
+    k0 = None
+    for a, r in zip(arr, rt):
+        t, k = _trim_tree(a, r, valid_in)
+        trimmed.append(t)
+        if k0 is None:
+            k0 = k
+    return tuple(trimmed), k0
+
+
+def _drain(y_enc, valid_in: int, rt, sink: Callable[[np.ndarray], None]) -> int:
+    """Decode + per-leaf trim (see _trim_tree) and hand to sink."""
+    out, k = _trim_tree(decode_tree_host(y_enc), rt, valid_in)
     sink(out)
-    return valid_out
+    return k

@@ -16,6 +16,7 @@ __all__ = [
     "RawFileSink", "StdoutSink", "AudioFileSink", "ConstellationPlotSink",
     "SpectrumPlotSink",
     "ChannelFileSinks", "NullSink", "CollectSink", "PlaybackSink", "TeeSink",
+    "BranchSinks",
 ]
 
 
@@ -175,6 +176,29 @@ class TeeSink(SinkBase):
     def __call__(self, data):
         for s in self.sinks:
             s(data)
+
+    def close(self):
+        for s in self.sinks:
+            s.close()
+
+
+class BranchSinks(SinkBase):
+    """Route a tuple-output graph (Tee — including multi-rate tees) to one
+    sink per branch: element i of every output tuple goes to ``sinks[i]``.
+    The structural counterpart of TeeSink (which copies ONE stream to many
+    sinks); reference tee zips its branches into one array instead
+    (Trans.hs:131-144) — here each branch keeps its own rate and file."""
+
+    def __init__(self, *sinks):
+        self.sinks = sinks
+
+    def __call__(self, data):
+        if not isinstance(data, tuple) or len(data) != len(self.sinks):
+            raise TypeError(
+                f"BranchSinks expects a {len(self.sinks)}-tuple per block, "
+                f"got {type(data).__name__}")
+        for s, d in zip(self.sinks, data):
+            s(d)
 
     def close(self):
         for s in self.sinks:

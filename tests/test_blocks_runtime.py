@@ -133,3 +133,81 @@ def test_tee_block():
     x = jnp.asarray(testsig.tone(64, 0.1))
     st, (y1, y2) = t.apply(st, x)
     assert y1.shape == y2.shape == (64,)
+
+
+def test_multirate_tee_per_branch_trim():
+    """Tee branches at DIFFERENT rational rates: each output leaf is trimmed
+    by its own rate (beyond the reference's same-length tee zip,
+    Trans.hs:131-144).  Audio path decimates 4x, raw tap stays 1:1."""
+    from fractions import Fraction
+
+    n = 1 << 14
+    rng = np.random.default_rng(5)
+    msg = 0.3 * np.sin(2 * np.pi * 0.003 * np.arange(n))
+    iq = np.exp(1j * 2 * np.pi * 0.1 * np.cumsum(msg)).astype(np.complex64)
+
+    audio_path = cs.chain(cs.fm_demodulator(0.5), cs.fir_decimator(4))
+    raw_tap = cs.Lambda(lambda x: x, name="id")
+    tee = cs.Tee(audio_path, raw_tap)
+    assert tee.rate_tree() == (Fraction(1, 4), Fraction(1))
+
+    audio_sink, raw_sink = cs.CollectSink(), cs.CollectSink()
+    pipe = cs.Pipeline(tee, block_size=4096)
+    total = pipe.run(iter([iq]), cs.BranchSinks(audio_sink, raw_sink))
+    audio, raw = audio_sink.concat(), raw_sink.concat()
+    assert len(audio) == n // 4 == total  # primary-branch accounting
+    assert len(raw) == n
+    assert np.array_equal(raw, iq)  # identity branch passes through exactly
+
+    # the decimated branch equals running its chain alone
+    ref_sink = cs.CollectSink()
+    cs.Pipeline(audio_path, block_size=4096).run(iter([iq]), ref_sink)
+    assert np.array_equal(audio, ref_sink.concat())
+
+    # short final block: both branches trim to their exact rational counts
+    n2 = 4096 + 1000
+    a2, r2 = cs.CollectSink(), cs.CollectSink()
+    cs.Pipeline(cs.Tee(cs.chain(cs.fm_demodulator(0.5), cs.fir_decimator(4)),
+                       cs.Lambda(lambda x: x)),
+                block_size=4096).run(iter([iq[:n2]]), cs.BranchSinks(a2, r2))
+    assert len(a2.concat()) == n2 // 4
+    assert len(r2.concat()) == n2
+
+
+def test_multirate_tee_stream_and_granule():
+    """Pipeline.stream yields per-leaf-trimmed tuples; the Tee granule
+    guarantees integral outputs on both branches for full blocks."""
+    dec8 = cs.fir_decimator(8)
+    tee = cs.Tee(dec8, cs.fir_decimator(4))
+    assert tee.granule % 8 == 0
+    n = 1 << 13
+    x = np.random.default_rng(0).normal(size=n).astype(np.float32)
+    outs = list(cs.Pipeline(tee, block_size=2048).stream(iter([x])))
+    a = np.concatenate([o[0] for o in outs])
+    b = np.concatenate([o[1] for o in outs])
+    assert len(a) == n // 8 and len(b) == n // 4
+
+
+def test_multirate_tee_refuses_mesh():
+    """Multi-rate tees run on the serial Pipeline only: under a mesh the
+    branches would produce different local lengths — clean refusal."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from csdr_tpu.parallel import ShardedChain
+
+    tee = cs.Tee(cs.fir_decimator(4), cs.Lambda(lambda x: x))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("time", "ch"))
+    with pytest.raises(NotImplementedError, match="different local lengths"):
+        ShardedChain(cs.chain(tee), mesh, 1 << 14)
+
+
+def test_branch_sinks_type_check():
+    import pytest
+
+    bs = cs.BranchSinks(cs.NullSink(), cs.NullSink())
+    with pytest.raises(TypeError, match="2-tuple"):
+        bs(np.zeros(4))
+    bs((np.zeros(4), np.zeros(2)))
+    bs.close()

@@ -95,7 +95,8 @@ def main():
              "wav_iq_source", "SdrSource", "SyntheticSdrSource",
              "enumerate_devices", "open_sdr", "RawFileSink", "StdoutSink",
              "AudioFileSink", "ConstellationPlotSink", "SpectrumPlotSink", "ChannelFileSinks",
-             "NullSink", "CollectSink", "PlaybackSink", "TeeSink"], out)
+             "NullSink", "CollectSink", "PlaybackSink", "TeeSink",
+             "BranchSinks"], out)
     section("io.sources (extras)", sources,
             ["raw_bytes_source", "register_sdr_driver"], out)
     section("io.rtl_tcp (network SDR driver)", rtl_tcp, None, out)
