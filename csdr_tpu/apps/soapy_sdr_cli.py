@@ -61,6 +61,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "subcarrier (PS/RadioText/PI) to <output>.rds.txt "
                         "(capability extension; one pipeline — the composite "
                         "feeds a multi-rate Tee, stereo + bit branches)")
+    p.add_argument("--spectrum", nargs="?", const="", default=None,
+                   metavar="FILE",
+                   help="Also write a Welch-averaged PSD Octave script of "
+                        "the tuned IQ (default <output>_spectrum.m) — the "
+                        "reference's inspectrum workflow as a flag")
+    p.add_argument("--constellation", nargs="?", const="", default=None,
+                   metavar="FILE",
+                   help="Also write a constellation scatter Octave script "
+                        "of the tuned IQ (default <output>_constellation.m)")
     p.add_argument("--play", nargs="?", const="", default=None, metavar="CMD",
                    help="Also play demodulated audio live (pacat/aplay/play "
                         "autodetected, or give a command; float32le PCM on "
@@ -182,6 +191,31 @@ def run_opts(opts) -> int:
         stream = src
     from ..core.runtime import take_n
     stream = take_n(stream, opts.numsamples)
+
+    if opts.spectrum is not None or opts.constellation is not None:
+        # host-side IQ tap after the front end: the plot sinks are host code,
+        # so tapping the already-downloaded stream costs no device work and
+        # composes with every flow (incl. --mesh).  Makes the reference's
+        # inspectrum/baudline eyeball step (README.md:126-146) one flag.
+        taps = []
+        if opts.spectrum is not None:
+            taps.append(S.SpectrumPlotSink(
+                opts.spectrum or f"{opts.output}_spectrum.m",
+                sample_rate=out_bw))
+        if opts.constellation is not None:
+            taps.append(S.ConstellationPlotSink(
+                opts.constellation or f"{opts.output}_constellation.m"))
+
+        def _tapped(it, sinks):
+            try:
+                for blk in it:
+                    for s in sinks:
+                        s(blk)
+                    yield blk
+            finally:
+                for s in sinks:
+                    s.close()
+        stream = _tapped(stream, taps)
 
     if opts.mesh and demod[0] == "DeNBFM" and nch > 1 and not opts.mix:
         # flagship fast path: the hand-fused sharded channelized FM receiver

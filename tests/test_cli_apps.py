@@ -431,3 +431,26 @@ def test_cli_play_ignored_without_audio(tmp_path, capsys):
     assert rc == 0
     assert "--play ignored" in capsys.readouterr().out
     assert not os.path.exists("should_not_exist.bin")
+
+
+def test_cli_spectrum_and_constellation_taps(tmp_path):
+    """--spectrum/--constellation tap the tuned IQ into Octave plot scripts
+    while the demod flow runs unchanged (the reference's inspectrum/baudline
+    workflow, README.md:126-146, as flags)."""
+    os.chdir(tmp_path)
+    n = 1 << 16
+    fs = 256000.0
+    _write_fm_capture("cap.cf32", n, fs)
+    rc = cli_main([
+        "--filename", "cap.cf32", "-s", str(fs), "-n", str(n),
+        "--demod", "DeWBFM 8 WAV", "-o", "radio",
+        "--blocksize", str(1 << 14),
+        "--spectrum", "--constellation",
+    ])
+    assert rc == 0
+    audio, sr = wavio.read_wav("radio.wav")
+    assert len(audio) == n // 8  # main flow unaffected
+    spec = open("radio_spectrum.m").read()
+    assert "p = [" in spec and "print -dpng" in spec
+    con = open("radio_constellation.m").read()
+    assert "v(end+1)" in con
