@@ -58,12 +58,14 @@ def to_host(a) -> np.ndarray:
 
 
 def to_device(x, device=None):
-    """Host→device transfer with the same complex64 split (see to_host)."""
+    """Host→device transfer with the same complex64 split (see to_host).
+    ``device`` pins placement (default device when None)."""
     x = np.asarray(x)
     if np.iscomplexobj(x):
         f = np.stack([x.real, x.imag], axis=-1).astype(np.float32)
-        return _join_complex(jnp.asarray(f))
-    return jnp.asarray(x)
+        fd = jnp.asarray(f) if device is None else jax.device_put(f, device)
+        return _join_complex(fd)
+    return jnp.asarray(x) if device is None else jax.device_put(x, device)
 
 
 class CEnc(NamedTuple):
@@ -193,15 +195,20 @@ class Pipeline:
         # this TPU backend, while compiled programs with complex internals
         # are fine (docs/TPU_BACKEND_NOTES.md)
         self._init = jax.jit(lambda: encode_tree(block.init()))
-        self.state = self._init()
+        self.state = self._place(self._init())
+
+    def _place(self, tree):
+        return tree if self.device is None else jax.device_put(tree, self.device)
 
     def reset(self):
-        self.state = self._init()
+        self.state = self._place(self._init())
 
     def process_block(self, x):
         """x: numpy or device array (complex allowed — encoded internally).
-        Returns the DECODED host-side output pytree."""
-        self.state, y_enc = self._step(self.state, _encode_host(x))
+        Returns the ENCODED output pytree (CEnc re/im planes for complex
+        leaves) — pass it through ``decode_tree_host`` for numpy complex;
+        ``run``/``stream`` do that for you."""
+        self.state, y_enc = self._step(self.state, self._place(_encode_host(x)))
         return y_enc
 
     def stream(self, source: Iterable[np.ndarray],
@@ -263,6 +270,13 @@ class Pipeline:
                     and total_in - last_ckpt >= checkpoint_every):
                 from .checkpoint import save_pipeline
 
+                # drain the pending block FIRST: the checkpoint's position
+                # covers it, so its output must be in the sink before the
+                # state is durable — otherwise a crash between save and the
+                # next drain loses one block of sink output on resume
+                if pending is not None:
+                    total_out += _drain(pending[0], pending[1], rt, sink)
+                    pending = None
                 save_pipeline(checkpoint_path, self, position=total_in)
                 last_ckpt = total_in
         if pending is not None:

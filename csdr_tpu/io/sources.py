@@ -41,18 +41,27 @@ def cf32_file_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray
     """Stream complex64 samples from a raw .cf32 file (reference
     readFromFile, Source.chs:259-271; default chunk 1024 there — we default
     much larger because the consumer re-blocks anyway)."""
+    gen = None
     try:
         from .native import native_cf32_source
-        yield from native_cf32_source(path, chunk_size)
+        gen = native_cf32_source(path, chunk_size)
+        first = next(gen)
+    except StopIteration:
         return
     except Exception:
-        pass
+        gen = None  # native lib unavailable/failed to open → numpy fallback
+    if gen is not None:
+        # past the first yield, a native failure must PROPAGATE — falling
+        # back would re-open at byte 0 and silently duplicate samples
+        yield first
+        yield from gen
+        return
     with open(path, "rb") as f:
         while True:
             raw = f.read(chunk_size * 8)
-            if not raw:
-                return
-            yield np.frombuffer(raw, dtype=np.complex64)
+            if len(raw) < 8:
+                return  # EOF (a trailing partial sample is dropped)
+            yield np.frombuffer(raw[: len(raw) & ~7], dtype=np.complex64)
 
 
 def cu8_file_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]:
@@ -84,9 +93,9 @@ def f32_file_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]
     with open(path, "rb") as f:
         while True:
             raw = f.read(chunk_size * 4)
-            if not raw:
-                return
-            yield np.frombuffer(raw, dtype=np.float32)
+            if len(raw) < 4:
+                return  # EOF (a trailing partial sample is dropped)
+            yield np.frombuffer(raw[: len(raw) & ~3], dtype=np.float32)
 
 
 def wav_iq_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]:
@@ -94,25 +103,19 @@ def wav_iq_source(path: str, chunk_size: int = _CHUNK) -> Iterator[np.ndarray]:
     reference's audio-file source (Source.chs:273-307: realToComplex then
     mixUp(2π·0.5)).  Raises on non-mono input like the reference
     (Source.chs:283)."""
-    import jax.numpy as jnp
     from ..core.block import chain
-    from ..core.runtime import to_host
+    from ..core.runtime import Pipeline
     from ..blocks import real_to_complex, mix_up
 
     data, _sr = wavio.read_wav(path)
     if data.ndim != 1:
         raise ValueError("wav_iq_source: only mono WAV supported (like the reference)")
     blk = chain(real_to_complex(), mix_up(np.pi))
-    state = blk.init()
-    n = (chunk_size * 2 // blk.granule) * blk.granule
-    for i in range(0, len(data), n):
-        seg = data[i:i + n]
-        pad = (-len(seg)) % blk.granule
-        valid = len(seg) // 2
-        if pad:
-            seg = np.pad(seg, (0, pad))
-        state, y = blk.apply(state, jnp.asarray(seg))
-        yield to_host(y)[:valid]
+    # run through the jitted Pipeline, NOT eager blk.apply: eager complex
+    # creation / raw complex transfers wedge the TPU backend (CLAUDE.md
+    # rules 1-2) — Pipeline keeps the boundary CEnc-encoded and trims the
+    # short final block to the exact rational count
+    yield from Pipeline(blk, block_size=chunk_size * 2).stream(iter([data]))
 
 
 class SdrSource:

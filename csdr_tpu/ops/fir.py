@@ -174,15 +174,10 @@ def fir_decim_stream(taps: np.ndarray, M: int, hist: jnp.ndarray, x: jnp.ndarray
             for l, t in enumerate(hp):
                 if t == 0.0:
                     continue
+                # l ≤ len(hp)-1 = floor((K-1-p)/M) = d, so start ≥ 0 always:
+                # the K-1 carried samples cover every phase's deepest tap
                 start = d - l
-                if start < 0:
-                    # beyond carried history: these taps only matter for
-                    # K > M·(d+1); pad virtually with leading zeros
-                    seg = jnp.concatenate(
-                        [jnp.zeros((-start,), dtype=xfull.dtype), v[: nout + start]]
-                    )
-                else:
-                    seg = v[start : start + nout]
+                seg = v[start : start + nout]
                 term = seg * t
                 acc = term if acc is None else acc + term
         y = acc if acc is not None else jnp.zeros((nout,), dtype=xfull.dtype)

@@ -84,3 +84,50 @@ def test_periodic_checkpoint_during_run(tmp_path):
     p2 = Pipeline(graph(), block_size=1 << 13, donate=False)
     pos = resume_pipeline(ck, p2)
     assert pos >= 1 << 14
+
+
+def test_checkpoint_path_without_npz_extension(tmp_path):
+    """np.savez appends '.npz' to extension-less paths; save and resume with
+    the SAME path string must agree (regression: resume raised
+    FileNotFoundError for the natural 'job.ckpt' usage)."""
+    import csdr_tpu as cs
+    from csdr_tpu.core.checkpoint import resume_pipeline, save_pipeline
+
+    pipe = cs.Pipeline(cs.dc_blocker(), block_size=1024)
+    x = (np.random.default_rng(0).normal(size=1024)
+         + 1j * np.random.default_rng(1).normal(size=1024)).astype(np.complex64)
+    pipe.process_block(x)
+    p = str(tmp_path / "job.ckpt")  # no .npz
+    save_pipeline(p, pipe, position=1024)
+    pipe2 = cs.Pipeline(cs.dc_blocker(), block_size=1024)
+    pos = resume_pipeline(p, pipe2)
+    assert pos == 1024
+
+
+def test_checkpoint_position_never_exceeds_drained_output(tmp_path, monkeypatch):
+    """Every periodic checkpoint must be written AFTER the block it covers
+    reached the sink — otherwise a crash between save and the next drain
+    loses one block of output on resume (position is past it, sink lacks
+    it)."""
+    import csdr_tpu as cs
+    from csdr_tpu.core import checkpoint as ckpt_mod
+
+    seen = []
+    real_save = ckpt_mod.save_pipeline
+    sink = cs.CollectSink()
+
+    def spy_save(path, pipeline, position):
+        drained = sum(len(a) for a in sink.parts)
+        seen.append((position, drained))
+        real_save(path, pipeline, position)
+
+    monkeypatch.setattr(ckpt_mod, "save_pipeline", spy_save)
+    n = 1 << 15
+    x = (np.random.default_rng(2).normal(size=n)
+         + 1j * np.random.default_rng(3).normal(size=n)).astype(np.complex64)
+    pipe = cs.Pipeline(cs.dc_blocker(), block_size=4096)
+    pipe.run(iter([x]), sink, checkpoint_path=str(tmp_path / "c.npz"),
+             checkpoint_every=8192)
+    assert seen, "no checkpoints were written"
+    for position, drained in seen:
+        assert drained >= position, (position, drained)  # rate 1: out == in

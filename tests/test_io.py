@@ -247,3 +247,21 @@ def test_playback_sink_no_player_raises(monkeypatch):
 
     with pytest.raises(FileNotFoundError):
         cs.PlaybackSink(8000)
+
+
+def test_truncated_capture_files_drop_partial_sample(tmp_path):
+    """A capture truncated mid-sample (killed recorder) must end the stream
+    cleanly, not crash np.frombuffer."""
+    p = tmp_path / "t.cf32"
+    iq = np.arange(10, dtype=np.complex64)
+    with open(p, "wb") as f:
+        f.write(iq.tobytes()[:-3])  # last sample cut mid-float
+    from csdr_tpu.io.sources import cf32_file_source, f32_file_source
+    got = np.concatenate(list(cf32_file_source(str(p), chunk_size=4)))
+    assert np.array_equal(got, iq[:9])
+    p2 = tmp_path / "t.f32"
+    x = np.arange(7, dtype=np.float32)
+    with open(p2, "wb") as f:
+        f.write(x.tobytes()[:-2])
+    got2 = np.concatenate(list(f32_file_source(str(p2), chunk_size=3)))
+    assert np.array_equal(got2, x[:6])
