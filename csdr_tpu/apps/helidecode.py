@@ -44,9 +44,10 @@ class Coord:
 
 def bits_from_samples(samples: np.ndarray) -> str:
     """Every 2nd sample (symbol centers at 2 samp/sym), sign-sliced:
-    v > 0 → '0' else '1' (HeliDecode.hs:171-178)."""
+    v > 0 → '0' else '1' (HeliDecode.hs:171-178).  Vectorized — a
+    multi-hundred-MB capture has tens of millions of symbols."""
     centers = np.asarray(samples)[0::2]
-    return "".join("0" if v > 0 else "1" for v in centers)
+    return ((centers <= 0).astype(np.uint8) + ord("0")).tobytes().decode("ascii")
 
 
 def frames_from_bits(bits: str) -> list[str]:
@@ -81,9 +82,15 @@ _COORD_RE = re.compile(
 
 
 def parse_coords(text: str) -> list[Coord]:
-    """Loc = deg, 2-digit minutes, seconds = (n/100)·60 (HeliDecode.hs:47-57)."""
+    """Loc = deg, 2-digit minutes, seconds = (n/100)·60 (HeliDecode.hs:47-57).
+    Only the LEADING run of coordinate records counts — the reference parses
+    with ``many parseCoord`` anchored at position 0 (HeliDecode.hs:66-67), so
+    a frame with leading garbage yields no coords and anything after the
+    first malformed record is ignored."""
     out = []
-    for m in _COORD_RE.finditer(text):
+    pos = 0
+    while (m := _COORD_RE.match(text, pos)) is not None:
+        pos = m.end()
         lat_d, lat_m, lat_s, lon_d, lon_m, lon_s = m.groups()
         out.append(Coord(
             float(int(lat_d)), float(int(lat_m)), int(lat_s) / 100.0 * 60.0,
@@ -102,9 +109,10 @@ def _dist_km(a: Coord, b: Coord) -> float:
 
 
 def clean_coords(coords: list[Coord], max_jump_km: float = 0.1) -> list[Coord]:
-    """Keep successor coords within 0.1 km of their predecessor
-    (HeliDecode.hs:126-129)."""
-    return [c2 for c1, c2 in zip(coords, coords[1:]) if _dist_km(c1, c2) < max_jump_km]
+    """Keep the EARLIER coord of each close pair (HeliDecode.hs:126-129:
+    ``fmap snd $ filter ... $ zip (tail cs) cs`` — snd of (successor,
+    predecessor) is the predecessor)."""
+    return [c1 for c1, c2 in zip(coords, coords[1:]) if _dist_km(c1, c2) < max_jump_km]
 
 
 def to_kml(path: str, coords: list[Coord]):

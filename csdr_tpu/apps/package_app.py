@@ -68,11 +68,6 @@ def ldd_closure(binary: str) -> list[str]:
     return libs
 
 
-def _prunable(path: str) -> bool:
-    base = os.path.basename(path)
-    return base == "__pycache__" or base.endswith((".pyc", ".dist-info"))
-
-
 def bundle_runtime(out_dir: str) -> None:
     """Make the bundle fully self-contained (reference AppImage parity,
     Cabal2AppImage.hs:119-156): copy the running python interpreter + its
@@ -165,6 +160,7 @@ def build_bundle(out_dir: str, repo_root: str | None = None,
                 '#!/bin/sh\nHERE="$(dirname "$(readlink -f "$0")")"\n'
                 'export LD_LIBRARY_PATH="$HERE/lib:$HERE/runtime/lib:'
                 '$LD_LIBRARY_PATH"\n'
+                'export CSDR_NATIVE_LIB="$HERE/lib/libcsdr_io.so"\n'
                 'export PYTHONHOME="$HERE/runtime"\n'
                 'export PYTHONPATH="$HERE/runtime/stdlib:'
                 '$HERE/runtime/stdlib/lib-dynload:$HERE/runtime/site-packages"\n'
@@ -173,6 +169,7 @@ def build_bundle(out_dir: str, repo_root: str | None = None,
         with open(launcher, "w") as f:
             f.write('#!/bin/sh\nHERE="$(dirname "$(readlink -f "$0")")"\n'
                     'export LD_LIBRARY_PATH="$HERE/lib:$LD_LIBRARY_PATH"\n'
+                    'export CSDR_NATIVE_LIB="$HERE/lib/libcsdr_io.so"\n'
                     'exec python3 "$HERE/csdr.pyz" "$@"\n')
     os.chmod(launcher, 0o755)
     return out_dir

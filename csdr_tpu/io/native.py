@@ -41,10 +41,15 @@ def load_lib():
             return _lib
         if _build_failed:
             raise RuntimeError("native csdr_io unavailable")
-        if not os.path.exists(_SO) and not _build():
-            _build_failed = True
-            raise RuntimeError("failed to build native/libcsdr_io.so")
-        lib = ctypes.CDLL(_SO)
+        # deployed bundles (apps/package_app.py) ship the .so outside the
+        # source tree and point at it via CSDR_NATIVE_LIB — inside a zipapp
+        # the repo-relative path below does not exist
+        so = os.environ.get("CSDR_NATIVE_LIB") or _SO
+        if not os.path.exists(so):
+            if so is not _SO or not _build():
+                _build_failed = True
+                raise RuntimeError(f"native csdr_io unavailable ({so})")
+        lib = ctypes.CDLL(so)
         lib.reader_open.restype = ctypes.c_void_p
         lib.reader_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
         lib.reader_next.restype = ctypes.c_int

@@ -185,13 +185,21 @@ def pfb_channelize_fused(vfull_re, vfull_im, taps, wre, wim, *, nch: int, L: int
 
 def channelized_fm_pallas_init(nch: int, m: int = 7):
     """State: NCO phase + L frames of pre-shifted input history (the extra
-    frame beyond the FIR span feeds the demod's d[t−1])."""
+    frame beyond the FIR span feeds the demod's d[t−1]).
+
+    Self-jitted: eager jnp.zeros(complex64) outside jit is UNIMPLEMENTED on
+    this TPU backend and poisons later transfers (CLAUDE.md rule 1) — safe
+    here even when called outside Pipeline._init."""
     L = 2 * m
-    return (
-        jnp.zeros((), jnp.float32),
-        jnp.zeros((nch - 1,), jnp.complex64),
-        jnp.zeros((L, nch), jnp.complex64),  # history v-frames (incl. demod prev)
-    )
+
+    @jax.jit
+    def _z():
+        return (
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((nch - 1,), jnp.complex64),
+            jnp.zeros((L, nch), jnp.complex64),  # history (incl. demod prev)
+        )
+    return _z()
 
 
 def channelized_fm_pallas_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,

@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.sharding import _apow_vec  # shared decay table (core/sharding.py)
+from ..core.sharding import (  # shared decay tables (core/sharding.py):
+    _apow_vec, _astep_table, _carry_coef_table,  # host float64-accumulated
+)
 from ..ops import linrec as linrec_ops
 from ..ops import pfb as pfb_ops
 from ..ops.nco import phase_ramp, phase_increment
@@ -187,10 +189,9 @@ class ShardedChannelizedFM:
         w = linrec_ops.linrec(forcing, float(r), jnp.zeros((1,), jnp.complex64)[0])
         w_end = w[-1]
         ends = jax.lax.all_gather(w_end, "time")  # (dt,)
-        j = jnp.arange(self.dt)
-        expo = jnp.maximum((ti - 1 - j) * nloc, 0)
-        coef = jnp.where(j < ti, jnp.power(np.float32(r), expo.astype(jnp.float32)), 0.0)
-        y_in = jnp.power(np.float32(r), (ti * nloc).astype(jnp.float32)) * state["dc_y"][0] \
+        coef = jnp.asarray(_carry_coef_table(float(r), nloc, self.dt, False))[ti]
+        astep = jnp.asarray(_astep_table(float(r), nloc, self.dt, False))[ti]
+        y_in = astep * state["dc_y"][0] \
             + jnp.sum(coef.astype(jnp.complex64) * ends)
         apow = jnp.asarray(_apow_vec(float(r), nloc, False))
         xdc = w + apow.astype(jnp.complex64) * y_in
@@ -307,10 +308,9 @@ class ShardedChannelizedFM:
                                                   jnp.zeros((), jnp.float32)))(b)
         w_end = w[:, -1]                                   # (nch_loc,)
         ends = jax.lax.all_gather(w_end, "time")           # (dt, nch_loc)
-        j = jnp.arange(self.dt)
-        expo = jnp.maximum((ti - 1 - j) * F, 0).astype(jnp.float32)
-        coef = jnp.where(j < ti, jnp.power(np.float32(a), expo), 0.0)
-        lng_in = jnp.power(np.float32(a), (ti * F).astype(jnp.float32)) * lng \
+        coef = jnp.asarray(_carry_coef_table(float(a), int(F), self.dt, False))[ti]
+        astep = jnp.asarray(_astep_table(float(a), int(F), self.dt, False))[ti]
+        lng_in = astep * lng \
             + (coef[:, None] * ends).sum(axis=0)           # (nch_loc,)
         apow = jnp.asarray(_apow_vec(float(a), F, False))
         lng_next = w + apow[None, :] * lng_in[:, None]     # ln g[n+1]

@@ -25,14 +25,20 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator is None:
         return False
+    if num_processes is None:
+        env = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env) if env is not None else None
+    if process_id is None:
+        # `or` would discard an explicit process_id=0 (rank 0!)
+        env = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env) if env is not None else None
+    # leave unset values as None: jax.distributed auto-detects them from the
+    # cluster environment (TPU pod metadata, etc.) — hardcoding 1/0 would
+    # make every rank claim world-size 1 rank 0 and wedge the join
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=(num_processes if num_processes is not None
-                       else int(os.environ.get("JAX_NUM_PROCESSES", "1"))),
-        # `or` would discard an explicit process_id=0 (rank 0!) in favor of a
-        # stale JAX_PROCESS_ID env var
-        process_id=(process_id if process_id is not None
-                    else int(os.environ.get("JAX_PROCESS_ID", "0"))),
+        num_processes=num_processes,
+        process_id=process_id,
     )
     return True
 

@@ -137,13 +137,15 @@ int reader_next(void* handle, const uint8_t** out, size_t* len) {
   }
   r->cv_free.notify_one();
   std::unique_lock<std::mutex> lk(r->mu);
-  r->cv_ready.wait(lk, [&] { return !r->ready.empty() || (r->done && r->ready.empty()); });
-  if (r->error) return -1;
-  if (r->ready.empty()) return 0;
+  r->cv_ready.wait(lk, [&] { return !r->ready.empty() || r->done; });
+  // drain already-filled buffers BEFORE reporting a trailing error: the
+  // producer may have read several valid chunks ahead of the failure, and
+  // dropping them would truncate the stream at a timing-dependent point
+  if (r->ready.empty()) return r->error ? -1 : 0;
   int idx = r->ready.front();
   r->ready.pop_front();
   Buffer& b = r->bufs[idx];
-  if (b.len == 0) return b.eof ? 0 : -1;
+  if (b.len == 0) return b.eof ? 0 : -1;  // terminal marker buffer
   r->in_flight = idx;
   *out = b.data.data();
   *len = b.len;

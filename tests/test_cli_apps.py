@@ -454,3 +454,27 @@ def test_cli_spectrum_and_constellation_taps(tmp_path):
     assert "p = [" in spec and "print -dpng" in spec
     con = open("radio_constellation.m").read()
     assert "v(end+1)" in con
+
+
+def test_helidecode_parse_anchored_and_clean_keeps_earlier():
+    """parse_coords parses only the LEADING run of records (reference
+    `many parseCoord` anchored at 0, HeliDecode.hs:66-67) and clean_coords
+    keeps the EARLIER coord of each close pair (HeliDecode.hs:126-129)."""
+    rec = "AN 50 0732\r\nBW 20 0515\r\n"
+    # leading garbage -> no coords; trailing garbage stops the run
+    assert hd.parse_coords("X" + rec) == []
+    assert len(hd.parse_coords(rec + "junk" + rec)) == 1
+    assert len(hd.parse_coords(rec + rec)) == 2
+
+    a = hd.Coord(50.0, 7.0, 0.0, 20.0, 5.0, 0.0)
+    b = hd.Coord(50.0, 7.0, 1.0, 20.0, 5.0, 0.0)   # ~30 m from a
+    far = hd.Coord(51.0, 7.0, 0.0, 20.0, 5.0, 0.0)  # ~111 km away
+    assert hd.clean_coords([a, b, far]) == [a]      # keeps predecessor only
+
+
+def test_helidecode_bits_vectorized_matches_sign_slicing():
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=4096).astype(np.float32)
+    bits = hd.bits_from_samples(s)
+    want = "".join("0" if v > 0 else "1" for v in s[0::2])
+    assert bits == want
