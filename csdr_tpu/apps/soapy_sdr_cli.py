@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 import numpy as np
 
@@ -61,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "subcarrier (PS/RadioText/PI) to <output>.rds.txt "
                         "(capability extension; one pipeline — the composite "
                         "feeds a multi-rate Tee, stereo + bit branches)")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="Print each block's configuration as the flow is "
+                        "assembled (the reference prints every liquid "
+                        "object's config, SURVEY §5) and a throughput "
+                        "summary at the end")
     p.add_argument("--spectrum", nargs="?", const="", default=None,
                    metavar="FILE",
                    help="Also write a Welch-averaged PSD Octave script of "
@@ -166,6 +172,18 @@ def _open_source(opts):
         return None
 
 
+def _announce(label: str, graph, opts):
+    """--verbose: per-block config lines, like the reference's liquid
+    ``*_print`` on every object construction (SURVEY.md §5)."""
+    if not getattr(opts, "verbose", False):
+        return
+    from ..core.block import Chain
+    blocks = graph.blocks if isinstance(graph, Chain) else [graph]
+    print(f"{label} (rate {graph.rate}, granule {graph.granule}):")
+    for b in blocks:
+        print(f"  {b!r}")
+
+
 def run_opts(opts) -> int:
     demod = parse_demod(opts.demod)
     nch = opts.channels
@@ -185,6 +203,7 @@ def run_opts(opts) -> int:
         fe_stages = [B.u8_to_iq()] + fe_stages
     if fe_stages:
         fe = chain(*fe_stages) if len(fe_stages) > 1 else fe_stages[0]
+        _announce("Front end", fe, opts)
         fe_pipe = Pipeline(fe, block_size=opts.blocksize)
         stream = fe_pipe.stream(src)
     else:
@@ -342,11 +361,14 @@ def run_opts(opts) -> int:
         # fused-kernel fast path for the flagship flow
         from ..models.receivers import channelized_fm_receiver
         graph = channelized_fm_receiver(nch, kf=demod[1], backend=opts.backend)
+        _announce("Flow", graph, opts)
         pipe = Pipeline(graph, block_size=opts.blocksize)
         sink = S.ChannelFileSinks(
             lambda i: make_sink(f"{opts.output}_ch{i + 1}"), nch)
+        t0 = time.perf_counter()
         with sink:
             total = pipe.run(stream, sink)
+        _summary(total, time.perf_counter() - t0, opts)
         print(f"Wrote {total} output samples per stream ({opts.backend})")
         return 0
 
@@ -367,11 +389,20 @@ def run_opts(opts) -> int:
         sink = with_play(make_sink(opts.output), play_rate, 1)
 
     graph = chain(*stages)
+    _announce("Flow", graph, opts)
     pipe = Pipeline(graph, block_size=opts.blocksize)
+    t0 = time.perf_counter()
     with sink:
         total = pipe.run(stream, sink)
+    _summary(total, time.perf_counter() - t0, opts)
     print(f"Wrote {total} output samples per stream")
     return 0
+
+
+def _summary(total_out: int, dt: float, opts):
+    if getattr(opts, "verbose", False) and dt > 0:
+        print(f"Throughput: {total_out} output samples in {dt:.2f} s "
+              f"({total_out / dt / 1e6:.2f} MSPS out, incl. compile)")
 
 
 def _mesh_of(opts):
@@ -415,6 +446,7 @@ def _run_sharded_generic(opts, kind, per, make_sink, stream,
             stages.append(per)
         sink = out_sink if out_sink is not None else make_sink(opts.output)
     graph = chain(*stages)
+    _announce("Flow", graph, opts)
     dt = int(opts.mesh.lower().split("x")[0])
     g = graph.granule
     block = max(opts.blocksize // (dt * g), 1) * dt * g
@@ -427,8 +459,10 @@ def _run_sharded_generic(opts, kind, per, make_sink, stream,
         print(f"--mesh: invalid configuration ({e})")
         return 1
     runner = ShardedPipeline(sh)
+    t0 = time.perf_counter()
     with sink:
         total = runner.run(stream, sink)
+    _summary(total, time.perf_counter() - t0, opts)
     shape = "x".join(opts.mesh.lower().split("x"))
     print(f"Wrote {total} output samples per stream over mesh {shape}")
     return 0

@@ -478,3 +478,23 @@ def test_helidecode_bits_vectorized_matches_sign_slicing():
     bits = hd.bits_from_samples(s)
     want = "".join("0" if v > 0 else "1" for v in s[0::2])
     assert bits == want
+
+
+def test_cli_verbose_prints_block_configs(tmp_path, capsys):
+    """-v prints every block's config as the flow is assembled (the
+    reference's liquid *_print behavior, SURVEY §5) + a throughput line."""
+    os.chdir(tmp_path)
+    n = 1 << 15
+    fs = 256000.0
+    _write_fm_capture("cap.cf32", n, fs)
+    rc = cli_main([
+        "--filename", "cap.cf32", "-s", str(fs), "-n", str(n), "-v",
+        "--demod", "DeWBFM 8 WAV", "-o", "radio", "-b", "128000",
+        "--blocksize", str(1 << 14),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Front end (rate" in out       # resampler front end announced
+    assert "Flow (rate 1/8" in out
+    assert "fm_demod(0.6)" in out and "dc_blocker" in out
+    assert "Throughput:" in out and "MSPS out" in out
