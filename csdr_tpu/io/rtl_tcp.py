@@ -32,7 +32,7 @@ import numpy as np
 
 from .sources import SdrSource, register_sdr_driver
 
-__all__ = ["RtlTcpSource", "RTL_MAGIC"]
+__all__ = ["RtlTcpSource", "RtlTcpServer", "RTL_MAGIC"]
 
 RTL_MAGIC = b"RTL0"
 
@@ -184,6 +184,114 @@ class RtlTcpSource(SdrSource):
             self.sock.close()
         except OSError:
             pass
+
+
+class RtlTcpServer:
+    """Serve IQ as an rtl_tcp server — the outbound half of the network
+    story (the class above is the client).  Any chunk iterator (file source,
+    synthetic device, a processed stream) becomes consumable by standard
+    rtl_tcp clients (gqrx, SDR#, rtl_fm, or RtlTcpSource itself), so a TPU
+    pipeline can feed radio tooling elsewhere on the network.
+
+    ``make_source()`` is called once per client connection and must return
+    an iterator of chunks: complex64 in [-1, 1] (quantized to the wire's
+    interleaved uint8 exactly like an RTL dongle) or uint8 (sent as-is).
+    Tuner commands a client sends (set frequency/rate/gain) are recorded in
+    ``self.commands`` — a file has a fixed tuning, like rtl_tcp serving a
+    recorded stream.  Serves one client at a time, looping until close()
+    (librtlsdr's rtl_tcp behaves the same way)."""
+
+    def __init__(self, make_source, host: str = "127.0.0.1", port: int = 0,
+                 tuner_type: int = 5, gain_count: int = 29):
+        import threading
+
+        self.make_source = make_source
+        self.tuner_type, self.gain_count = tuner_type, gain_count
+        self.commands: list[tuple[int, int]] = []
+        self.clients_served = 0
+        self.error: Exception | None = None  # last source failure, if any
+        self._closing = False
+        self.srv = socket.socket()
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind((host, port))
+        self.srv.listen(1)
+        self.host, self.port = self.srv.getsockname()
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    @staticmethod
+    def _to_wire(chunk) -> bytes:
+        a = np.asarray(chunk)
+        if a.dtype == np.uint8:
+            return a.tobytes()
+        u8 = np.empty(2 * len(a), np.uint8)
+        u8[0::2] = np.clip(np.round(a.real * 127.5 + 127.5), 0, 255)
+        u8[1::2] = np.clip(np.round(a.imag * 127.5 + 127.5), 0, 255)
+        return u8.tobytes()
+
+    def _serve(self):
+        import threading
+
+        while not self._closing:
+            try:
+                conn, _ = self.srv.accept()
+            except OSError:
+                return  # close() shut the listener down
+            conn.sendall(RTL_MAGIC
+                         + struct.pack(">II", self.tuner_type, self.gain_count))
+
+            def drain():
+                buf = b""
+                try:
+                    while True:
+                        got = conn.recv(256)
+                        if not got:
+                            return
+                        buf += got
+                        while len(buf) >= 5:
+                            cmd, arg = struct.unpack(">BI", buf[:5])
+                            self.commands.append((cmd, arg))
+                            buf = buf[5:]
+                except OSError:
+                    pass
+
+            threading.Thread(target=drain, daemon=True).start()
+            try:
+                for chunk in self.make_source():
+                    if self._closing:
+                        break
+                    conn.sendall(self._to_wire(chunk))
+            except (BrokenPipeError, ConnectionResetError,
+                    ConnectionAbortedError):
+                pass  # client went away mid-stream: back to accept()
+            except Exception as e:
+                # a SOURCE failure (missing file, read error) must not be
+                # mistaken for a client disconnect — record it loudly
+                import sys as _sys
+
+                self.error = e
+                print(f"rtl_tcp server: source error: "
+                      f"{type(e).__name__}: {e}", file=_sys.stderr)
+            finally:
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                self.clients_served += 1
+
+    def close(self):
+        self._closing = True
+        try:
+            self.srv.close()
+        except OSError:
+            pass
+        self.thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 register_sdr_driver("rtl_tcp", RtlTcpSource)

@@ -335,3 +335,123 @@ def test_rtl_tcp_bad_addr_and_gain_mode_raise():
         del os.environ["CSDR_RTLTCP_ADDR"]
     with pytest.raises(ValueError, match="gain_mode"):
         RtlTcpSource(host="127.0.0.1", port=1, gain_mode="loud")
+
+
+def test_rtl_tcp_server_roundtrip_with_own_client():
+    """RtlTcpServer serves a cf32 stream; RtlTcpSource consumes it — the
+    full network loop inside the framework.  Wire quantization matches the
+    RTL dongle model on both sides (u8 within 1 LSB)."""
+    from csdr_tpu.io.rtl_tcp import RtlTcpServer
+
+    n = 200_000
+    t = np.arange(n)
+    z = (0.8 * np.exp(2j * np.pi * 0.01 * t)).astype(np.complex64)
+
+    with RtlTcpServer(lambda: iter([z[:70_000], z[70_000:]])) as srv:
+        src = RtlTcpSource(sample_rate=1.024e6, frequency=88e6, gain=10.0,
+                           host=srv.host, port=srv.port)
+        rx = np.concatenate(list(src))
+        src.close()
+        assert len(rx) == n
+        # quantize-roundtrip error bounded by half an LSB each way
+        assert np.max(np.abs(rx - z)) < 1.0 / 127.5
+        # client tuner config reached the server
+        cmds = dict(srv.commands)
+        assert cmds.get(0x01) == 88_000_000 and cmds.get(0x02) == 1_024_000
+
+
+def test_rtl_tcp_server_u8_passthrough_and_reconnect():
+    """uint8 chunks go over the wire untouched; a second client gets a fresh
+    stream (one-client-at-a-time loop, like librtlsdr's rtl_tcp)."""
+    from csdr_tpu.io.rtl_tcp import RtlTcpServer
+
+    u8 = make_u8_iq(50_000, f=0.02)
+    with RtlTcpServer(lambda: iter([u8])) as srv:
+        for _ in range(2):
+            src = RtlTcpSource(host=srv.host, port=srv.port, raw_u8=True)
+            rx = np.concatenate(list(src))
+            src.close()
+            assert np.array_equal(rx, u8)
+        assert srv.clients_served == 2
+
+
+def test_rtl_tcp_server_cli_to_demod_cli(tmp_path, monkeypatch):
+    """Server app serves a real FM capture; the soapy-sdr CLI demodulates it
+    over TCP — two framework apps talking the actual wire protocol."""
+    import threading
+
+    from csdr_tpu.apps import rtl_tcp_server as srv_app
+    from csdr_tpu.apps.soapy_sdr_cli import main as cli_main
+    from csdr_tpu.io.rtl_tcp import RtlTcpServer
+
+    monkeypatch.chdir(tmp_path)
+    fs = 512_000
+    n = 400_000
+    t = np.arange(n)
+    msg = 0.4 * np.sin(2 * np.pi * 0.002 * t)
+    z = (0.9 * np.exp(1j * 2 * np.pi * 0.6 * np.cumsum(msg))).astype(np.complex64)
+    z.tofile("cap.cf32")
+
+    opts = srv_app.build_parser().parse_args(
+        ["--filename", "cap.cf32", "--port", "0", "--clients", "1"])
+    # run the server app in a thread; grab the ephemeral port via the server
+    # object it creates (patch RtlTcpServer to capture the instance)
+    holder = {}
+    orig = RtlTcpServer
+
+    def capture(*a, **kw):
+        holder["srv"] = orig(*a, **kw)
+        return holder["srv"]
+
+    monkeypatch.setattr(srv_app, "RtlTcpServer", capture)
+    th = threading.Thread(target=srv_app.run_opts, args=(opts,), daemon=True)
+    th.start()
+    for _ in range(100):
+        if "srv" in holder:
+            break
+        import time
+        time.sleep(0.05)
+    port = holder["srv"].port
+    monkeypatch.setenv("CSDR_RTLTCP_ADDR", f"127.0.0.1:{port}")
+
+    nsamp = 262_144
+    rc = cli_main(["--devname", "rtl_tcp", "-s", str(fs), "-f", "100000000",
+                   "--demod", "DeNBFM 0.6 WAV", "-n", str(nsamp),
+                   "--blocksize", "65536", "-o", "net"])
+    assert rc == 0
+    th.join(timeout=10)
+    from csdr_tpu.io.wav import read_wav
+
+    audio, _ = read_wav("net.wav")
+    assert len(audio) == nsamp
+    seg = audio[4096:65536 + 4096].astype(np.float64)
+    S = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f_peak = (np.argmax(S[1:]) + 1) / len(seg)
+    assert abs(f_peak - 0.002) < 2e-4, f_peak
+
+
+def test_rtl_tcp_server_missing_file_and_source_error():
+    """A missing capture is a clean CLI error; a mid-stream source failure
+    is recorded on srv.error, not mistaken for a client disconnect."""
+    from csdr_tpu.apps import rtl_tcp_server as srv_app
+    from csdr_tpu.io.rtl_tcp import RtlTcpServer
+
+    opts = srv_app.build_parser().parse_args(
+        ["--filename", "/nonexistent/cap.cf32"])
+    assert srv_app.run_opts(opts) == 1
+
+    def bad_source():
+        yield make_u8_iq(1000)
+        raise IOError("disk on fire")
+
+    with RtlTcpServer(bad_source) as srv:
+        src = RtlTcpSource(host=srv.host, port=srv.port, raw_u8=True)
+        rx = np.concatenate(list(src))
+        src.close()
+        assert len(rx) == 2000  # the good chunk was delivered
+        import time
+        for _ in range(50):
+            if srv.error is not None:
+                break
+            time.sleep(0.05)
+        assert isinstance(srv.error, IOError)
