@@ -1,0 +1,98 @@
+"""AIS receiver (models/ais.py): CRC/HDLC/NRZI layers and the full
+GMSK-modulated chain, validated as an exact encoder/decoder inverse pair."""
+
+import numpy as np
+import pytest
+
+import csdr_tpu as cs
+from csdr_tpu.models import ais
+
+FS = 48000.0  # k = 5 samples/bit
+
+
+def test_crc16_x25_known_vector():
+    # the standard CRC-16/X-25 check value
+    assert ais.crc16_x25(b"123456789") == 0x906E
+
+
+def test_nrzi_roundtrip():
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 500).astype(np.uint8)
+    for start in (0, 1):
+        lv = ais.nrzi_encode(bits, start)
+        dec = ais.nrzi_decode(lv)
+        # first decoded bit is undefined (no previous level) — skip it
+        assert np.array_equal(dec[1:], bits[1:])
+
+
+def test_bit_layer_roundtrip_and_crc_rejection():
+    pb = ais.make_position_report(257123456, 59.91234, 10.75321,
+                                  sog_kn=14.2, cog_deg=83.1)
+    levels = ais.ais_burst_bits(pb)
+    msgs = ais.decode_bits(levels)
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert m["mmsi"] == 257123456 and m["type"] == 1
+    assert abs(m["lat_deg"] - 59.91234) < 1e-5
+    assert abs(m["lon_deg"] - 10.75321) < 1e-5
+    assert abs(m["sog_kn"] - 14.2) < 1e-9
+    assert abs(m["cog_deg"] - 83.1) < 1e-9
+
+    # corrupt one payload bit: the CRC must reject the frame
+    bad = levels.copy()
+    bad[24 + 8 + 40] ^= 1
+    assert ais.decode_bits(bad) == []
+
+
+def test_ais_full_gmsk_chain():
+    """Two bursts with idle gaps through the ACTUAL demod chain:
+    GMSK modulate at 5 samp/bit → ais_receiver → host decode."""
+    k = int(FS // 9600)
+    reports = [
+        ais.make_position_report(257123456, 59.91234, 10.75321, 14.2, 83.1),
+        ais.make_position_report(366998410, -33.85678, 151.21543, 0.3, 201.5,
+                                 msg_type=3),
+    ]
+    idle = np.array([0, 1] * 40, np.uint8)  # inter-burst 0101 idle
+    levels = np.concatenate(
+        [idle] + sum(([ais.ais_burst_bits(r), idle] for r in reports), []))
+    iq = ais.ais_modulate(levels, k).astype(np.complex64)
+    rng = np.random.default_rng(1)
+    iq = iq + 0.02 * (rng.normal(size=len(iq))
+                      + 1j * rng.normal(size=len(iq))).astype(np.complex64)
+
+    rx = cs.CollectSink()
+    graph = ais.ais_receiver(FS)
+    cs.Pipeline(graph, block_size=4096 * k).run(iter([iq]), rx)
+    msgs = ais.decode_bits(rx.concat())
+    assert len(msgs) == 2, msgs
+    assert msgs[0]["mmsi"] == 257123456
+    assert abs(msgs[0]["lat_deg"] - 59.91234) < 1e-5
+    assert msgs[1]["mmsi"] == 366998410 and msgs[1]["type"] == 3
+    assert abs(msgs[1]["lon_deg"] - 151.21543) < 1e-5
+    assert abs(msgs[1]["lat_deg"] + 33.85678) < 1e-5
+
+
+def test_ais_receiver_validates_rate():
+    with pytest.raises(ValueError, match="9600"):
+        ais.ais_receiver(44100.0)
+
+
+def test_ais_decode_cli(tmp_path, monkeypatch, capsys):
+    from csdr_tpu.apps.ais_decode import main as ais_main
+
+    monkeypatch.chdir(tmp_path)
+    k = int(FS // 9600)
+    pb = ais.make_position_report(211234560, 54.32100, 13.01234, 7.7, 359.9)
+    idle = np.array([0, 1] * 40, np.uint8)
+    levels = np.concatenate([idle, ais.ais_burst_bits(pb), idle])
+    ais.ais_modulate(levels, k).astype(np.complex64).tofile("ais.cf32")
+    rc = ais_main(["ais.cf32", "-s", str(FS), "-o", "msgs.csv"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mmsi 211234560" in out and "1 message(s)" in out
+    csv = open("msgs.csv").read().splitlines()
+    assert csv[0].startswith("type,mmsi")
+    assert csv[1].startswith("1,211234560,54.321")
+    # wrong rate: clean error
+    assert ais_main(["ais.cf32", "-s", "44100"]) == 1
