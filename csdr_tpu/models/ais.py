@@ -28,6 +28,8 @@ import numpy as np
 
 from ..core.block import Block, chain
 from ..blocks.gmsk import gmsk_demodulator, gmsk_mod
+from .hdlc import (crc16_x25, frame_to_wire_bits, hdlc_frames,
+                   nrzi_decode, nrzi_encode)
 
 __all__ = [
     "ais_receiver", "decode_bits", "parse_payload",
@@ -36,7 +38,6 @@ __all__ = [
 ]
 
 AIS_BAUD = 9600.0
-_FLAG = "01111110"
 
 
 def ais_receiver(sample_rate: float, m: int = 3, bt: float = 0.4) -> Block:
@@ -50,76 +51,14 @@ def ais_receiver(sample_rate: float, m: int = 3, bt: float = 0.4) -> Block:
     return chain(gmsk_demodulator(m, int(round(k)), bt))
 
 
-# ---- host-side bit layer ---------------------------------------------------
-
-def nrzi_decode(levels: np.ndarray) -> np.ndarray:
-    """NRZI: decoded bit = 1 iff the level did NOT change (0 = transition)."""
-    lv = np.asarray(levels).astype(np.uint8)
-    prev = np.concatenate([lv[:1], lv[:-1]])
-    return (lv == prev).astype(np.uint8)
-
-
-def nrzi_encode(bits: np.ndarray, start_level: int = 0) -> np.ndarray:
-    toggles = 1 - np.asarray(bits, dtype=np.uint8)
-    levels = (start_level + np.cumsum(toggles)) & 1
-    return levels.astype(np.uint8)
-
-
-def crc16_x25(data: bytes) -> int:
-    """CRC-16/X-25 (reflected 0x1021 = 0x8408, init 0xFFFF, xorout 0xFFFF) —
-    the HDLC FCS AIS uses."""
-    crc = 0xFFFF
-    for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = (crc >> 1) ^ 0x8408 if crc & 1 else crc >> 1
-    return crc ^ 0xFFFF
-
-
-def _destuff(bits: str) -> str | None:
-    """Remove the 0 stuffed after every run of five 1s; None if a run of six
-    1s appears (corrupt — only flags may contain it)."""
-    out = []
-    ones = 0
-    i = 0
-    while i < len(bits):
-        b = bits[i]
-        out.append(b)
-        if b == "1":
-            ones += 1
-            if ones == 5:
-                i += 1  # skip the stuffed 0
-                if i < len(bits) and bits[i] == "1":
-                    return None
-                ones = 0
-        else:
-            ones = 0
-        i += 1
-    return "".join(out)
-
+# ---- host-side bit layer (shared HDLC substrate: models/hdlc.py) ----------
 
 def decode_bits(levels: np.ndarray) -> list[dict]:
-    """Full host-side decode: NRZI → flag search → de-stuff → CRC →
-    parse_payload for every valid frame found."""
-    bits = "".join("1" if b else "0" for b in nrzi_decode(levels))
-    msgs = []
-    flags = [m for m in range(len(bits)) if bits[m:m + 8] == _FLAG]
-    for a, b in zip(flags, flags[1:]):
-        seg = bits[a + 8:b]
-        if len(seg) < 8 * (2 + 1):  # at least one data byte + FCS
-            continue
-        d = _destuff(seg)
-        if d is None or len(d) % 8:
-            continue
-        # bytes arrive LSB-first on the wire
-        data = bytes(int(d[i:i + 8][::-1], 2) for i in range(0, len(d), 8))
-        payload, fcs = data[:-2], data[-2:]
-        if crc16_x25(payload) != fcs[0] | (fcs[1] << 8):
-            continue
-        # NMEA bit order: each payload byte MSB-first
-        pb = "".join(f"{byte:08b}" for byte in payload)
-        msgs.append(parse_payload(pb))
-    return msgs
+    """Full host-side decode: NRZI → flag search → de-stuff → CRC
+    (models/hdlc.py) → parse_payload for every valid frame found.  NMEA bit
+    order: each payload byte contributes its bits MSB-first."""
+    return [parse_payload("".join(f"{byte:08b}" for byte in payload))
+            for payload in hdlc_frames(levels)]
 
 
 def _i(bits: str, lo: int, n: int) -> int:
@@ -164,27 +103,10 @@ def make_position_report(mmsi: int, lat_deg: float, lon_deg: float,
 
 
 def ais_burst_bits(payload_bits: str, training: int = 24) -> np.ndarray:
-    """Payload → over-the-air bit LEVELS: training 0101…, flag, stuffed
-    LSB-first data+FCS, flag, all NRZI-encoded."""
+    """Payload → over-the-air bit LEVELS (models/hdlc.frame_to_wire_bits)."""
     data = bytes(int(payload_bits[i:i + 8], 2)
                  for i in range(0, len(payload_bits), 8))
-    fcs = crc16_x25(data)
-    wire_bytes = data + bytes([fcs & 0xFF, fcs >> 8])
-    raw = "".join(f"{byte:08b}"[::-1] for byte in wire_bytes)  # LSB-first
-    stuffed = []
-    ones = 0
-    for b in raw:
-        stuffed.append(b)
-        if b == "1":
-            ones += 1
-            if ones == 5:
-                stuffed.append("0")
-                ones = 0
-        else:
-            ones = 0
-    frame = "01" * (training // 2) + _FLAG + "".join(stuffed) + _FLAG
-    bits = np.frombuffer(frame.encode(), np.uint8) - ord("0")
-    return nrzi_encode(bits)
+    return frame_to_wire_bits(data, training)
 
 
 def ais_modulate(levels: np.ndarray, k: int, m: int = 3,
