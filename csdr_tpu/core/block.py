@@ -162,20 +162,17 @@ class Chain(Block):
         return in_layout
 
     def rate_tree(self):
-        acc = Fraction(1)
-        for b in self.blocks:
-            rt = b.rate_tree()
-            if isinstance(rt, Fraction):
-                acc = (acc * rt if isinstance(acc, Fraction)
-                       else jax.tree.map(lambda r: r * rt, acc))
-            else:
-                if not isinstance(acc, Fraction):
-                    raise NotImplementedError(
-                        f"{self.name}: two structured-rate blocks in one "
-                        f"chain — compose the second inside the Tee branches")
-                upstream = acc
-                acc = jax.tree.map(lambda r: upstream * r, rt)
-        return acc
+        # the LAST block defines the output structure (a downstream block —
+        # e.g. a Lambda combining a Tee's tuple — may collapse upstream
+        # structure, so only the final stage's shape is authoritative);
+        # earlier blocks contribute their scalar primary rates
+        if not self.blocks:
+            return Fraction(1)
+        pre = math.prod((b.rate for b in self.blocks[:-1]), start=Fraction(1))
+        rt = self.blocks[-1].rate_tree()
+        if isinstance(rt, Fraction):
+            return pre * rt
+        return jax.tree.map(lambda r: pre * r, rt)
 
 
 def chain(*blocks: Block) -> Chain:
