@@ -56,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help='Demodulation type, e.g. "DeNBFM 0.6 WAV" (also '
                         'DeWBFM/DeFMS/DeAM/DeNBFMSync like the reference, '
                         'plus extensions "DeUSB 3000 WAV" / "DeLSB 3000 WAV" '
-                        '/ "DeCW [bw pitch] WAV")')
+                        '/ "DeCW [bw pitch] WAV" / "DeAIS" / "DeAPRS [kf]")')
     p.add_argument("--rds", action="store_true",
                    help="With --demod 'DeFMS ...': also decode the 57 kHz RDS "
                         "subcarrier (PS/RadioText/PI) to <output>.rds.txt "
@@ -128,6 +128,12 @@ def parse_demod(s: str):
         if len(toks) == 2:
             return ("DeCW", 500.0, 700.0, toks[1].upper())
         return ("DeCW", float(toks[1]), float(toks[2]), toks[3].upper())
+    if kind == "DeAIS":
+        # GMSK 9600-baud AIS → <output>.ais.txt (extension)
+        return ("DeAIS",)
+    if kind == "DeAPRS":
+        # "DeAPRS [kf]": NBFM → AFSK1200 → <output>.aprs.txt (extension)
+        return ("DeAPRS", float(toks[1]) if len(toks) > 1 else 0.5)
     raise ValueError(f"unknown demod {s!r}")
 
 
@@ -292,6 +298,56 @@ def run_opts(opts) -> int:
         from ..models.symsync import fm_dem_with_sync
         per = chain(*agc_blocks, fm_dem_with_sync(k))
         make_sink = lambda name: S.RawFileSink(name + ".f32")
+    elif kind in ("DeAIS", "DeAPRS"):
+        # packet flows (extensions): device chain → CollectSink → host-side
+        # HDLC/AX.25/M.1371 decode → <output>.{ais,aprs}.txt
+        if nch != 1:
+            print(f"{kind} does not support channel splitting")
+            return 1
+        chan_rate = out_bw
+        bit_sink = S.CollectSink()
+        try:
+            if kind == "DeAIS":
+                from ..models.ais import ais_receiver
+                per = chain(*agc_blocks, ais_receiver(chan_rate))
+            else:
+                from ..models.aprs import afsk1200_receiver
+                per = chain(*agc_blocks, B.fm_demodulator(demod[1]),
+                            afsk1200_receiver(chan_rate))
+        except ValueError as e:
+            print(e)
+            return 1
+        if opts.mesh:
+            rc = _run_sharded_generic(opts, kind, per, None, stream,
+                                      out_sink=bit_sink)
+            if rc:
+                return rc
+        else:
+            _announce("Flow", per, opts)
+            Pipeline(per, block_size=opts.blocksize).run(stream, bit_sink)
+        if kind == "DeAIS":
+            from ..models.ais import decode_bits
+            msgs = decode_bits(np.asarray(bit_sink.concat()))
+            lines = [
+                (f"type {m['type']} mmsi {m['mmsi']:09d} "
+                 f"lat {m['lat_deg']:+.5f} lon {m['lon_deg']:+.5f} "
+                 f"sog {m['sog_kn']:.1f} cog {m['cog_deg']:.1f}"
+                 if "lat_deg" in m else f"type {m['type']} mmsi {m['mmsi']:09d}")
+                for m in msgs]
+            suffix = ".ais.txt"
+        else:
+            from ..models.aprs import decode_score
+            msgs = decode_score(np.asarray(bit_sink.concat()), chan_rate)
+            lines = [f"{m['src']}>{m['dst']}"
+                     + (("," + ",".join(m["via"])) if m["via"] else "")
+                     + f":{m['info']}" for m in msgs]
+            suffix = ".aprs.txt"
+        for ln in lines:
+            print(ln)
+        print(f"{len(msgs)} message(s)")
+        with open(opts.output + suffix, "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        return 0
     elif kind == "DeFMS":
         _, decim, fmt = demod
         from ..models.stereo import stereo_fm_decoder

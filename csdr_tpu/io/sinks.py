@@ -306,4 +306,6 @@ class CollectSink(SinkBase):
     def concat(self):
         import jax
 
+        if not self.parts:  # nothing ever collected (e.g. a 0-sample run)
+            return np.zeros(0)
         return jax.tree.map(lambda *xs: np.concatenate(xs, axis=-1), *self.parts)

@@ -113,3 +113,39 @@ def test_aprs_decode_cli_f32_and_cf32(tmp_path, monkeypatch, capsys):
     rc = aprs_main(["aprs.cf32", "-s", str(FS), "--kf", str(kf)])
     assert rc == 0
     assert "N0CALL-9>APRS" in capsys.readouterr().out
+
+
+def test_cli_deais_and_deaprs(tmp_path, monkeypatch, capsys):
+    """Packet flows as first-class --demod strings in the main CLI,
+    serial and under --mesh."""
+    from csdr_tpu.apps.soapy_sdr_cli import main as cli_main
+    from csdr_tpu.models import ais
+
+    monkeypatch.chdir(tmp_path)
+    # AIS capture at 48 kHz
+    k = int(FS // 9600)
+    idle = np.array([0, 1] * 60, np.uint8)
+    lv = np.concatenate([idle, ais.ais_burst_bits(
+        ais.make_position_report(257123456, 59.9, 10.7, 5.0, 90.0)), idle])
+    ais.ais_modulate(lv, k).astype(np.complex64).tofile("ais.cf32")
+    n = len(lv) * k
+    rc = cli_main(["--filename", "ais.cf32", "-s", str(FS), "-n", str(n),
+                   "--demod", "DeAIS", "-o", "ships", "--blocksize", "16384"])
+    assert rc == 0
+    assert "mmsi 257123456" in capsys.readouterr().out
+    assert "mmsi 257123456" in open("ships.ais.txt").read()
+
+    # APRS: FM-modulated AFSK at 48 kHz, serial then --mesh
+    frame = aprs.make_ax25_ui("N0CALL-1", "APRS", ">cli test")
+    lv2 = np.concatenate([np.ones(96, np.uint8),
+                          aprs.aprs_burst_bits(frame), np.ones(96, np.uint8)])
+    audio = aprs.afsk_modulate(lv2, FS)
+    kf = 0.5
+    iq = np.exp(1j * 2 * np.pi * kf * np.cumsum(0.5 * audio)).astype(np.complex64)
+    iq.tofile("aprs.cf32")
+    for extra, out in ((["--mesh", "4x1"], "m"), ([], "s")):
+        rc = cli_main(["--filename", "aprs.cf32", "-s", str(FS),
+                       "-n", str(len(iq)), "--demod", f"DeAPRS {kf}",
+                       "-o", out, "--blocksize", "19200"] + extra)
+        assert rc == 0, extra
+        assert "N0CALL-1>APRS:>cli test" in open(out + ".aprs.txt").read()
