@@ -56,7 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help='Demodulation type, e.g. "DeNBFM 0.6 WAV" (also '
                         'DeWBFM/DeFMS/DeAM/DeNBFMSync like the reference, '
                         'plus extensions "DeUSB 3000 WAV" / "DeLSB 3000 WAV" '
-                        '/ "DeCW [bw pitch] WAV" / "DeAIS" / "DeAPRS [kf]")')
+                        '/ "DeCW [bw pitch] WAV" / "DeAIS" / "DeAPRS [kf]" / '
+                        '"DeADSB")')
     p.add_argument("--rds", action="store_true",
                    help="With --demod 'DeFMS ...': also decode the 57 kHz RDS "
                         "subcarrier (PS/RadioText/PI) to <output>.rds.txt "
@@ -134,6 +135,9 @@ def parse_demod(s: str):
     if kind == "DeAPRS":
         # "DeAPRS [kf]": NBFM → AFSK1200 → <output>.aprs.txt (extension)
         return ("DeAPRS", float(toks[1]) if len(toks) > 1 else 0.5)
+    if kind == "DeADSB":
+        # Mode S PPM at 2n MS/s → <output>.adsb.txt (extension)
+        return ("DeADSB",)
     raise ValueError(f"unknown demod {s!r}")
 
 
@@ -298,9 +302,9 @@ def run_opts(opts) -> int:
         from ..models.symsync import fm_dem_with_sync
         per = chain(*agc_blocks, fm_dem_with_sync(k))
         make_sink = lambda name: S.RawFileSink(name + ".f32")
-    elif kind in ("DeAIS", "DeAPRS"):
+    elif kind in ("DeAIS", "DeAPRS", "DeADSB"):
         # packet flows (extensions): device chain → CollectSink → host-side
-        # HDLC/AX.25/M.1371 decode → <output>.{ais,aprs}.txt
+        # HDLC/AX.25/M.1371 (or Mode S CRC-24) decode → <output>.*.txt
         if nch != 1:
             print(f"{kind} does not support channel splitting")
             return 1
@@ -310,6 +314,10 @@ def run_opts(opts) -> int:
             if kind == "DeAIS":
                 from ..models.ais import ais_receiver
                 per = chain(*agc_blocks, ais_receiver(chan_rate))
+            elif kind == "DeADSB":
+                from ..models.adsb import adsb_receiver
+                # the envelope detector IS the gain normalizer — no AGC
+                per = chain(adsb_receiver(chan_rate))
             else:
                 from ..models.aprs import afsk1200_receiver
                 per = chain(*agc_blocks, B.fm_demodulator(demod[1]),
@@ -319,7 +327,7 @@ def run_opts(opts) -> int:
             return 1
         if opts.mesh:
             rc = _run_sharded_generic(opts, kind, per, None, stream,
-                                      out_sink=bit_sink)
+                                      out_sink=bit_sink, dc=False)
             if rc:
                 return rc
         else:
@@ -335,6 +343,12 @@ def run_opts(opts) -> int:
                  if "lat_deg" in m else f"type {m['type']} mmsi {m['mmsi']:09d}")
                 for m in msgs]
             suffix = ".ais.txt"
+        elif kind == "DeADSB":
+            from ..models.adsb import decode_collected, pair_positions
+            from .adsb_decode import format_msg
+            msgs = pair_positions(decode_collected(bit_sink.concat(), chan_rate))
+            lines = [format_msg(m) for m in msgs]
+            suffix = ".adsb.txt"
         else:
             from ..models.aprs import decode_score
             msgs = decode_score(np.asarray(bit_sink.concat()), chan_rate)
@@ -475,10 +489,12 @@ def _mesh_of(opts):
 
 
 def _run_sharded_generic(opts, kind, per, make_sink, stream,
-                         out_sink=None) -> int:
+                         out_sink=None, dc=True) -> int:
     """Any CLI flow over a Mesh('time','ch') via the compositional sharded
     runtime (parallel/generic.ShardedChain).  ``out_sink`` overrides the
-    default sink selection (DeFMS passes its 2-channel audio sink)."""
+    default sink selection (DeFMS passes its 2-channel audio sink);
+    ``dc=False`` matches serial flows that skip the head DC blocker (the
+    packet receivers) so mesh and serial runs execute the SAME graph."""
     from ..parallel.generic import ShardedChain
     from ..parallel.runner import ShardedPipeline
 
@@ -486,7 +502,7 @@ def _run_sharded_generic(opts, kind, per, make_sink, stream,
     if mesh is None:
         return 1
     nch = opts.channels
-    stages = [B.dc_blocker()]
+    stages = [B.dc_blocker()] if dc else []
     if nch > 1:
         stages.append(B.firpfbch_channelizer(nch))
         if per is not None:
