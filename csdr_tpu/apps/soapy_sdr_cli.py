@@ -57,7 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
                         'DeWBFM/DeFMS/DeAM/DeNBFMSync like the reference, '
                         'plus extensions "DeUSB 3000 WAV" / "DeLSB 3000 WAV" '
                         '/ "DeCW [bw pitch] WAV" / "DeAIS" / "DeAPRS [kf]" / '
-                        '"DeADSB")')
+                        '"DeADSB" / "DePOCSAG [baud]")')
     p.add_argument("--rds", action="store_true",
                    help="With --demod 'DeFMS ...': also decode the 57 kHz RDS "
                         "subcarrier (PS/RadioText/PI) to <output>.rds.txt "
@@ -138,6 +138,9 @@ def parse_demod(s: str):
     if kind == "DeADSB":
         # Mode S PPM at 2n MS/s → <output>.adsb.txt (extension)
         return ("DeADSB",)
+    if kind == "DePOCSAG":
+        # "DePOCSAG [baud]": FSK pager decode → <output>.pocsag.txt (extension)
+        return ("DePOCSAG", float(toks[1]) if len(toks) > 1 else 1200.0)
     raise ValueError(f"unknown demod {s!r}")
 
 
@@ -302,9 +305,10 @@ def run_opts(opts) -> int:
         from ..models.symsync import fm_dem_with_sync
         per = chain(*agc_blocks, fm_dem_with_sync(k))
         make_sink = lambda name: S.RawFileSink(name + ".f32")
-    elif kind in ("DeAIS", "DeAPRS", "DeADSB"):
+    elif kind in ("DeAIS", "DeAPRS", "DeADSB", "DePOCSAG"):
         # packet flows (extensions): device chain → CollectSink → host-side
-        # HDLC/AX.25/M.1371 (or Mode S CRC-24) decode → <output>.*.txt
+        # HDLC/AX.25/M.1371 (or Mode S CRC-24 / POCSAG BCH) decode →
+        # <output>.*.txt
         if nch != 1:
             print(f"{kind} does not support channel splitting")
             return 1
@@ -318,6 +322,9 @@ def run_opts(opts) -> int:
                 from ..models.adsb import adsb_receiver
                 # the envelope detector IS the gain normalizer — no AGC
                 per = chain(adsb_receiver(chan_rate))
+            elif kind == "DePOCSAG":
+                from ..models.pocsag import pocsag_receiver
+                per = chain(*agc_blocks, pocsag_receiver(chan_rate, demod[1]))
             else:
                 from ..models.aprs import afsk1200_receiver
                 per = chain(*agc_blocks, B.fm_demodulator(demod[1]),
@@ -349,6 +356,13 @@ def run_opts(opts) -> int:
             msgs = pair_positions(decode_collected(bit_sink.concat(), chan_rate))
             lines = [format_msg(m) for m in msgs]
             suffix = ".adsb.txt"
+        elif kind == "DePOCSAG":
+            from ..models.pocsag import decode_score
+            from .pocsag_decode import format_msg
+            msgs = decode_score(np.asarray(bit_sink.concat()), chan_rate,
+                                demod[1])
+            lines = [format_msg(m) for m in msgs]
+            suffix = ".pocsag.txt"
         else:
             from ..models.aprs import decode_score
             msgs = decode_score(np.asarray(bit_sink.concat()), chan_rate)
