@@ -48,6 +48,7 @@ class Block:
     granule: int = 1
     name: str = ""
     stateless: bool = False  # True ⇒ apply ignores/passes state unchanged
+    tree_preserving: bool = False  # True ⇒ maps tuple in → tuple out leafwise
 
     def init(self) -> Any:
         return ()
@@ -162,17 +163,27 @@ class Chain(Block):
         return in_layout
 
     def rate_tree(self):
-        # the LAST block defines the output structure (a downstream block —
-        # e.g. a Lambda combining a Tee's tuple — may collapse upstream
-        # structure, so only the final stage's shape is authoritative);
-        # earlier blocks contribute their scalar primary rates
-        if not self.blocks:
-            return Fraction(1)
-        pre = math.prod((b.rate for b in self.blocks[:-1]), start=Fraction(1))
-        rt = self.blocks[-1].rate_tree()
-        if isinstance(rt, Fraction):
-            return pre * rt
-        return jax.tree.map(lambda r: pre * r, rt)
+        # Walk the chain propagating per-leaf rates.  A block that declares
+        # its own output structure (Tee) re-defines the tree, scaled by the
+        # rate accumulated on its (single-stream) input; a `tree_preserving`
+        # block (a per-leaf Lambda) scales every leaf it passes through; any
+        # OTHER scalar-rate block collapses upstream structure — e.g. a
+        # Lambda combining a Tee's tuple — and only same-rate tuples can be
+        # combined elementwise, so branch 1's rate IS its input rate.
+        tree = Fraction(1)
+        for b in self.blocks:
+            bt = b.rate_tree()
+            if not isinstance(bt, Fraction):
+                lead = (tree if isinstance(tree, Fraction)
+                        else jax.tree.leaves(tree)[0])
+                tree = jax.tree.map(lambda r: lead * r, bt)
+            elif isinstance(tree, Fraction):
+                tree = tree * bt
+            elif getattr(b, "tree_preserving", False):
+                tree = jax.tree.map(lambda r: r * bt, tree)
+            else:
+                tree = jax.tree.leaves(tree)[0] * bt
+        return tree
 
 
 def chain(*blocks: Block) -> Chain:
@@ -212,16 +223,22 @@ class TailStateBlock(Block):
 
 class Lambda(Block):
     """Stateless elementwise/whole-block function (reference `mapA`,
-    Trans.hs:146-147, minus the list round-trip)."""
+    Trans.hs:146-147, minus the list round-trip).
+
+    ``tree_preserving=True`` declares that ``fn`` maps a tuple input to a
+    tuple output leaf-for-leaf (so a multi-rate Tee's per-leaf rates flow
+    through it in Chain.rate_tree); the default (False) means a downstream
+    Lambda may collapse upstream structure into one stream."""
 
     stateless = True
 
     def __init__(self, fn: Callable, rate: Fraction = Fraction(1), granule: int = 1,
-                 name: str = "lambda"):
+                 name: str = "lambda", tree_preserving: bool = False):
         self.fn = fn
         self.rate = Fraction(rate)
         self.granule = granule
         self.name = name
+        self.tree_preserving = tree_preserving
 
     def apply(self, state, x):
         return state, self.fn(x)

@@ -237,11 +237,18 @@ class RtlTcpServer:
                 conn, _ = self.srv.accept()
             except OSError:
                 return  # close() shut the listener down
-            conn.sendall(RTL_MAGIC
-                         + struct.pack(">II", self.tuner_type, self.gain_count))
+            try:
+                conn.sendall(RTL_MAGIC
+                             + struct.pack(">II", self.tuner_type,
+                                           self.gain_count))
+            except OSError:
+                # client reset before reading the greeting (port scanner) —
+                # keep accepting, a dead greeting must not kill the server
+                conn.close()
+                continue
 
-            def drain():
-                buf = b""
+            def drain(conn=conn):  # bind per-connection: the loop variable
+                buf = b""          # rebinds on the next accept()
                 try:
                     while True:
                         got = conn.recv(256)

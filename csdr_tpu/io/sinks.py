@@ -306,6 +306,10 @@ class CollectSink(SinkBase):
     def concat(self):
         import jax
 
-        if not self.parts:  # nothing ever collected (e.g. a 0-sample run)
+        if not self.parts:
+            # nothing ever collected (a 0-sample run): the graph's output
+            # STRUCTURE is unknown here, so this is a flat empty array even
+            # for tuple-output graphs — consumers of structured outputs
+            # must treat it as "no data" (e.g. models/adsb.decode_collected)
             return np.zeros(0)
         return jax.tree.map(lambda *xs: np.concatenate(xs, axis=-1), *self.parts)

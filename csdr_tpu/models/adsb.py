@@ -106,11 +106,17 @@ def detect_frames(mag: np.ndarray, score: np.ndarray, sample_rate: float,
     mag = np.asarray(mag, dtype=np.float64)
     score = np.asarray(score, dtype=np.float64)
     noise = float(np.median(mag)) + 1e-12
-    # candidate = local max of the correlation over a preamble-length window,
-    # clearing the noise floor; CRC is the final arbiter so this stays loose
-    cand = np.flatnonzero(score > 2.0 * noise)
+    # candidate = strict local PEAK of the correlation clearing the noise
+    # floor (the vectorized peak test prunes the ~8k above-threshold samples
+    # each preamble produces down to a handful); the window-max test below
+    # and the CRC are the real arbiters, so this stays loose
+    above = score > 2.0 * noise
+    peak = np.zeros_like(above)
+    peak[1:-1] = above[1:-1] & (score[1:-1] >= score[:-2]) \
+        & (score[1:-1] > score[2:])
+    cand = np.flatnonzero(peak)
     msgs, used = [], -1
-    for n in cand[:max_candidates * 8]:
+    for n in cand:
         if n <= used or n + 1 + 112 * k > len(mag):
             continue
         w0, w1 = max(0, n - 8 * k), min(len(score), n + 8 * k)
@@ -136,7 +142,11 @@ def detect_frames(mag: np.ndarray, score: np.ndarray, sample_rate: float,
 
 
 def decode_collected(collected, sample_rate: float) -> list[dict]:
-    """CollectSink.concat() of the adsb_receiver Tee → decoded messages."""
+    """CollectSink.concat() of the adsb_receiver Tee → decoded messages.
+    A 0-sample run leaves the sink empty (concat() returns a flat empty
+    array, not the Tee tuple) — that is simply zero messages."""
+    if isinstance(collected, np.ndarray) and collected.size == 0:
+        return []
     mag, score = collected
     return detect_frames(np.asarray(mag), np.asarray(score), sample_rate)
 

@@ -56,9 +56,15 @@ def ais_receiver(sample_rate: float, m: int = 3, bt: float = 0.4) -> Block:
 def decode_bits(levels: np.ndarray) -> list[dict]:
     """Full host-side decode: NRZI → flag search → de-stuff → CRC
     (models/hdlc.py) → parse_payload for every valid frame found.  NMEA bit
-    order: each payload byte contributes its bits MSB-first."""
-    return [parse_payload("".join(f"{byte:08b}" for byte in payload))
-            for payload in hdlc_frames(levels)]
+    order: each payload byte contributes its bits MSB-first.  CRC-valid
+    frames too short to carry type+MMSI (noise or non-AIS traffic sharing
+    the channel) are skipped, not crashed on."""
+    out = []
+    for payload in hdlc_frames(levels):
+        msg = parse_payload("".join(f"{byte:08b}" for byte in payload))
+        if msg is not None:
+            out.append(msg)
+    return out
 
 
 def _i(bits: str, lo: int, n: int) -> int:
@@ -70,9 +76,12 @@ def _s(bits: str, lo: int, n: int) -> int:
     return v - (1 << n) if v & (1 << (n - 1)) else v
 
 
-def parse_payload(pb: str) -> dict:
+def parse_payload(pb: str) -> dict | None:
     """Field extraction for message types 1/2/3 (class-A position report,
-    ITU-R M.1371 table 45); other types return type+mmsi only."""
+    ITU-R M.1371 table 45); other types return type+mmsi only; payloads too
+    short for even those fields return None."""
+    if len(pb) < 38:
+        return None
     msg = {"type": _i(pb, 0, 6), "mmsi": _i(pb, 8, 30)}
     if msg["type"] in (1, 2, 3) and len(pb) >= 144:
         msg.update(

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..core.block import Block, chain
 from ..blocks import FIRFilter, mix_down
-from .hdlc import crc16_x25, frame_to_wire_bits, hdlc_frames
+from .hdlc import crc16_x25, frame_to_wire_bits, hdlc_frames, sample_bits
 
 __all__ = [
     "afsk1200_receiver", "bits_from_score", "decode_score", "parse_ax25",
@@ -85,15 +85,9 @@ def afsk1200_receiver(sample_rate: float) -> Block:
 
 
 def bits_from_score(score: np.ndarray, sample_rate: float) -> np.ndarray:
-    """Bit-center sampling: align to the dominant transition phase mod k
-    (adequate for drift-free captures; a drifting TX would want the scan
-    symsync, models/symsync.py)."""
-    k = int(round(sample_rate / APRS_BAUD))
-    s = (np.asarray(score) > 0).astype(np.uint8)
-    tr = np.flatnonzero(s[1:] != s[:-1]) + 1
-    phase = int(np.bincount(tr % k, minlength=k).argmax()) if len(tr) else 0
-    centers = np.arange(phase + k // 2, len(s), k)
-    return s[centers]
+    """Bit-center sampling (the shared open-loop bit clock,
+    models/hdlc.sample_bits)."""
+    return sample_bits(score, int(round(sample_rate / APRS_BAUD)))
 
 
 def decode_score(score: np.ndarray, sample_rate: float) -> list[dict]:

@@ -12,9 +12,22 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["FLAG", "crc16_x25", "nrzi_decode", "nrzi_encode",
-           "destuff", "stuff", "hdlc_frames", "frame_to_wire_bits"]
+           "destuff", "stuff", "hdlc_frames", "frame_to_wire_bits",
+           "sample_bits"]
 
 FLAG = "01111110"
+
+
+def sample_bits(score: np.ndarray, k: int) -> np.ndarray:
+    """Bit-center sampling at k samples/bit, aligned to the dominant
+    transition phase mod k — the open-loop bit clock shared by the AFSK
+    (models/aprs.py) and POCSAG (models/pocsag.py) decoders.  Adequate for
+    drift-free captures; a drifting TX wants the scan symsync
+    (models/symsync.py).  Positive score = bit level 1."""
+    s = (np.asarray(score) > 0).astype(np.uint8)
+    tr = np.flatnonzero(s[1:] != s[:-1]) + 1
+    phase = int(np.bincount(tr % k, minlength=k).argmax()) if len(tr) else 0
+    return s[np.arange(phase + k // 2, len(s), k)]
 
 
 def nrzi_decode(levels: np.ndarray) -> np.ndarray:

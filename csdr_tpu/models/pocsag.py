@@ -32,6 +32,7 @@ import numpy as np
 
 from ..core.block import Block, chain
 from ..blocks import FIRFilter, fm_demodulator
+from .hdlc import sample_bits
 
 __all__ = [
     "pocsag_receiver", "bits_from_score", "decode_score", "decode_bits",
@@ -66,16 +67,11 @@ def pocsag_receiver(sample_rate: float, baud: float = 1200.0,
 
 def bits_from_score(score: np.ndarray, sample_rate: float,
                     baud: float = 1200.0) -> np.ndarray:
-    """Bit-center sampling aligned to the dominant transition phase mod k
-    (same approach as models/aprs.bits_from_score).  Positive discriminator
-    (higher frequency) = bit level 1; POCSAG's inversion convention is
-    handled by the dual-polarity sync search in decode_bits."""
-    k = int(round(sample_rate / baud))
-    s = (np.asarray(score) > 0).astype(np.uint8)
-    tr = np.flatnonzero(s[1:] != s[:-1]) + 1
-    phase = int(np.bincount(tr % k, minlength=k).argmax()) if len(tr) else 0
-    centers = np.arange(phase + k // 2, len(s), k)
-    return s[centers]
+    """Bit-center sampling (the shared open-loop bit clock,
+    models/hdlc.sample_bits).  Positive discriminator (higher frequency) =
+    bit level 1; POCSAG's inversion convention is handled by the
+    dual-polarity sync search in decode_bits."""
+    return sample_bits(score, int(round(sample_rate / baud)))
 
 
 def decode_score(score: np.ndarray, sample_rate: float,
@@ -173,11 +169,13 @@ def _decode_polarity(levels: np.ndarray) -> list[dict]:
 
     pos = 0
     while pos < len(words):
+        window = 4000
         sync_at = np.flatnonzero(
-            np.array([_hamming32(int(w), SYNC) for w in words[pos:pos + 4000]])
+            np.array([_hamming32(int(w), SYNC) for w in words[pos:pos + window]])
             <= 2)
         if not len(sync_at):
-            break
+            pos += window  # keep scanning: pages may sit seconds apart
+            continue
         pos += int(sync_at[0])
         while pos < len(words) and _hamming32(int(words[pos]), SYNC) <= 2:
             pos += 32  # past the sync codeword

@@ -106,6 +106,26 @@ def test_adsb_full_chain():
     assert all(m["icao"] == icao for m in msgs)
 
 
+def test_adsb_dense_capture_decodes_every_frame():
+    """400 back-to-back frames all decode — the candidate scan must not
+    exhaust a sample-count budget partway through a busy capture (review
+    finding: the old cand[:max_candidates*8] slice dropped the tail)."""
+    frames = [adsb.make_es_velocity(0x100000 + i, (i % 300) + 1.0,
+                                    ((i * 7) % 300) + 1.0)
+              for i in range(400)]
+    iq = _burst_stream(frames, gap_us=16, noise=0.01)
+    rx = cs.CollectSink()
+    cs.Pipeline(adsb.adsb_receiver(FS), block_size=1 << 15).run(iter([iq]), rx)
+    msgs = adsb.decode_collected(rx.concat(), FS)
+    assert [m["icao"] for m in msgs] == [0x100000 + i for i in range(400)]
+
+
+def test_decode_collected_empty_run():
+    """A 0-sample run leaves CollectSink empty (flat empty array, not the
+    Tee tuple): zero messages, not an unpack crash."""
+    assert adsb.decode_collected(np.zeros(0), FS) == []
+
+
 def test_adsb_receiver_validates_rate():
     with pytest.raises(ValueError, match="2n"):
         adsb.adsb_receiver(3e6)  # odd samples/µs

@@ -73,6 +73,21 @@ def test_ais_full_gmsk_chain():
     assert abs(msgs[1]["lat_deg"] + 33.85678) < 1e-5
 
 
+def test_short_valid_frames_are_skipped():
+    """A CRC-valid HDLC frame too short to carry type+MMSI (noise passing
+    CRC, or non-AIS traffic sharing the channel) is skipped, not crashed
+    on (review finding: int('', 2) ValueError aborted the whole run)."""
+    from csdr_tpu.models.hdlc import frame_to_wire_bits
+
+    assert ais.decode_bits(frame_to_wire_bits(b"\x41")) == []
+    # and mixed with a real report, the report still decodes
+    good = ais.ais_burst_bits(ais.make_position_report(211000001, 1.0, 2.0))
+    idle = np.array([0, 1] * 40, np.uint8)
+    lv = np.concatenate([frame_to_wire_bits(b"\x41"), idle, good, idle])
+    msgs = ais.decode_bits(lv)
+    assert len(msgs) == 1 and msgs[0]["mmsi"] == 211000001
+
+
 def test_ais_receiver_validates_rate():
     with pytest.raises(ValueError, match="9600"):
         ais.ais_receiver(44100.0)

@@ -135,6 +135,26 @@ def test_tee_block():
     assert y1.shape == y2.shape == (64,)
 
 
+def test_rate_tree_multirate_tee_mid_chain():
+    """Chain.rate_tree through blocks AFTER a multi-rate Tee: a per-leaf
+    (tree_preserving) Lambda keeps the per-branch rates; an ordinary Lambda
+    collapses them to its primary input rate (review finding: the tree was
+    collapsed unconditionally)."""
+    from fractions import Fraction
+
+    tee = cs.Tee(cs.chain(cs.fm_demodulator(0.5), cs.fir_decimator(4)),
+                 cs.Lambda(lambda x: x))
+    leafwise = cs.Lambda(lambda t: (t[0] * 2.0, t[1]), name="leafwise",
+                         tree_preserving=True)
+    assert cs.chain(tee, leafwise).rate_tree() == (Fraction(1, 4), Fraction(1))
+
+    same = cs.Tee(cs.Lambda(lambda x: x), cs.Lambda(lambda x: 2 * x))
+    combine = cs.Lambda(lambda t: t[0] + t[1], name="combine")
+    assert cs.chain(same, combine).rate_tree() == Fraction(1)
+    assert cs.chain(same, combine,
+                    cs.fir_decimator(4)).rate_tree() == Fraction(1, 4)
+
+
 def test_multirate_tee_per_branch_trim():
     """Tee branches at DIFFERENT rational rates: each output leaf is trimmed
     by its own rate (beyond the reference's same-length tee zip,

@@ -50,7 +50,9 @@ def test_bit_layer_error_correction_and_rejection():
 
 
 def test_two_transmissions_in_one_stream():
-    gap = np.array([0, 1] * 100, np.uint8)  # idle channel noise-ish filler
+    # the 5000-bit gap (~4 s of idle at 1200 baud) regression-tests the
+    # sync search advancing past empty windows instead of giving up
+    gap = np.array([0, 1] * 2500, np.uint8)
     lv = np.concatenate([pg.make_transmission(8, "FIRST"), gap,
                          pg.make_transmission(2000001, "73 42", fn=0)])
     msgs = pg.decode_bits(lv)

@@ -375,6 +375,31 @@ def test_rtl_tcp_server_u8_passthrough_and_reconnect():
         assert srv.clients_served == 2
 
 
+def test_rtl_tcp_server_survives_greeting_reset():
+    """A client that connects and resets before reading the greeting (port
+    scanner) must not kill the serve thread — the next real client still
+    gets the stream (review finding: unguarded greeting sendall)."""
+    import socket
+    import struct as _struct
+    import time
+    from csdr_tpu.io.rtl_tcp import RtlTcpServer
+
+    u8 = make_u8_iq(20_000, f=0.02)
+    with RtlTcpServer(lambda: iter([u8])) as srv:
+        for _ in range(3):
+            s = socket.socket()
+            s.connect((srv.host, srv.port))
+            # RST on close, so the server's greeting sendall can fail
+            s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                         _struct.pack("ii", 1, 0))
+            s.close()
+        time.sleep(0.1)
+        src = RtlTcpSource(host=srv.host, port=srv.port, raw_u8=True)
+        rx = np.concatenate(list(src))
+        src.close()
+        assert np.array_equal(rx, u8)
+
+
 def test_rtl_tcp_server_cli_to_demod_cli(tmp_path, monkeypatch):
     """Server app serves a real FM capture; the soapy-sdr CLI demodulates it
     over TCP — two framework apps talking the actual wire protocol."""
