@@ -175,11 +175,17 @@ def run_scan(backend: str, outer: int, inner: int, tileF: int | None = None):
     step = jax.jit(chunk, donate_argnums=(0,))
     state, probe = state0, jnp.float32(0.0)
     state, probe = step(state, probe, x_in)  # compile + warm
-    jax.block_until_ready(probe)
+    float(jax.device_get(probe))
     t0 = time.perf_counter()
     for _ in range(outer):
         state, probe = step(state, probe, x_in)
-    jax.block_until_ready(probe)
+    # The timed region ends with a 4-byte DOWNLOAD of the carried probe, not
+    # block_until_ready: the relay has been observed acking readiness on
+    # multi-second scan dispatches without completing them (a recorded
+    # 78e6 MSPS ≈ 100x the HBM roofline), and a result-derived transfer is
+    # the only completion proof it cannot fake.  One RTT (~ms) is noise
+    # against the >=0.3 s of device work per scan run.
+    float(jax.device_get(probe))
     dt = time.perf_counter() - t0
     return outer * inner * block / dt / 1e6
 
