@@ -36,6 +36,7 @@ from .hdlc import sample_bits
 
 __all__ = [
     "pocsag_receiver", "bits_from_score", "decode_score", "decode_bits",
+    "decode_channels", "pocsag_band_monitor",
     "bch_encode", "correct_codeword", "SYNC", "IDLE",
     "make_transmission", "pocsag_modulate", "POCSAG_BAUDS",
 ]
@@ -77,6 +78,48 @@ def bits_from_score(score: np.ndarray, sample_rate: float,
 def decode_score(score: np.ndarray, sample_rate: float,
                  baud: float = 1200.0) -> list[dict]:
     return decode_bits(bits_from_score(score, sample_rate, baud))
+
+
+def pocsag_band_monitor(nch: int, channel_rate: float, baud: float = 1200.0,
+                        deviation: float = 4500.0) -> Block:
+    """A whole paging band in ONE device graph: PFB split into nch channels,
+    then per channel a Tee of (bit score, envelope magnitude) — the TPU
+    scale-out story (channels are a tensor axis; the reference fans out one
+    liquid demod per channel, apps/SoapySDR.hs:224-225).  Input: wideband
+    cf32 at nch·channel_rate.  Output: ((nch, n) scores, (nch, n) env);
+    feed CollectSink.concat() to decode_channels."""
+    import jax.numpy as jnp
+
+    from ..core.block import Lambda, Tee
+    from .receivers import channelized_receiver
+
+    per = Tee(pocsag_receiver(channel_rate, baud, deviation),
+              Lambda(jnp.abs, name="env"))
+    return channelized_receiver(nch, per, sample_rate=nch * channel_rate)
+
+
+def decode_channels(collected, channel_rate: float, baud: float = 1200.0,
+                    min_snr: float = 3.0) -> list[dict]:
+    """Decode the band monitor's output.  The FM discriminator is
+    amplitude-blind, so a page leaks a decodable score into neighboring
+    channels through the PFB stopband — the envelope branch gates channels
+    to those whose mean magnitude clears ``min_snr``× the band's median
+    (the noise floor while most channels are idle).  Each message dict
+    gains a 'channel' key.  A bare (nch, n) score array (no envelope
+    branch) decodes every channel ungated."""
+    if isinstance(collected, tuple):
+        scores, env = (np.asarray(a) for a in collected)
+        power = env.mean(axis=-1)
+        active = power >= min_snr * (np.median(power) + 1e-12)
+    else:
+        scores = np.asarray(collected)
+        active = np.ones(len(scores), bool)
+    out = []
+    for ch, row in enumerate(scores):
+        if active[ch]:
+            for m in decode_score(row, channel_rate, baud):
+                out.append(dict(m, channel=ch))
+    return out
 
 
 def _bch_remainder(x31: int) -> int:

@@ -108,6 +108,46 @@ def test_pocsag_chain_shards(dt):
         np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
 
 
+def test_channelized_band_monitor():
+    """A whole paging band in ONE device graph: PFB split into 8 channels,
+    per channel a Tee of (pocsag score, envelope) via PerChannel vmap, host
+    decode gated on channel power — three pages on three carriers decode
+    with the right channel index and nothing else (the discriminator is
+    amplitude-blind, so without the envelope gate the stopband leakage of a
+    page would decode on neighboring channels too)."""
+    nch, chan_rate = 8, 24000.0  # k = 20 samples/bit
+    fs = nch * chan_rate
+    pages = {1: (100001, "CH ONE"), 4: (200002, "CH FOUR"),
+             6: (300003, "1234 5"), }
+    streams = {}
+    nlong = 0
+    for ch, (ric, text) in pages.items():
+        # channel-rate FSK baseband; the zero-order-hold upsample below
+        # keeps its spectrum inside the channel, the PFB recovers it
+        bb = pg.pocsag_modulate(pg.make_transmission(ric, text), chan_rate)
+        streams[ch] = bb
+        nlong = max(nlong, len(bb) * nch)
+    t = np.arange(nlong)
+    band = np.zeros(nlong, np.complex128)
+    rng = np.random.default_rng(3)
+    band += 0.01 * (rng.normal(size=nlong) + 1j * rng.normal(size=nlong))
+    for ch, bb in streams.items():
+        up = np.repeat(bb, nch)[:nlong]  # channel-rate baseband at fs
+        fc = (ch - (nch - 1) / 2) / nch  # PFB channel center (ops/pfb.py)
+        band += 0.5 * up * np.exp(2j * np.pi * np.mod(fc * t, 1.0))
+    band = band.astype(np.complex64)
+
+    graph = pg.pocsag_band_monitor(nch, chan_rate)
+    rx = cs.CollectSink()
+    cs.Pipeline(graph, block_size=graph.granule * 256).run(iter([band]), rx)
+    msgs = pg.decode_channels(rx.concat(), chan_rate)
+    got = {m["channel"]: (m["ric"], m["text"]) for m in msgs}
+    assert got == pages, msgs
+    # ungated (score-only) decode sees the leakage — the gate is load-bearing
+    leaked = pg.decode_channels(np.asarray(rx.concat()[0]), chan_rate)
+    assert len(leaked) > len(msgs)
+
+
 def test_cli_depocsag(tmp_path, monkeypatch, capsys):
     """DePOCSAG as a first-class --demod string, serial and under --mesh."""
     from csdr_tpu.apps.soapy_sdr_cli import main as cli_main
