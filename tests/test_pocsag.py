@@ -148,6 +148,41 @@ def test_channelized_band_monitor():
     assert len(leaked) > len(msgs)
 
 
+@pytest.mark.parametrize("dt,dc", [(4, 1), (2, 4), (1, 8)])
+def test_band_monitor_shards(dt, dc):
+    """The band monitor (PFB → PerChannel(Tee(score, env))) under time- AND
+    channel-sharded meshes matches single-device — the compositional
+    sharding machinery covers the packet scale-out graph with no
+    monitor-specific code."""
+    import jax
+    from jax.sharding import Mesh
+    from csdr_tpu.core.runtime import Pipeline, decode_tree_host
+    from csdr_tpu.parallel.generic import ShardedChain
+
+    if dt * dc > len(jax.devices()):
+        pytest.skip("not enough devices")
+    nch, chan_rate = 8, 24000.0
+    bb = pg.pocsag_modulate(pg.make_transmission(42, "MESH BAND"), chan_rate)
+    n = len(bb) * nch
+    t = np.arange(n)
+    band = (0.5 * np.repeat(bb, nch)[:n]
+            * np.exp(2j * np.pi * np.mod((2 - 3.5) / 8 * t, 1.0))
+            ).astype(np.complex64)
+    g = pg.pocsag_band_monitor(nch, chan_rate)
+    mesh = Mesh(np.asarray(jax.devices()[:dt * dc]).reshape(dt, dc),
+                ("time", "ch"))
+    blk = (n // (dt * g.granule)) * dt * g.granule
+    sc = ShardedChain(g, mesh, blk)
+    st = sc.init()
+    st, y = sc.step(st, band[:blk])
+    want = decode_tree_host(Pipeline(g, blk, donate=False)
+                            .process_block(band[:blk]))
+    for a, b in zip(jax.tree.leaves(decode_tree_host(y)),
+                    jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5)
+
+
 def test_cli_depocsag(tmp_path, monkeypatch, capsys):
     """DePOCSAG as a first-class --demod string, serial and under --mesh."""
     from csdr_tpu.apps.soapy_sdr_cli import main as cli_main
