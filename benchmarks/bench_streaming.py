@@ -5,7 +5,13 @@ kernel throughput): it includes host→device transfer, the native IO runtime,
 and per-channel file writes — the analogue of the reference's 20-channel
 split workload (README.md:184-195: 1.6 MSPS real-time on CPU).
 
-Usage: python benchmarks/bench_streaming.py [n_samples] [nch]
+Usage: python benchmarks/bench_streaming.py [n_samples] [nch] [cu8] [decimK]
+
+``decimK`` (e.g. decim8) adds a per-channel audio decimator — the realistic
+audio product (fs/nch/K per channel) and K× less device→host traffic, so a
+representative end-to-end number is capturable in relay windows whose
+downlink can't carry the full-rate variant.  The metric stays INPUT
+samples/s either way (decimation reduces return traffic, not ingest).
 """
 
 import json
@@ -25,12 +31,15 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 25  # 33.5 MS
     nch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    cu8 = len(sys.argv) > 3 and sys.argv[3] == "cu8"
+    flags = set(sys.argv[3:])
+    cu8 = "cu8" in flags
+    decim = next((int(a[5:]) for a in flags if a.startswith("decim")), 1)
 
     with tempfile.TemporaryDirectory() as td:
         cap = os.path.join(td, "cap.cu8" if cu8 else "cap.cf32")
         rng = np.random.default_rng(0)
-        chunk = 1 << 22
+        chunk = min(1 << 22, n)  # n below the writer chunk must not yield an
+        n = (n // chunk) * chunk  # empty capture (a 0-block "benchmark")
         with open(cap, "wb") as f:
             t0 = 0
             for _ in range(n // chunk):
@@ -47,7 +56,8 @@ def main():
                 t0 += chunk
 
         from csdr_tpu.core.block import chain as _chain
-        graph = channelized_fm_receiver(nch, kf=0.6, backend="pallas")
+        graph = channelized_fm_receiver(nch, kf=0.6, backend="pallas",
+                                        audio_decim=decim)
         if cu8:
             # u8 over the host wire (2 B/sample instead of 8), converted on
             # device (blocks.u8_to_iq) before the fused receive chain
@@ -92,7 +102,9 @@ def main():
 
         msps = n / dt / 1e6
         print(json.dumps({
-            "metric": "streaming_end_to_end_pfb64_fm" + ("_cu8" if cu8 else ""),
+            "metric": ("streaming_end_to_end_pfb64_fm"
+                       + ("_cu8" if cu8 else "")
+                       + (f"_decim{decim}" if decim > 1 else "")),
             "value": round(msps, 2),
             "unit": "Msamples/s",
             "native_io": native,

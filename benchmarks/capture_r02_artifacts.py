@@ -269,7 +269,8 @@ def main():
                 run_script("bench_symsync.py",
                            ["--nsym", "16384", "--reps", "3",
                             "--out", "results/SYMSYNC_r02.json"], 2400)
-        if todo_streaming and both_ok:
+        down_partial = dispatch_ok and p["down_MBps"] >= 3.0
+        if todo_streaming and (both_ok or down_partial):
             # preserve the existing attempt history (capture_streaming wrote it)
             try:
                 with open(os.path.join(RES, "STREAMING_r02.json")) as f:
@@ -277,7 +278,10 @@ def main():
                 history, best = prev.get("history", []), prev.get("best")
             except (OSError, ValueError):
                 history, best = [], None
-            for variant in (None, "cu8"):
+            # decim8 returns 8x less audio — representative end-to-end ingest
+            # capturable in windows whose downlink can't carry full rate
+            variants = (None, "cu8", "decim8") if both_ok else ("decim8",)
+            for variant in variants:
                 r = cap.bench(variant)
                 if r is None:
                     history.append({"ts": round(time.time(), 1),
@@ -287,8 +291,9 @@ def main():
                 r["probe_before"] = p
                 history.append({"ts": round(time.time(), 1), "bench": r})
                 print(json.dumps(r), flush=True)
-                if variant is None and (best is None
-                                        or r["value"] > best["value"]):
+                # input-samples/s for every variant, each with its own
+                # metric name — best-of-any is well-defined
+                if best is None or r["value"] > best["value"]:
                     best = r
             cap._write(best, history)
         time.sleep(60 if (dispatch_ok or both_ok) else 240)
