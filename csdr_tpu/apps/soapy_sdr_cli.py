@@ -57,7 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
                         'DeWBFM/DeFMS/DeAM/DeNBFMSync like the reference, '
                         'plus extensions "DeUSB 3000 WAV" / "DeLSB 3000 WAV" '
                         '/ "DeCW [bw pitch] WAV" / "DeAIS" / "DeAPRS [kf]" / '
-                        '"DeADSB" / "DePOCSAG [baud]")')
+                        '"DeADSB" / "DePOCSAG [baud]" / "DeRTTY [baud]")')
     p.add_argument("--rds", action="store_true",
                    help="With --demod 'DeFMS ...': also decode the 57 kHz RDS "
                         "subcarrier (PS/RadioText/PI) to <output>.rds.txt "
@@ -141,6 +141,9 @@ def parse_demod(s: str):
     if kind == "DePOCSAG":
         # "DePOCSAG [baud]": FSK pager decode → <output>.pocsag.txt (extension)
         return ("DePOCSAG", float(toks[1]) if len(toks) > 1 else 1200.0)
+    if kind == "DeRTTY":
+        # "DeRTTY [baud]": USB → ITA2 teletype → <output>.rtty.txt (extension)
+        return ("DeRTTY", float(toks[1]) if len(toks) > 1 else 1000.0 / 22.0)
     raise ValueError(f"unknown demod {s!r}")
 
 
@@ -305,9 +308,9 @@ def run_opts(opts) -> int:
         from ..models.symsync import fm_dem_with_sync
         per = chain(*agc_blocks, fm_dem_with_sync(k))
         make_sink = lambda name: S.RawFileSink(name + ".f32")
-    elif kind in ("DeAIS", "DeAPRS", "DeADSB", "DePOCSAG"):
+    elif kind in ("DeAIS", "DeAPRS", "DeADSB", "DePOCSAG", "DeRTTY"):
         # packet flows (extensions): device chain → CollectSink → host-side
-        # HDLC/AX.25/M.1371 (or Mode S CRC-24 / POCSAG BCH) decode →
+        # HDLC/AX.25/M.1371 (or Mode S CRC-24 / POCSAG BCH / ITA2) decode →
         # <output>.*.txt
         if nch != 1:
             print(f"{kind} does not support channel splitting")
@@ -325,6 +328,13 @@ def run_opts(opts) -> int:
             elif kind == "DePOCSAG":
                 from ..models.pocsag import pocsag_receiver
                 per = chain(*agc_blocks, pocsag_receiver(chan_rate, demod[1]))
+            elif kind == "DeRTTY":
+                # the authentic HF receive chain: tuned IQ → USB voice-band
+                # audio → dual-tone discriminator
+                from ..models.rtty import rtty_receiver
+                per = chain(*agc_blocks,
+                            B.ssb_demodulator("usb", 3000.0 / chan_rate),
+                            rtty_receiver(chan_rate, demod[1]))
             else:
                 from ..models.aprs import afsk1200_receiver
                 per = chain(*agc_blocks, B.fm_demodulator(demod[1]),
@@ -363,6 +373,13 @@ def run_opts(opts) -> int:
                                 demod[1])
             lines = [format_msg(m) for m in msgs]
             suffix = ".pocsag.txt"
+        elif kind == "DeRTTY":
+            from ..models.rtty import decode_score as rtty_decode
+            text = rtty_decode(np.asarray(bit_sink.concat()), chan_rate,
+                               demod[1])
+            msgs = [ln for ln in text.splitlines() if ln.strip()]
+            lines = msgs
+            suffix = ".rtty.txt"
         else:
             from ..models.aprs import decode_score
             msgs = decode_score(np.asarray(bit_sink.concat()), chan_rate)

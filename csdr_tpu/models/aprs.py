@@ -38,15 +38,19 @@ class AFSKDiscriminator(Block):
     space), a one-bit moving-average FIR each, score = |mark| − |space|.
     Composes the existing Mixer/FIRFilter blocks internally (their NCO
     affine-phase and FIR-halo sharding rules carry over directly), so the
-    block shards like any chain while keeping a single TIME output layout."""
+    block shards like any chain while keeping a single TIME output layout.
+    Tones default to Bell 202 (APRS); models/rtty.py reuses it with the
+    170 Hz-shift RTTY pair."""
 
-    def __init__(self, sample_rate: float, k: int):
+    def __init__(self, sample_rate: float, k: int,
+                 f_mark: float = F_MARK, f_space: float = F_SPACE,
+                 name: str | None = None):
         ma = np.ones(k) / k
         self.parts = tuple(
             (mix_down(_TWO_PI * f / sample_rate),
              FIRFilter(ma, complex_input=True, name=f"ma({f:g})"))
-            for f in (F_MARK, F_SPACE))
-        self.name = f"afsk1200(fs={sample_rate:g})"
+            for f in (f_mark, f_space))
+        self.name = name or f"afsk1200(fs={sample_rate:g})"
 
     def init(self):
         return tuple((mx.init(), fr.init()) for mx, fr in self.parts)
