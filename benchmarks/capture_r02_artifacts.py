@@ -198,6 +198,33 @@ def run_backends(probe) -> bool:
     return healthy
 
 
+def _honest_ok(cur_up: float) -> bool:
+    """HONEST_r02.json exists and was captured in a window at least as good
+    as the current one (re-measure when a healthier window opens, up to the
+    80 MB/s healthy-dispatch threshold)."""
+    try:
+        with open(os.path.join(RES, "HONEST_r02.json")) as f:
+            rec = json.load(f)
+        return min(rec.get("probe_before", {}).get("up_MBps", 0.0),
+                   80.0) >= min(cur_up, 80.0)
+    except (OSError, ValueError):
+        return False
+
+
+def run_honest(probe) -> None:
+    out = run_script("probe_honest.py", [], 3600)
+    if out is not None:
+        try:
+            path = os.path.join(RES, "HONEST_r02.json")
+            with open(path) as f:
+                rec = json.load(f)
+            rec["probe_before"] = probe
+            with open(path, "w") as f:
+                json.dump(rec, f, indent=1)
+        except (OSError, ValueError):
+            pass
+
+
 def main():
     max_minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 360.0
     deadline = time.time() + 60 * max_minutes
@@ -212,12 +239,6 @@ def main():
         todo_bsweep = not _healthy_artifact("BLOCKSWEEP_r02.json", "healthy")
         todo_fft = not _have("FFTFIR_r02.json")
         todo_sym = not _have("SYMSYNC_r02.json")
-        if not any((todo_streaming, todo_scanloop, todo_roofline, todo_u8,
-                    todo_tune, todo_backends, todo_bsweep, todo_fft,
-                    todo_sym)):
-            print("# all artifacts captured", flush=True)
-            return
-
         p = cap.probe()
         ts = time.strftime("%H:%M:%S")
         if p is None:
@@ -225,11 +246,23 @@ def main():
                   flush=True)
             time.sleep(600)
             continue
+        todo_honest = not _honest_ok(p["up_MBps"])
+        if not any((todo_streaming, todo_scanloop, todo_roofline, todo_u8,
+                    todo_tune, todo_backends, todo_bsweep, todo_fft,
+                    todo_sym, todo_honest)):
+            print("# all artifacts captured", flush=True)
+            return
         print(f"# {ts} wire {p['up_MBps']} up / {p['down_MBps']} down MB/s "
               f"(todo: streaming={todo_streaming} scanloop={todo_scanloop} "
               f"roofline={todo_roofline} u8={todo_u8} tune={todo_tune} "
-              f"backends={todo_backends} fft={todo_fft} sym={todo_sym})",
+              f"backends={todo_backends} fft={todo_fft} sym={todo_sym} "
+              f"honest={todo_honest})",
               flush=True)
+
+        # slope-based honesty probe FIRST: it amortizes wire overhead by
+        # construction, so any window that can upload programs serves
+        if todo_honest and p["up_MBps"] >= 10.0:
+            run_honest(p)
 
         dispatch_ok = p["up_MBps"] >= 80.0     # degraded dispatch collapses up too
         both_ok = dispatch_ok and p["down_MBps"] >= 20.0

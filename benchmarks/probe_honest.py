@@ -1,0 +1,193 @@
+"""Slope-based honest throughput probe — settles what the relay can fake.
+
+Motivation (docs/TPU_BACKEND_NOTES.md): the relay has acked
+`block_until_ready` on multi-second dispatches without executing them, and
+its recorded "HBM copy" rates (4-6 TB/s) exceed the TPU v5 lite's physical
+~0.8 TB/s — so any timing that ends in block_until_ready alone is suspect,
+and a single download-terminated measurement still carries one unknown RTT.
+
+Method: every measurement here is a CHAIN of data-dependent work terminated
+by a 4-byte download of a value that depends on the whole chain (the relay
+cannot fake a transfer, and data dependence forces every step).  Timing
+t(N) for several chain lengths N and fitting a line gives
+    t(N) = intercept (dispatch+RTT overhead)  +  slope · N (per-step time),
+so the slope is the honest per-step device time with the wire fully
+amortized out.  Three probes:
+
+  * scan:      one dispatch, lax.scan of `inner` fused flagship steps
+               (inner ∈ {64, 256, 1024}) — slope → samples/s on device;
+  * hostloop:  N separate dispatches of the same step (N ∈ {8, 32, 128}),
+               state chained across dispatches, one download at the end —
+               slope → samples/s including per-dispatch overhead;
+  * copy:      y = y + 1 on a 64 MB f32 buffer, chained K times inside one
+               jit (K ∈ {8, 32, 128}) — slope → honest HBM r+w GB/s.
+
+Records benchmarks/results/HONEST_r02.json.  Single-tenant chip: run this
+under the capture orchestrator only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def _fit(xs, ts):
+    """Least-squares slope+intercept for t = a + b·x."""
+    import numpy as np
+
+    b, a = np.polyfit(np.asarray(xs, float), np.asarray(ts, float), 1)
+    return float(a), float(b)
+
+
+def probe_scan(nch=64, block=1 << 22, inners=(64, 256, 1024), reps=3):
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.core.runtime import encode_tree, decode_tree, CEnc
+    from csdr_tpu.models.receivers import channelized_fm_receiver
+
+    graph = channelized_fm_receiver(nch, kf=0.6, backend="pallas_full")
+    x_in = CEnc(jax.jit(lambda: jnp.full((block, 2), 0.5, jnp.float32))())
+
+    def one(s_enc, x_enc):
+        s2, y = graph.apply(decode_tree(s_enc), decode_tree(x_enc))
+        return encode_tree(s2), encode_tree(y)
+
+    def chunk(state, probe, x, inner):
+        def body(carry, _):
+            st, pr = carry
+            st2, y = one(st, x)
+            leaf = jax.tree.leaves(y)[0]
+            arr = leaf.ri if isinstance(leaf, CEnc) else leaf
+            return (st2, arr.reshape(-1)[0].astype(jnp.float32) + 0.0 * pr), None
+        return jax.lax.scan(body, (state, probe), None, length=inner)[0]
+
+    steps = {inner: jax.jit(lambda s, p, x, i=inner: chunk(s, p, x, i))
+             for inner in inners}
+    state0 = jax.jit(lambda: encode_tree(graph.init()))()
+    # compile + warm every size first so the timed runs are all cache-hot
+    for inner in inners:
+        st, pr = steps[inner](state0, jnp.float32(0.0), x_in)
+        float(jax.device_get(pr))
+    times = {}
+    for inner in inners:
+        best = float("inf")
+        for _ in range(reps):
+            st, pr = state0, jnp.float32(0.0)
+            t0 = time.perf_counter()
+            st, pr = steps[inner](st, pr, x_in)
+            float(jax.device_get(pr))           # forces the whole chain
+            best = min(best, time.perf_counter() - t0)
+        times[inner] = best
+        print(f"# scan inner={inner}: {best:.4f} s", flush=True)
+    a, b = _fit(list(times), list(times.values()))
+    return {"times_s": {str(k): round(v, 4) for k, v in times.items()},
+            "intercept_s": round(a, 4), "per_step_s": round(b, 6),
+            "msps": round(block / b / 1e6, 1) if b > 0 else None}
+
+
+def probe_hostloop(nch=64, block=1 << 22, ns=(8, 32, 128), reps=3):
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.core.runtime import encode_tree, decode_tree, CEnc
+    from csdr_tpu.models.receivers import channelized_fm_receiver
+
+    graph = channelized_fm_receiver(nch, kf=0.6, backend="pallas_full")
+    x_in = CEnc(jax.jit(lambda: jnp.full((block, 2), 0.5, jnp.float32))())
+
+    @jax.jit
+    def step(s_enc, x_enc):
+        s2, y = graph.apply(decode_tree(s_enc), decode_tree(x_enc))
+        return encode_tree(s2), encode_tree(y)
+
+    state0 = jax.jit(lambda: encode_tree(graph.init()))()
+    st, y = step(state0, x_in)
+    leaf = jax.tree.leaves(y)[0]
+    arr = leaf.ri if hasattr(leaf, "ri") else leaf
+    float(jax.device_get(arr.reshape(-1)[0]))
+    times = {}
+    for n in ns:
+        best = float("inf")
+        for _ in range(reps):
+            st = state0
+            t0 = time.perf_counter()
+            for _ in range(n):
+                st, y = step(st, x_in)
+            leaf = jax.tree.leaves(y)[0]
+            arr = leaf.ri if hasattr(leaf, "ri") else leaf
+            # the last y depends on the whole state chain: one download
+            # forces every dispatch to have really executed
+            float(jax.device_get(arr.reshape(-1)[0]))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+        print(f"# hostloop n={n}: {best:.4f} s", flush=True)
+    a, b = _fit(list(times), list(times.values()))
+    return {"times_s": {str(k): round(v, 4) for k, v in times.items()},
+            "intercept_s": round(a, 4), "per_dispatch_s": round(b, 6),
+            "msps": round(block / b / 1e6, 1) if b > 0 else None}
+
+
+def probe_copy(nbytes=1 << 26, ks=(8, 32, 128), reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    n = nbytes // 4
+
+    def make(k):
+        @jax.jit
+        def f(y):
+            for _ in range(k):
+                # the barrier stops XLA from fusing the k adds into one
+                # HBM pass (y+1 chained k times folds to y+k otherwise)
+                y = jax.lax.optimization_barrier(y + 1.0)
+            return y
+        return f
+
+    fs = {k: make(k) for k in ks}
+    y0 = jax.jit(lambda: jnp.zeros((n,), jnp.float32))()
+    for k in ks:
+        float(jax.device_get(fs[k](y0).reshape(-1)[0]))
+    times = {}
+    for k in ks:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            y = fs[k](y0)
+            float(jax.device_get(y.reshape(-1)[0]))
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+        print(f"# copy k={k}: {best:.4f} s", flush=True)
+    a, b = _fit(list(times), list(times.values()))
+    return {"times_s": {str(k): round(v, 4) for k, v in times.items()},
+            "intercept_s": round(a, 4), "per_pass_s": round(b, 6),
+            # each y+1 pass reads + writes the buffer once
+            "hbm_rw_GBps": round(2 * nbytes / b / 1e9, 1) if b > 0 else None}
+
+
+def main():
+    res = {"scan": probe_scan(), "hostloop": probe_hostloop(),
+           "copy": probe_copy()}
+    # sanity verdicts the judge can read directly
+    hbm = res["copy"]["hbm_rw_GBps"]
+    res["verdict"] = {
+        "copy_physical": bool(hbm and hbm <= 900.0),  # v5e HBM ~819 GB/s
+        "scan_vs_hostloop_ratio": (
+            round(res["hostloop"]["msps"] / res["scan"]["msps"], 2)
+            if res["scan"]["msps"] and res["hostloop"]["msps"] else None),
+    }
+    out = os.path.join(HERE, "results", "HONEST_r02.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res["verdict"] | {
+        "scan_msps": res["scan"]["msps"],
+        "hostloop_msps": res["hostloop"]["msps"],
+        "copy_GBps": hbm}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
