@@ -36,21 +36,25 @@ def bench(xfull, taps, strategy, reps):
         return y, jnp.real(y).ravel()[0] * 1e-30
 
     f = jax.jit(_f)
-    s = jnp.zeros((), jnp.float32)
-    y, s = f(xfull, s)
-    jax.block_until_ready(y)
-    # per-rep sync + median: on this relay, costs bleed across async
-    # dispatch boundaries (a burst's cost lands in the NEXT timing window),
-    # so a single timed burst over-reports the first row and under-reports
-    # the next.  Median of individually-synced reps is immune to both.
+    y, s = f(xfull, jnp.zeros((), jnp.float32))
+    float(jax.device_get(s))
+    # two-point slope, download-terminated: chains of N and 4N dispatches
+    # (the carried scalar makes each depend on the last), each ended by a
+    # 4-byte device_get of the carry — the only completion proof the relay
+    # cannot fake (it has acked block_until_ready without executing;
+    # docs/TPU_BACKEND_NOTES.md).  The slope cancels dispatch/RTT overhead.
     times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        y, s = f(xfull, s)
-        jax.block_until_ready(y)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
+    for n_reps in (reps, 4 * reps):
+        best = float("inf")
+        for _ in range(2):
+            s2 = jnp.zeros((), jnp.float32)
+            t0 = time.perf_counter()
+            for _ in range(n_reps):
+                y, s2 = f(xfull, s2)
+            float(jax.device_get(s2))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    dt = (times[1] - times[0]) / (3 * reps)
     n = xfull.shape[0] - len(taps) + 1
     return n / dt / 1e6, y
 

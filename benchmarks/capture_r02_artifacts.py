@@ -13,7 +13,7 @@ still missing, in order of value:
   1. STREAMING_r02.json  — end-to-end host→device→host (capture_streaming's
                            bench; needs BOTH directions healthy: the sinks
                            pull ~134 MB of audio back over the wire)
-  2. ROOFLINE_r02.json   — probe_roofline.py (self-gated at 40 GSPS flagship;
+  2. ROOFLINE_r02.json   — probe_roofline.py (self-gated at bench.HEALTHY_MSPS flagship;
                            compute-bound, tolerant of a slow downlink)
   3. U8_CONVERT_r02.json — probe_u8_convert.py (self-gated at 200 GB/s copy)
   4. TUNE_r02.json       — `bench.py tune`: re-sweep tileF per kernel variant
@@ -91,7 +91,7 @@ def _user_cache():
 def run_tune(probe) -> bool:
     """bench.py tune in this window; on success refresh the packaged cache
     and record TUNE_r02.json.  Healthy iff the swept flagship best clears
-    bench.py's 40 GSPS gate."""
+    bench.py's honest health gate (HEALTHY_MSPS)."""
     out = cap._run_capped([sys.executable, os.path.join(REPO, "bench.py"),
                            "tune", "10"], 3600)
     if out:
@@ -104,7 +104,7 @@ def run_tune(probe) -> bool:
     best = max((v.get("msps", 0.0) for k, v in cache.items()
                 if k.startswith(("flagship_fused:tpu", "flagship_fused_wide:tpu"))
                 and not k.endswith(":u8")), default=0.0)
-    healthy = best >= 40000.0
+    healthy = best >= 2500.0  # honest gate: bench.HEALTHY_MSPS
     rec = {"healthy": healthy, "best_flagship_msps": round(best, 1),
            "probe_before": probe, "cache": cache}
     with open(os.path.join(RES, "TUNE_r02.json"), "w") as f:
@@ -128,7 +128,7 @@ def run_tune(probe) -> bool:
 def run_blocksweep(probe) -> bool:
     """Block-size sweep of the best backends: distinguishes dispatch-latency-
     bound windows (throughput rises with block size) from HBM-bound ones.
-    Records BLOCKSWEEP_r02.json; healthy iff the best point clears 40 GSPS."""
+    Records BLOCKSWEEP_r02.json; healthy iff the best point clears the honest gate."""
     res = {}
     best = 0.0
     for be in ("pallas_full", "cu8"):
@@ -147,7 +147,7 @@ def run_blocksweep(probe) -> bool:
             res[f"{be}_block2e{blk_log2}"] = v
             best = max(best, v or 0.0)
             print(f"# blocksweep {be} 2^{blk_log2}: {v}", flush=True)
-    healthy = best >= 40000.0
+    healthy = best >= 2500.0  # honest gate: bench.HEALTHY_MSPS
     with open(os.path.join(RES, "BLOCKSWEEP_r02.json"), "w") as f:
         json.dump({"healthy": healthy, "probe_before": probe,
                    "msps": res}, f, indent=1)
@@ -159,7 +159,7 @@ def run_scanloop(probe) -> bool:
     lax.scan — immune to the relay's dispatch-latency regimes, see
     bench.run_scan) per fused backend, plus the same-window host-loop number
     for pallas_full so the dispatch-latency gap is quantified.  Records
-    SCANLOOP_r02.json; healthy iff the best scan point clears 40 GSPS."""
+    SCANLOOP_r02.json; healthy iff the best scan point clears the honest gate."""
     res = {}
     for be in ("pallas_full:scan", "pallas_wide:scan", "cu8:scan",
                "pallas_full"):
@@ -170,18 +170,18 @@ def run_scanloop(probe) -> bool:
         print(f"# scanloop {be}: {res[be]}", flush=True)
     best = max((v for k, v in res.items() if k.endswith(":scan") and v),
                default=0.0)
-    healthy = best >= 40000.0
+    healthy = best >= 2500.0  # honest gate: bench.HEALTHY_MSPS
     with open(os.path.join(RES, "SCANLOOP_r02.json"), "w") as f:
         json.dump({"healthy": healthy, "probe_before": probe,
                    "msps": res}, f, indent=1)
     # scan health does NOT prove the window's dispatch path is healthy (that
     # is the whole point of scan mode) — only the host-loop point does
-    return (res.get("pallas_full") or 0.0) >= 40000.0
+    return (res.get("pallas_full") or 0.0) >= 2500.0
 
 
 def run_backends(probe) -> bool:
     """One bench.py run per backend, same window, tuned tiles (children read
-    the user cache).  Healthy iff the best fused backend clears 40 GSPS."""
+    the user cache).  Healthy iff the best fused backend clears the honest gate."""
     res = {}
     for be in ("pallas_full", "pallas_wide", "pallas", "xla", "cu8", "cu8_wide"):
         out = cap._run_capped([sys.executable, os.path.join(REPO, "bench.py"),
@@ -191,7 +191,7 @@ def run_backends(probe) -> bool:
         print(f"# backend {be}: {res[be]}", flush=True)
     best = max((v for v in (res.get("pallas_full"), res.get("pallas_wide"))
                 if v), default=0.0)
-    healthy = best >= 40000.0
+    healthy = best >= 2500.0  # honest gate: bench.HEALTHY_MSPS
     with open(os.path.join(RES, "BACKENDS_r02.json"), "w") as f:
         json.dump({"healthy": healthy, "probe_before": probe,
                    "msps_per_backend": res}, f, indent=1)

@@ -4,7 +4,7 @@ flagship kernels against those ceilings.
 
 Prints one JSON line with:
   device_kind, hbm_copy_GBps   — streaming read+write bandwidth (f32 copy,
-                                  64 MB working set, async-chained iterations)
+                                  64 MB working set, slope-fitted download-terminated chain)
   mxu_bf16_Tflops              — (4096,4096)x(4096,4096) bf16 matmul chain
   flagship_{narrow,wide}_msps  — fused kernel at the autotuned tileF
   bytes_per_sample model       — 8 B in + 4 B audio out (+planes where XLA
@@ -12,7 +12,7 @@ Prints one JSON line with:
 
 Writes ``benchmarks/results/ROOFLINE_r02.json`` (the artifact docs/PERF.md
 cites) unless an existing artifact is healthier: runs in the relay's
-degraded-latency regime (flagship below bench.py's 40 GSPS health gate) are
+degraded-latency regime (flagship below bench.py's honest health gate) are
 printed but never clobber a healthy recording.
 
 Usage: python benchmarks/probe_roofline.py [iters]
@@ -31,21 +31,29 @@ sys.path.insert(0, os.path.dirname(HERE))
 
 
 def _time_chain(step, x, iters):
-    """Median-of-3 timing of an async-chained y = step(y) loop."""
+    """Two-point slope timing of a y = step(y) dispatch chain: loops of N
+    and 4N steps, each terminated by a 4-byte DOWNLOAD of the final y (the
+    relay has acked block_until_ready without executing — a chain-dependent
+    transfer is the only completion proof it cannot fake; earlier recordings
+    of 4-6 TB/s 'HBM copy' on a ~0.8 TB/s chip came from that hole).
+    Returns the time of exactly 3·iters chained steps, the dispatch/RTT
+    intercept cancelled."""
     import jax
 
     y = step(x)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(3):
-        y = step(x)
-        jax.block_until_ready(y)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = step(y)
-        jax.block_until_ready(y)
-        best = min(best, time.perf_counter() - t0)
-    return best
+    float(jax.device_get(y.reshape(-1)[0]))
+    times = []
+    for n_steps in (iters, 4 * iters):
+        best = float("inf")
+        for _ in range(2):
+            y = step(x)
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                y = step(y)
+            float(jax.device_get(y.reshape(-1)[0]))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    return times[1] - times[0]
 
 
 def main():
@@ -61,7 +69,7 @@ def main():
     x = jax.jit(lambda: jnp.zeros((n,), jnp.float32))()
     add1 = jax.jit(lambda a: a + 1.0)
     dt = _time_chain(add1, x, iters)
-    out["hbm_copy_GBps"] = round(iters * 2 * 4 * n / dt / 1e9, 1)
+    out["hbm_copy_GBps"] = round(3 * iters * 2 * 4 * n / dt / 1e9, 1)
 
     # --- MXU bf16 sustained: chained (4096,4096) @ const
     m = 4096
@@ -69,7 +77,7 @@ def main():
     a0 = jax.jit(lambda: jnp.ones((m, m), jnp.bfloat16))()
     mm = jax.jit(lambda a: jnp.dot(a, w, preferred_element_type=jnp.bfloat16))
     dt = _time_chain(mm, a0, iters)
-    out["mxu_bf16_Tflops"] = round(iters * 2 * m**3 / dt / 1e12, 1)
+    out["mxu_bf16_Tflops"] = round(3 * iters * 2 * m**3 / dt / 1e12, 1)
 
     # --- flagship kernels at cached tiles (same protocol as bench.py)
     import bench

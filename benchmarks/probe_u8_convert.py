@@ -125,24 +125,32 @@ def _run_route(route: str, iters: int, tileH: int, interpret: bool = False):
 
     fj = jax.jit(_step)
     x = jax.jit(lambda: jnp.full((T, tileH, LANES), 137, dtype=in_dt))()
-    s = jax.jit(lambda: jnp.zeros((), jnp.int32))()
-    y, s = fj(x, s)
-    jax.block_until_ready(y)
+    y, s = fj(x, jax.jit(lambda: jnp.zeros((), jnp.int32))())
+    int(jax.device_get(s))
     if interpret:
         return y
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y, s = fj(x, s)
-        jax.block_until_ready(y)
-        best = min(best, time.perf_counter() - t0)
+    # two-point slope, download-terminated (the relay can ack
+    # block_until_ready without executing — docs/TPU_BACKEND_NOTES.md);
+    # the carried scalar chains every dispatch, so one 4-byte device_get
+    # forces the whole run
+    times = []
+    for n_it in (iters, 4 * iters):
+        best = float("inf")
+        for _ in range(2):
+            s2 = jax.jit(lambda: jnp.zeros((), jnp.int32))()
+            t0 = time.perf_counter()
+            for _ in range(n_it):
+                y, s2 = fj(x, s2)
+            int(jax.device_get(s2))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    dt = times[1] - times[0]  # exactly 3·iters chained dispatches
     n = ROWS * LANES
     bytes_elem = (1 if in_u8 else 4) + (1 if out_u8 else 4)
     samples = n * 4 if p32 else n  # p32 words carry 4 packed u8 samples
     return {
-        "GBps": round(iters * bytes_elem * n / best / 1e9, 1),
-        "Gsamples_per_s": round(iters * samples / best / 1e9, 2),
+        "GBps": round(3 * iters * bytes_elem * n / dt / 1e9, 1),
+        "Gsamples_per_s": round(3 * iters * samples / dt / 1e9, 2),
     }
 
 
@@ -156,26 +164,37 @@ def _flagship_pair(iters: int, tileF: int):
     nch = 64
     block = 1 << 22
     out = {}
+    step = functools.partial(flagship_fused_wide_step, nch=nch, tileF=tileF)
     for tag in ("f32", "u8"):
-        state = flagship_fused_wide_init(nch)
         if tag == "u8":
             x = (jax.jit(lambda: jnp.full((block,), 137, jnp.uint8))(),
                  jax.jit(lambda: jnp.full((block,), 120, jnp.uint8))())
+            call = jax.jit(lambda st, a, b: step(st, (a, b)))
         else:
-            x = jax.jit(
-                lambda: jnp.full((block,), 0.5 + 0.25j, jnp.complex64))()
-        step = functools.partial(flagship_fused_wide_step, nch=nch, tileF=tileF)
-        state, y = step(state, x)
-        jax.block_until_ready(y)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                state, y = step(state, x)
-            jax.block_until_ready(y)
-            best = min(best, time.perf_counter() - t0)
+            # complex is joined INSIDE jit: a complex program parameter can
+            # poison later transfers on this backend, and the probe below
+            # must download (docs/TPU_BACKEND_NOTES.md)
+            x = (jax.jit(lambda: jnp.full((block,), 0.5, jnp.float32))(),
+                 jax.jit(lambda: jnp.full((block,), 0.25, jnp.float32))())
+            call = jax.jit(lambda st, r, i: step(st, jax.lax.complex(r, i)))
+        probe = jax.jit(lambda y: jnp.real(
+            jax.tree.leaves(y)[0]).reshape(-1)[0].astype(jnp.float32))
+        st, y = call(flagship_fused_wide_init(nch), *x)
+        float(jax.device_get(probe(y)))
+        # two-point slope, download-terminated (state-chained dispatches)
+        times = []
+        for n_it in (iters, 4 * iters):
+            best = float("inf")
+            for _ in range(2):
+                st = flagship_fused_wide_init(nch)
+                t0 = time.perf_counter()
+                for _ in range(n_it):
+                    st, y = call(st, *x)
+                float(jax.device_get(probe(y)))
+                best = min(best, time.perf_counter() - t0)
+            times.append(best)
         out[f"flagship_wide_{tag}_msps_tileF{tileF}"] = round(
-            iters * block / best / 1e6, 1)
+            3 * iters * block / (times[1] - times[0]) / 1e6, 1)
     return out
 
 
