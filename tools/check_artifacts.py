@@ -22,6 +22,7 @@ RES = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
 
 # name -> (health key or None (presence = ok), required fields)
 SPEC = {
+    "HONEST_r02.json": (None, ["scan", "hostloop", "copy", "verdict"]),
     "TUNE_r02.json": ("healthy", ["best_flagship_msps", "cache"]),
     "BACKENDS_r02.json": ("healthy", ["msps_per_backend"]),
     "ROOFLINE_r02.json": ("healthy", ["hbm_copy_GBps", "device_kind"]),
