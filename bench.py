@@ -18,11 +18,11 @@ import os
 import sys
 import time
 
-# 4 Msamples per step by default — large enough to amortize this
-# environment's relay dispatch latency (docs/TPU_BACKEND_NOTES.md); the env
-# override lets the block-size sweep probe whether a window is
-# dispatch-latency-bound (throughput rising with block size) or HBM-bound
-_BLOCK = int(os.environ.get("CSDR_BENCH_BLOCK", 1 << 22))
+# 8 Msamples per step by default: the honest block sweep
+# (benchmarks/results/BLOCKSWEEP_r02.json) measured the flagship fastest at
+# 2^23 (6,400 MSPS vs 6,010 at 2^22 and 5,181 at 2^24); the env override
+# lets the sweep probe other sizes
+_BLOCK = int(os.environ.get("CSDR_BENCH_BLOCK", 1 << 23))
 
 
 def _probe_scalar(y):

@@ -88,7 +88,8 @@ def _conv_valid_fft(xfull: jnp.ndarray, taps: np.ndarray, seg: int = 16384) -> j
 
 def _auto_strategy(taps: np.ndarray) -> str:
     """Default strategy: short filters run as unrolled VPU FMAs; long REAL
-    filters on TPU run on the banded-Toeplitz MXU kernel (measured 7-9x the
+    filters on TPU run on the banded-Toeplitz MXU kernel (honest slope
+    measurement: 25-120x the
     XLA fft strategy at >=257 taps across several windows —
     benchmarks/results/FFTFIR_r02.json); everything else overlap-saves
     through XLA's fft."""
