@@ -174,11 +174,16 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, T64_ref, S_ref,
     # samples EXACTLY (ω·2nch ≡ 0 mod 2π), i.e. it alternates between two
     # nch-sample rows — a (2, nch) constant instead of an (F, nch) panel
     # (saves a full 4-byte-per-sample HBM read).
+    # cos/sin run on the (2, nch) table only — theta takes 2·nch distinct
+    # values, so materializing it per-sample would spend two transcendental
+    # VPU passes per sample where two cheap parity selects suffice.
     ramp2 = ramp2_ref[:]  # (2, nch)
+    theta2 = ramp2 + phase_ref[0, 0]
+    c2 = jnp.cos(theta2)
+    s2 = jnp.sin(theta2)
     row_par = jax.lax.broadcasted_iota(jnp.int32, (tileF, 1), 0) % 2
-    theta = jnp.where(row_par == 0, ramp2[0][None, :], ramp2[1][None, :])         + phase_ref[0, 0]
-    cth = jnp.cos(theta)
-    sth = jnp.sin(theta)
+    cth = jnp.where(row_par == 0, c2[0][None, :], c2[1][None, :])
+    sth = jnp.where(row_par == 0, s2[0][None, :], s2[1][None, :])
     sre = ydc_re * cth + ydc_im * sth
     sim = ydc_im * cth - ydc_re * sth
 

@@ -93,7 +93,12 @@ def _kernel(xre_ref, xim_ref, ramp_ref, T128_ref, S_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
             hist_re_scr, hist_im_scr, scal_scr,
-            *, nch, L, tileH, histrows, g_gain, inv_kf, u8_input=False):
+            *, nch, L, tileH, histrows, g_gain, inv_kf, u8_input=False,
+            skip=()):
+    # ``skip`` is a static tuple of stage names compiled OUT of the kernel —
+    # used ONLY by benchmarks/probe_ablation.py to attribute per-stage cost
+    # on real hardware.  Empty (the default and every production call) leaves
+    # the kernel bit-identical to the ungated build.
     i = pl.program_id(0)
     T = pl.num_programs(0)
     R = _LANES // nch
@@ -113,90 +118,114 @@ def _kernel(xre_ref, xim_ref, ramp_ref, T128_ref, S_ref,
         xre = xre_ref[0]  # (tileH, 128)
         xim = xim_ref[0]
 
-    # ---- x_prev over flattened order (identical to flagship_fused, 128 wide)
-    xpre = pltpu.roll(xre, 1, axis=1)
-    xpim = pltpu.roll(xim, 1, axis=1)
-    col_prev_re = pltpu.roll(xre[:, _LANES - 1:_LANES], 1, axis=0)
-    col_prev_im = pltpu.roll(xim[:, _LANES - 1:_LANES], 1, axis=0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (tileH, 1), 0)
-    col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
-    col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tileH, _LANES), 1)
-    xpre = jnp.where(lane == 0, col_prev_re, xpre)
-    xpim = jnp.where(lane == 0, col_prev_im, xpim)
+    if "dc" not in skip:
+        # ---- x_prev over flattened order (identical to flagship_fused, 128 wide)
+        xpre = pltpu.roll(xre, 1, axis=1)
+        xpim = pltpu.roll(xim, 1, axis=1)
+        col_prev_re = pltpu.roll(xre[:, _LANES - 1:_LANES], 1, axis=0)
+        col_prev_im = pltpu.roll(xim[:, _LANES - 1:_LANES], 1, axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tileH, 1), 0)
+        col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
+        col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tileH, _LANES), 1)
+        xpre = jnp.where(lane == 0, col_prev_re, xpre)
+        xpim = jnp.where(lane == 0, col_prev_im, xpim)
 
-    fre = jnp.float32(g_gain) * (xre - xpre)
-    fim = jnp.float32(g_gain) * (xim - xpim)
+        fre = jnp.float32(g_gain) * (xre - xpre)
+        fim = jnp.float32(g_gain) * (xim - xpim)
 
-    # ---- DC blocker ----
-    T128 = T128_ref[:]
-    S = S_ref[:]
-    p128 = p128_ref[:]
-    pN = pN_ref[:]
-    ydc_re, glast_re = _dc_solve(fre, T128, S, p128, pN, scal_scr[2], _LANES, tileH)
-    ydc_im, glast_im = _dc_solve(fim, T128, S, p128, pN, scal_scr[3], _LANES, tileH)
+        # ---- DC blocker ----
+        T128 = T128_ref[:]
+        S = S_ref[:]
+        p128 = p128_ref[:]
+        pN = pN_ref[:]
+        ydc_re, glast_re = _dc_solve(fre, T128, S, p128, pN, scal_scr[2],
+                                     _LANES, tileH)
+        ydc_im, glast_im = _dc_solve(fim, T128, S, p128, pN, scal_scr[3],
+                                     _LANES, tileH)
+    else:
+        ydc_re, ydc_im = xre, xim
+        glast_re, glast_im = scal_scr[2], scal_scr[3]
 
-    # ---- NCO pre-shift: one constant ramp row (nch | 64 ⇒ period | 128) ----
-    theta = ramp_ref[:] + phase_ref[0, 0]      # (1, 128), broadcast over rows
-    cth = jnp.cos(theta)
-    sth = jnp.sin(theta)
-    sre = ydc_re * cth + ydc_im * sth
-    sim = ydc_im * cth - ydc_re * sth
+    if "nco" not in skip:
+        # ---- NCO pre-shift: one constant ramp row (nch | 64 ⇒ period | 128)
+        theta = ramp_ref[:] + phase_ref[0, 0]  # (1, 128), broadcast over rows
+        cth = jnp.cos(theta)
+        sth = jnp.sin(theta)
+        sre = ydc_re * cth + ydc_im * sth
+        sim = ydc_im * cth - ydc_re * sth
+    else:
+        sre, sim = ydc_re, ydc_im
 
     # ---- PFB branch FIR over packed frame panels ----
     ext_re = jnp.concatenate([hist_re_scr[:], sre], axis=0)  # (histrows+tileH, 128)
     ext_im = jnp.concatenate([hist_im_scr[:], sim], axis=0)
-    # one lane-rolled copy per distinct frame-slot shift s = J % R
-    shifts = sorted({J % R for J in range(L + 1)})
-    rolled = {0: (ext_re, ext_im)}
-    for s in shifts:
-        if s:
-            rolled[s] = (pltpu.roll(ext_re, s * nch, axis=1),
-                         pltpu.roll(ext_im, s * nch, axis=1))
-
-    That = That_ref[:]
-    # output rows j in [0, tileH]: ext row k = histrows-1+j (row 0 is the
-    # pre-row carrying the previous frame for the demod seed)
+    # One pre-shifted panel per distinct frame-slot shift s = J % R, with the
+    # wrapped-lane row borrow APPLIED once — the J-loop below is then pure
+    # static row slice + mul + add (the wrap select used to run per tap,
+    # spending ~2 extra VPU passes/sample per s≠0 tap).
+    # shifted[s][k] = ŝ_ext shifted by s frame slots, valid for rows k ≥ 1:
+    #   lanes < s·nch take the lane-rolled previous row, others the current.
     base = histrows - 1
-    ure = uim = None
-    for J in range(L + 1):
-        s = J % R
-        rb = J // R
-        tj = That[J][None, :]
-        Pre, Pim = rolled[s]
-        hi_re = Pre[base - rb: base - rb + tileH + 1]
-        hi_im = Pim[base - rb: base - rb + tileH + 1]
-        if s:
-            lo_re = Pre[base - rb - 1: base - rb + tileH]
-            lo_im = Pim[base - rb - 1: base - rb + tileH]
-            wrap = jax.lax.broadcasted_iota(
-                jnp.int32, (tileH + 1, _LANES), 1) < s * nch
-            seg_re = jnp.where(wrap, lo_re, hi_re) * tj
-            seg_im = jnp.where(wrap, lo_im, hi_im) * tj
+    if "fir" not in skip:
+        shifts = sorted({J % R for J in range(L + 1)})
+        nrows = ext_re.shape[0]
+        shifted = {0: (ext_re, ext_im)}
+        for s in shifts:
+            if s:
+                r_re = pltpu.roll(ext_re, s * nch, axis=1)
+                r_im = pltpu.roll(ext_im, s * nch, axis=1)
+                wrap = jax.lax.broadcasted_iota(
+                    jnp.int32, (nrows - 1, _LANES), 1) < s * nch
+                shifted[s] = (jnp.where(wrap, r_re[:-1], r_re[1:]),
+                              jnp.where(wrap, r_im[:-1], r_im[1:]))
+
+        That = That_ref[:]
+        # output rows j in [0, tileH]: ext row k = histrows-1+j (row 0 is the
+        # pre-row carrying the previous frame for the demod seed)
+        ure = uim = None
+        for J in range(L + 1):
+            s = J % R
+            rb = J // R
+            tj = That[J][None, :]
+            Pre, Pim = shifted[s]
+            # shifted[s] rows are offset by one (entry k-1 holds shifted row k)
+            off = base - rb - (1 if s else 0)
+            seg_re = Pre[off: off + tileH + 1] * tj
+            seg_im = Pim[off: off + tileH + 1] * tj
+            ure = seg_re if ure is None else ure + seg_re
+            uim = seg_im if uim is None else uim + seg_im
+    else:
+        ure = ext_re[base: base + tileH + 1]
+        uim = ext_im[base: base + tileH + 1]
+
+    if "dft" not in skip:
+        # ---- block-diagonal DFT, bf16_3x ----
+        ure_p = split_bf16(ure)
+        uim_p = split_bf16(uim)
+        dre, dim = cdot3(ure_p, uim_p, wre_hi_ref[:], wre_lo_ref[:],
+                         wim_hi_ref[:], wim_lo_ref[:])
+    else:
+        dre, dim = ure, uim
+
+    if "demod" not in skip:
+        # ---- FM demod: previous frame = lane roll by nch, slot 0 wraps to
+        # the previous row ----
+        dre_roll = pltpu.roll(dre, nch, axis=1)
+        dim_roll = pltpu.roll(dim, nch, axis=1)
+        wrap1 = jax.lax.broadcasted_iota(jnp.int32, (tileH, _LANES), 1) < nch
+        pre_re = jnp.where(wrap1, dre_roll[:-1], dre_roll[1:])
+        pre_im = jnp.where(wrap1, dim_roll[:-1], dim_roll[1:])
+        cur_re = dre[1:]
+        cur_im = dim[1:]
+        cre = cur_re * pre_re + cur_im * pre_im
+        cim = cur_im * pre_re - cur_re * pre_im
+        if "atan2" not in skip:
+            audio_ref[0] = _atan2(cim, cre) * jnp.float32(inv_kf)
         else:
-            seg_re = hi_re * tj
-            seg_im = hi_im * tj
-        ure = seg_re if ure is None else ure + seg_re
-        uim = seg_im if uim is None else uim + seg_im
-
-    # ---- block-diagonal DFT, bf16_3x ----
-    ure_p = split_bf16(ure)
-    uim_p = split_bf16(uim)
-    dre, dim = cdot3(ure_p, uim_p, wre_hi_ref[:], wre_lo_ref[:],
-                     wim_hi_ref[:], wim_lo_ref[:])
-
-    # ---- FM demod: previous frame = lane roll by nch, slot 0 wraps to the
-    # previous row ----
-    dre_roll = pltpu.roll(dre, nch, axis=1)
-    dim_roll = pltpu.roll(dim, nch, axis=1)
-    wrap1 = jax.lax.broadcasted_iota(jnp.int32, (tileH, _LANES), 1) < nch
-    pre_re = jnp.where(wrap1, dre_roll[:-1], dre_roll[1:])
-    pre_im = jnp.where(wrap1, dim_roll[:-1], dim_roll[1:])
-    cur_re = dre[1:]
-    cur_im = dim[1:]
-    cre = cur_re * pre_re + cur_im * pre_im
-    cim = cur_im * pre_re - cur_re * pre_im
-    audio_ref[0] = _atan2(cim, cre) * jnp.float32(inv_kf)
+            audio_ref[0] = (cre + cim) * jnp.float32(inv_kf)
+    else:
+        audio_ref[0] = dre[1:] + dim[1:]
 
     # ---- carry updates ----
     hist_re_scr[:] = ext_re[tileH:]
@@ -235,11 +264,11 @@ def flagship_fused_wide_init(nch: int, m: int = 7):
 
 
 @functools.partial(jax.jit, static_argnames=("nch", "m", "as_db", "kf", "tileF",
-                                             "dc_alpha", "interpret"))
+                                             "dc_alpha", "interpret", "skip"))
 def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
                              as_db: float = 80.0, kf: float = 0.6,
                              tileF: int = 512, dc_alpha: float = 0.0005,
-                             interpret: bool = False):
+                             interpret: bool = False, skip: tuple = ()):
     """(state, x) → (state, audio (nch, n/nch) float32) — see module docstring.
 
     ``tileF`` counts FRAMES per grid tile (same meaning as
@@ -296,7 +325,7 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
 
     kernel = functools.partial(
         _kernel, nch=nch, L=L, tileH=tileH, histrows=h, g_gain=g,
-        inv_kf=1.0 / (_TWO_PI * kf), u8_input=u8_input)
+        inv_kf=1.0 / (_TWO_PI * kf), u8_input=u8_input, skip=tuple(skip))
 
     const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                         memory_space=pltpu.VMEM)

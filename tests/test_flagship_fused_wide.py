@@ -90,3 +90,20 @@ def test_wide_rejects_bad_shapes():
     x = jnp.zeros((64 * 128,), jnp.complex64)
     with pytest.raises(ValueError, match="tileF"):
         flagship_fused_wide_step(st, x, nch=64, tileF=127, interpret=True)
+
+
+def test_skip_gates_compile_and_reduce_work():
+    """The ablation gates (benchmarks/probe_ablation.py) compile in every
+    ladder configuration and the full build is the default (skip=())."""
+    nch, tileF = 16, 64
+    iq = _signal(nch, tileF, blocks=1)
+    for skip in [(), ("atan2",), ("demod",), ("demod", "dft"),
+                 ("demod", "dft", "fir"),
+                 ("demod", "dft", "fir", "nco"),
+                 ("demod", "dft", "fir", "nco", "dc")]:
+        st = flagship_fused_wide_init(nch)
+        st, y = flagship_fused_wide_step(st, jnp.asarray(iq), nch=nch,
+                                         tileF=tileF, interpret=True,
+                                         skip=skip)
+        assert y.shape == (nch, len(iq) // nch)
+        assert np.isfinite(np.asarray(y)).all()
