@@ -262,7 +262,8 @@ class RtlTcpServer:
                 except OSError:
                     pass
 
-            threading.Thread(target=drain, daemon=True).start()
+            drainer = threading.Thread(target=drain, daemon=True)
+            drainer.start()
             try:
                 for chunk in self.make_source():
                     if self._closing:
@@ -280,11 +281,24 @@ class RtlTcpServer:
                 print(f"rtl_tcp server: source error: "
                       f"{type(e).__name__}: {e}", file=_sys.stderr)
             finally:
+                self.clients_served += 1
+                # Half-close, then wait for the client to finish: closing
+                # outright while its config commands sit unread in our
+                # receive buffer sends a TCP RST, which discards stream data
+                # the client has not read yet and kills its concurrent
+                # sendall (observed as a flaky ConnectionResetError in
+                # RtlTcpSource._dial on short one-shot streams).  SHUT_WR
+                # delivers a graceful EOF; the drain thread exits when the
+                # client closes its side, and only then do we close.
+                try:
+                    conn.shutdown(socket.SHUT_WR)
+                except OSError:
+                    pass
+                drainer.join(timeout=5)
                 try:
                     conn.close()
                 except OSError:
                     pass
-                self.clients_served += 1
 
     def close(self):
         self._closing = True
