@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..pfb import pfb_taps, pfb_dft_matrix, pfb_offset
 from ..nco import phase_ramp, phase_increment
-from .bf16x3 import split_bf16, split_bf16_np, cdot3
+from .bf16x3 import split_bf16, split_bf16_np, cdot3, dot3
 from .pfb_fused import _atan2
 
 __all__ = ["flagship_fused_init", "flagship_fused_step"]
@@ -81,6 +81,33 @@ def _decay(a: float, n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _dc_diff_panels(a: float, g: float, n: int):
+    """bf16 hi/lo planes of MdT = Md.T, where Md folds the one-sample
+    difference INTO the lane decay matmul:  with T the lower-triangular
+    decay matrix and Z the one-sample delay,  T·(I−Z) = I − α·T·Z,  so
+
+        w[r, l] = g·x[r, l] + (x @ MdT)[r, l] − g·a^l·x_prev0[r]
+        Md[l, l'] = −g·α·a^(l−1−l')   for l' < l, else 0.
+
+    The identity part runs exactly on the VPU (one multiply); the residual
+    matrix has entries of magnitude ≤ g·α ≈ 5e-4, so a 3-multiply bf16
+    product (dot3) carries it at ~1e-6 absolute error — replacing the
+    kernel's only full-f32 matmul with bf16 MXU passes AND deleting the
+    roll/select/subtract passes that used to materialize x − x_prev."""
+    i = np.arange(n)
+    e = i[:, None] - 1 - i[None, :]
+    Md = np.where(e >= 0, -g * (1.0 - a) * np.power(a, np.maximum(e, 0)), 0.0)
+    return split_bf16_np(np.ascontiguousarray(Md.T).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _dc_pg_row(a: float, g: float, n: int) -> np.ndarray:
+    """(1, n) row g·a^l — the x_prev0 coefficient per lane (see
+    _dc_diff_panels)."""
+    return (g * np.power(a, np.arange(n))[None, :]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def _row_carry_matrix(a_row: float, tileF: int) -> np.ndarray:
     """(tileF+1, tileF) matrix S with S[f, f'] = a_row^(f−1−f') for f' ≤ f−1:
     g_entering_row_f = (S @ row_end_carries)[f] + a_row^f · g_in.  Row tileF
@@ -117,8 +144,31 @@ def _dc_solve(f_comp, T1, S, p1, pN, g_in, nch, tileF):
     return y, gext[tileF, 0]
 
 
-def _kernel(xre_ref, xim_ref, ramp2_ref, T64_ref, S_ref,
-            p64_ref, pN_ref, That_ref,
+def _dc_solve_pair(xre, xim, MdT_hi, MdT_lo, S, p1, pg, pN,
+                   xp0_re, xp0_im, gin_re, gin_im, g_gain, rows):
+    """DC blocker over both real components of a flattened (rows, n) panel
+    via the difference-folded decay form (_dc_diff_panels):
+
+        w = g·x + dot3(split(x), MdT) − pg·x_prev0
+        row carries: one batched S @ [c_re c_im] matvec, then per-component
+        p1·g_prev correction (identical algebra to _dc_solve).
+
+    xp0_* are (rows, 1) columns of the previous row's last sample (row 0
+    seeded from the carried scalar); gin_* the entering tile carries."""
+    g = jnp.float32(g_gain)
+    w_re = g * xre + dot3(split_bf16(xre), MdT_hi, MdT_lo) - pg * xp0_re
+    w_im = g * xim + dot3(split_bf16(xim), MdT_hi, MdT_lo) - pg * xp0_im
+    c2 = jnp.concatenate([w_re[:, -1:], w_im[:, -1:]], axis=1)   # (rows, 2)
+    gext2 = jnp.dot(S, c2, preferred_element_type=jnp.float32)   # (rows+1, 2)
+    ge_re = gext2[:, 0:1] + pN * gin_re
+    ge_im = gext2[:, 1:2] + pN * gin_im
+    y_re = w_re + p1 * ge_re[:rows]
+    y_im = w_im + p1 * ge_im[:rows]
+    return y_re, y_im, ge_re[rows, 0], ge_im[rows, 0]
+
+
+def _kernel(xre_ref, xim_ref, ramp2_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
+            p64_ref, pg_ref, pN_ref, That_ref,
             wre_hi_ref, wre_lo_ref, wim_hi_ref, wim_lo_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
@@ -146,28 +196,19 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, T64_ref, S_ref,
         xre = xre_ref[0]  # (tileF, nch)
         xim = xim_ref[0]
 
-    # ---- x_prev: one-sample shift over flattened order ----
-    xpre = pltpu.roll(xre, 1, axis=1)
-    xpim = pltpu.roll(xim, 1, axis=1)
+    # ---- DC blocker (difference-folded decay matmul, _dc_diff_panels) ----
+    # only the previous row's LAST sample is still needed explicitly (the
+    # x − x_prev difference lives inside MdT); row 0 seeds from the carry
     col_prev_re = pltpu.roll(xre[:, nch - 1:nch], 1, axis=0)
     col_prev_im = pltpu.roll(xim[:, nch - 1:nch], 1, axis=0)
     row = jax.lax.broadcasted_iota(jnp.int32, (tileF, 1), 0)
     col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
     col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tileF, nch), 1)
-    xpre = jnp.where(lane == 0, col_prev_re, xpre)
-    xpim = jnp.where(lane == 0, col_prev_im, xpim)
 
-    fre = jnp.float32(g_gain) * (xre - xpre)
-    fim = jnp.float32(g_gain) * (xim - xpim)
-
-    # ---- DC blocker (blocked recurrence, matmul form) ----
-    T64 = T64_ref[:]
-    S = S_ref[:]
-    p64 = p64_ref[:]
-    pN = pN_ref[:]
-    ydc_re, glast_re = _dc_solve(fre, T64, S, p64, pN, scal_scr[2], nch, tileF)
-    ydc_im, glast_im = _dc_solve(fim, T64, S, p64, pN, scal_scr[3], nch, tileF)
+    ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
+        xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p64_ref[:],
+        pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
+        scal_scr[2], scal_scr[3], g_gain, tileF)
 
     # ---- NCO pre-shift: multiply by e^{-jθ} ----
     # ω = −π(nch−1)/nch ⇒ the phase ramp is periodic with period 2·nch
@@ -293,7 +334,10 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
     wre_lo = jnp.asarray(wre_lo_np, dtype=jnp.bfloat16)
     wim_hi = jnp.asarray(wim_hi_np, dtype=jnp.bfloat16)
     wim_lo = jnp.asarray(wim_lo_np, dtype=jnp.bfloat16)
-    T64 = jnp.asarray(_decay(r, nch))
+    mdT_hi_np, mdT_lo_np = _dc_diff_panels(r, g, nch)
+    mdT_hi = jnp.asarray(mdT_hi_np, dtype=jnp.bfloat16)
+    mdT_lo = jnp.asarray(mdT_lo_np, dtype=jnp.bfloat16)
+    pg = jnp.asarray(_dc_pg_row(r, g, nch))                # (1, nch): g·a^i
     a_row = float(r ** nch)
     S = jnp.asarray(_row_carry_matrix(a_row, tileF))       # (tileF+1, tileF)
     p64 = jnp.asarray(_powvec(r, nch))                     # (1, nch): a^(i+1)
@@ -313,8 +357,9 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
             pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             const2((2, nch)),
-            const2((nch, nch)), const2((tileF + 1, tileF)),
-            const2((1, nch)), const2((tileF + 1, 1)),
+            const2((nch, nch)), const2((nch, nch)),
+            const2((tileF + 1, tileF)),
+            const2((1, nch)), const2((1, nch)), const2((tileF + 1, 1)),
             const2((L + 1, nch)),
             const2((nch, nch)), const2((nch, nch)),
             const2((nch, nch)), const2((nch, nch)),
@@ -339,7 +384,7 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
             pltpu.SMEM((4,), jnp.float32),
         ],
         interpret=interpret,
-    )(xre, xim, ramp2, T64, S, p64, pN, That,
+    )(xre, xim, ramp2, mdT_hi, mdT_lo, S, p64, pg, pN, That,
       wre_hi, wre_lo, wim_hi, wim_lo, phase,
       state["hist_re"], state["hist_im"], state["scal"])
 

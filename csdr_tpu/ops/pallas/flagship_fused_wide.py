@@ -52,8 +52,9 @@ from ..pfb import pfb_dft_matrix, pfb_offset
 from ..nco import phase_ramp, phase_increment
 from .bf16x3 import split_bf16, split_bf16_np, cdot3
 from .pfb_fused import _atan2
-from .flagship_fused import (_permuted_tap_panel, _decay, _row_carry_matrix,
-                             _powvec, _row_decay_col, _dc_solve)
+from .flagship_fused import (_permuted_tap_panel, _row_carry_matrix,
+                             _powvec, _row_decay_col, _dc_diff_panels,
+                             _dc_pg_row, _dc_solve_pair)
 
 __all__ = ["flagship_fused_wide_init", "flagship_fused_wide_step"]
 
@@ -87,8 +88,8 @@ def _wide_dft(nch: int):
     return out
 
 
-def _kernel(xre_ref, xim_ref, ramp_ref, T128_ref, S_ref,
-            p128_ref, pN_ref, That_ref,
+def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
+            p128_ref, pg_ref, pN_ref, That_ref,
             wre_hi_ref, wre_lo_ref, wim_hi_ref, wim_lo_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
@@ -119,30 +120,20 @@ def _kernel(xre_ref, xim_ref, ramp_ref, T128_ref, S_ref,
         xim = xim_ref[0]
 
     if "dc" not in skip:
-        # ---- x_prev over flattened order (identical to flagship_fused, 128 wide)
-        xpre = pltpu.roll(xre, 1, axis=1)
-        xpim = pltpu.roll(xim, 1, axis=1)
+        # ---- DC blocker (difference-folded decay matmul, identical algebra
+        # to flagship_fused._dc_solve_pair, 128 wide).  Only the previous
+        # row's LAST sample is still materialized; the x − x_prev difference
+        # lives inside the bf16 MdT planes.
         col_prev_re = pltpu.roll(xre[:, _LANES - 1:_LANES], 1, axis=0)
         col_prev_im = pltpu.roll(xim[:, _LANES - 1:_LANES], 1, axis=0)
         row = jax.lax.broadcasted_iota(jnp.int32, (tileH, 1), 0)
         col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
         col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tileH, _LANES), 1)
-        xpre = jnp.where(lane == 0, col_prev_re, xpre)
-        xpim = jnp.where(lane == 0, col_prev_im, xpim)
 
-        fre = jnp.float32(g_gain) * (xre - xpre)
-        fim = jnp.float32(g_gain) * (xim - xpim)
-
-        # ---- DC blocker ----
-        T128 = T128_ref[:]
-        S = S_ref[:]
-        p128 = p128_ref[:]
-        pN = pN_ref[:]
-        ydc_re, glast_re = _dc_solve(fre, T128, S, p128, pN, scal_scr[2],
-                                     _LANES, tileH)
-        ydc_im, glast_im = _dc_solve(fim, T128, S, p128, pN, scal_scr[3],
-                                     _LANES, tileH)
+        ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
+            xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p128_ref[:],
+            pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
+            scal_scr[2], scal_scr[3], g_gain, tileH)
     else:
         ydc_re, ydc_im = xre, xim
         glast_re, glast_im = scal_scr[2], scal_scr[3]
@@ -315,7 +306,10 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
     wre_lo = jnp.asarray(wre_lo_np, dtype=jnp.bfloat16)
     wim_hi = jnp.asarray(wim_hi_np, dtype=jnp.bfloat16)
     wim_lo = jnp.asarray(wim_lo_np, dtype=jnp.bfloat16)
-    T128 = jnp.asarray(_decay(r, _LANES))
+    mdT_hi_np, mdT_lo_np = _dc_diff_panels(r, g, _LANES)
+    mdT_hi = jnp.asarray(mdT_hi_np, dtype=jnp.bfloat16)
+    mdT_lo = jnp.asarray(mdT_lo_np, dtype=jnp.bfloat16)
+    pg = jnp.asarray(_dc_pg_row(r, g, _LANES))  # (1, 128): g·a^i
     a_row = float(r ** _LANES)
     S = jnp.asarray(_row_carry_matrix(a_row, tileH))
     p128 = jnp.asarray(_powvec(r, _LANES))
@@ -338,8 +332,9 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
             pl.BlockSpec((1, tileH, _LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             const2((1, _LANES)),
-            const2((_LANES, _LANES)), const2((tileH + 1, tileH)),
-            const2((1, _LANES)), const2((tileH + 1, 1)),
+            const2((_LANES, _LANES)), const2((_LANES, _LANES)),
+            const2((tileH + 1, tileH)),
+            const2((1, _LANES)), const2((1, _LANES)), const2((tileH + 1, 1)),
             const2((L + 1, _LANES)),
             const2((_LANES, _LANES)), const2((_LANES, _LANES)),
             const2((_LANES, _LANES)), const2((_LANES, _LANES)),
@@ -365,7 +360,7 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
             pltpu.SMEM((4,), jnp.float32),
         ],
         interpret=interpret,
-    )(xre, xim, ramp, T128, S, p128, pN, That,
+    )(xre, xim, ramp, mdT_hi, mdT_lo, S, p128, pg, pN, That,
       wre_hi, wre_lo, wim_hi, wim_lo, phase,
       state["hist_re"], state["hist_im"], state["scal"])
 
