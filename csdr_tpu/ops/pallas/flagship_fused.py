@@ -144,6 +144,43 @@ def _dc_solve(f_comp, T1, S, p1, pN, g_in, nch, tileF):
     return y, gext[tileF, 0]
 
 
+def _dc_solve_stacked(X, MdT_hi, MdT_lo, S, p1, pg, pN,
+                      x0_re, x0_im, gin_re, gin_im, g_gain, rows):
+    """DC blocker over BOTH real components stacked along the sublane axis:
+    X = [x_re; x_im], shape (2*rows, n).  Identical algebra (bit-identical
+    results) to _dc_solve_pair, but every pass — the bf16 operand split, the
+    three Md matmuls, the boundary fixups, the carry correction — runs ONCE
+    over the doubled panel instead of once per component.
+
+    Measured on-chip verdict (benchmarks/probe_kernel_opts.py, scan-paired
+    protocol): ~9% SLOWER than the per-component path — the stacked panel
+    must materialize a (2·rows, n) copy of the whole input before any DC
+    work can start, which defeats Mosaic's software pipelining of the
+    per-component passes.  Kept behind the kernels' ``opts=("dc_stack",)``
+    gate as the recorded negative result; _dc_solve_pair is production.
+
+    The previous-sample column comes from ONE sublane roll of X's last lane;
+    the roll wraps garbage into row 0 (from x_im's tail) and row ``rows``
+    (from x_re's tail) — exactly the two rows the carried seeds overwrite.
+    The carry correction runs per half (Mosaic cannot sublane-concat two
+    slices living at different lane offsets) — everything upstream of it is
+    shared.  Returns (y_re, y_im, g_out_re, g_out_im)."""
+    colp = pltpu.roll(X[:, -1:], 1, axis=0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (2 * rows, 1), 0)
+    colp = jnp.where(ridx == 0, x0_re, colp)
+    colp = jnp.where(ridx == rows, x0_im, colp)
+    g = jnp.float32(g_gain)
+    w = g * X + dot3(split_bf16(X), MdT_hi, MdT_lo) - pg * colp
+    c2 = jnp.concatenate([w[:rows, -1:], w[rows:, -1:]], axis=1)   # (rows, 2)
+    gext2 = jnp.dot(S, c2, preferred_element_type=jnp.float32)     # (rows+1, 2)
+    gin2 = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (1, 2), 1) == 0,
+                     gin_re, gin_im)
+    gext2 = gext2 + pN * gin2
+    y_re = w[:rows] + p1 * gext2[:rows, 0:1]
+    y_im = w[rows:] + p1 * gext2[:rows, 1:2]
+    return y_re, y_im, gext2[rows, 0], gext2[rows, 1]
+
+
 def _dc_solve_pair(xre, xim, MdT_hi, MdT_lo, S, p1, pg, pN,
                    xp0_re, xp0_im, gin_re, gin_im, g_gain, rows):
     """DC blocker over both real components of a flattened (rows, n) panel
@@ -173,7 +210,12 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
             hist_re_scr, hist_im_scr, scal_scr,
-            *, nch, L, tileF, g_gain, inv_kf, u8_input=False):
+            *, nch, L, tileF, g_gain, inv_kf, u8_input=False, opts=()):
+    # ``opts`` statically selects experimental implementations for on-chip
+    # A/B measurement (benchmarks/probe_kernel_opts.py): "dc_stack" = stacked
+    # DC solve (measured 9% slower — kept as the recorded negative result),
+    # "fast_atan" = Newton-reciprocal atan2 (measured neutral).  Default ()
+    # = the production paths.
     i = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -184,31 +226,51 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         for idx in range(4):  # SMEM allows scalar access only
             scal_scr[idx] = scal_in_ref[idx]
 
-    if u8_input:
-        # rtl_sdr cu8 planes arrive as raw uint8: the HBM read is 2 bytes per
-        # IQ sample instead of 8 — conversion to float happens here in VMEM
-        # ((v − 127.5)/127.5, the standard rtl_sdr mapping).  Mosaic has no
-        # direct uint8→f32 lowering; route through int32 (verified on chip).
-        k_scale = jnp.float32(1.0 / 127.5)
-        xre = xre_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
-        xim = xim_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
+    if "dc_stack" not in opts:
+        if u8_input:
+            # rtl_sdr cu8 planes arrive as raw uint8: the HBM read is 2 bytes
+            # per IQ sample instead of 8 — conversion to float happens here in
+            # VMEM ((v − 127.5)/127.5, the standard rtl_sdr mapping).  Mosaic
+            # has no direct uint8→f32 lowering; route through int32.
+            k_scale = jnp.float32(1.0 / 127.5)
+            xre = xre_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
+            xim = xim_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
+        else:
+            xre = xre_ref[0]  # (tileF, nch)
+            xim = xim_ref[0]
+
+        # ---- DC blocker (difference-folded decay matmul, _dc_diff_panels);
+        # only the previous row's LAST sample is still needed explicitly (the
+        # x − x_prev difference lives inside MdT); row 0 seeds from the carry
+        col_prev_re = pltpu.roll(xre[:, nch - 1:nch], 1, axis=0)
+        col_prev_im = pltpu.roll(xim[:, nch - 1:nch], 1, axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tileF, 1), 0)
+        col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
+        col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
+
+        ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
+            xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p64_ref[:],
+            pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
+            scal_scr[2], scal_scr[3], g_gain, tileF)
+        x_last_re = xre[tileF - 1, nch - 1]
+        x_last_im = xim[tileF - 1, nch - 1]
     else:
-        xre = xre_ref[0]  # (tileF, nch)
-        xim = xim_ref[0]
+        # experimental: x_re stacked over x_im along sublanes so the u8
+        # conversion and every DC pass run once on a (2·tileF, nch) panel —
+        # measured SLOWER on chip; see _dc_solve_stacked's verdict
+        if u8_input:
+            Xi = jnp.concatenate([xre_ref[0].astype(jnp.int32),
+                                  xim_ref[0].astype(jnp.int32)], axis=0)
+            X = Xi.astype(jnp.float32) * jnp.float32(1.0 / 127.5) - 1.0
+        else:
+            X = jnp.concatenate([xre_ref[0], xim_ref[0]], axis=0)
 
-    # ---- DC blocker (difference-folded decay matmul, _dc_diff_panels) ----
-    # only the previous row's LAST sample is still needed explicitly (the
-    # x − x_prev difference lives inside MdT); row 0 seeds from the carry
-    col_prev_re = pltpu.roll(xre[:, nch - 1:nch], 1, axis=0)
-    col_prev_im = pltpu.roll(xim[:, nch - 1:nch], 1, axis=0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (tileF, 1), 0)
-    col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
-    col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
-
-    ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
-        xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p64_ref[:],
-        pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
-        scal_scr[2], scal_scr[3], g_gain, tileF)
+        ydc_re, ydc_im, glast_re, glast_im = _dc_solve_stacked(
+            X, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p64_ref[:],
+            pg_ref[:], pN_ref[:], scal_scr[0], scal_scr[1],
+            scal_scr[2], scal_scr[3], g_gain, tileF)
+        x_last_re = X[tileF - 1, nch - 1]
+        x_last_im = X[2 * tileF - 1, nch - 1]
 
     # ---- NCO pre-shift: multiply by e^{-jθ} ----
     # ω = −π(nch−1)/nch ⇒ the phase ramp is periodic with period 2·nch
@@ -253,13 +315,14 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
     # ---- FM demod ----
     cre = dre[1:] * dre[:-1] + dim[1:] * dim[:-1]
     cim = dim[1:] * dre[:-1] - dre[1:] * dim[:-1]
-    audio_ref[0] = _atan2(cim, cre) * jnp.float32(inv_kf)
+    audio_ref[0] = (_atan2(cim, cre, fast_recip="fast_atan" in opts)
+                    * jnp.float32(inv_kf))
 
     # ---- carry updates ----
     hist_re_scr[:] = ext_re[tileF:]
     hist_im_scr[:] = ext_im[tileF:]
-    scal_scr[0] = xre[tileF - 1, nch - 1]
-    scal_scr[1] = xim[tileF - 1, nch - 1]
+    scal_scr[0] = x_last_re
+    scal_scr[1] = x_last_im
     scal_scr[2] = glast_re
     scal_scr[3] = glast_im
 
@@ -282,10 +345,11 @@ def flagship_fused_init(nch: int, m: int = 7):
 
 
 @functools.partial(jax.jit, static_argnames=("nch", "m", "as_db", "kf", "tileF",
-                                             "dc_alpha", "interpret"))
+                                             "dc_alpha", "interpret", "opts"))
 def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
                         kf: float = 0.6, tileF: int = 256,
-                        dc_alpha: float = 0.0005, interpret: bool = False):
+                        dc_alpha: float = 0.0005, interpret: bool = False,
+                        opts: tuple = ()):
     """(state, x) → (state, audio (nch, n/nch) float32).
 
     ``x`` is (n,) complex64 — or (2n,) uint8 interleaved rtl_sdr cu8, in
@@ -346,7 +410,7 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
 
     kernel = functools.partial(
         _kernel, nch=nch, L=L, tileF=tileF, g_gain=g,
-        inv_kf=1.0 / (_TWO_PI * kf), u8_input=u8_input)
+        inv_kf=1.0 / (_TWO_PI * kf), u8_input=u8_input, opts=tuple(opts))
 
     const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                         memory_space=pltpu.VMEM)

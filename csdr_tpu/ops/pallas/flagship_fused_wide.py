@@ -54,7 +54,7 @@ from .bf16x3 import split_bf16, split_bf16_np, cdot3
 from .pfb_fused import _atan2
 from .flagship_fused import (_permuted_tap_panel, _row_carry_matrix,
                              _powvec, _row_decay_col, _dc_diff_panels,
-                             _dc_pg_row, _dc_solve_pair)
+                             _dc_pg_row, _dc_solve_pair, _dc_solve_stacked)
 
 __all__ = ["flagship_fused_wide_init", "flagship_fused_wide_step"]
 
@@ -95,7 +95,7 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
             hist_re_scr, hist_im_scr, scal_scr,
             *, nch, L, tileH, histrows, g_gain, inv_kf, u8_input=False,
-            skip=()):
+            skip=(), opts=()):
     # ``skip`` is a static tuple of stage names compiled OUT of the kernel —
     # used ONLY by benchmarks/probe_ablation.py to attribute per-stage cost
     # on real hardware.  Empty (the default and every production call) leaves
@@ -111,32 +111,56 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         for idx in range(4):
             scal_scr[idx] = scal_in_ref[idx]
 
-    if u8_input:
-        k_scale = jnp.float32(1.0 / 127.5)
-        xre = xre_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
-        xim = xim_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
-    else:
-        xre = xre_ref[0]  # (tileH, 128)
-        xim = xim_ref[0]
+    if "dc_stack" not in opts:
+        # production per-component conversion + DC solve (difference-folded
+        # decay matmul, identical algebra to flagship_fused._dc_solve_pair,
+        # 128 wide); the stacked experiment below measured ~9% slower
+        # (benchmarks/probe_kernel_opts.py)
+        if u8_input:
+            k_scale = jnp.float32(1.0 / 127.5)
+            xre = xre_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
+            xim = xim_ref[0].astype(jnp.int32).astype(jnp.float32) * k_scale - 1.0
+        else:
+            xre = xre_ref[0]  # (tileH, 128)
+            xim = xim_ref[0]
 
-    if "dc" not in skip:
-        # ---- DC blocker (difference-folded decay matmul, identical algebra
-        # to flagship_fused._dc_solve_pair, 128 wide).  Only the previous
-        # row's LAST sample is still materialized; the x − x_prev difference
-        # lives inside the bf16 MdT planes.
-        col_prev_re = pltpu.roll(xre[:, _LANES - 1:_LANES], 1, axis=0)
-        col_prev_im = pltpu.roll(xim[:, _LANES - 1:_LANES], 1, axis=0)
-        row = jax.lax.broadcasted_iota(jnp.int32, (tileH, 1), 0)
-        col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
-        col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
+        if "dc" not in skip:
+            col_prev_re = pltpu.roll(xre[:, _LANES - 1:_LANES], 1, axis=0)
+            col_prev_im = pltpu.roll(xim[:, _LANES - 1:_LANES], 1, axis=0)
+            row = jax.lax.broadcasted_iota(jnp.int32, (tileH, 1), 0)
+            col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
+            col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
 
-        ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
-            xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p128_ref[:],
-            pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
-            scal_scr[2], scal_scr[3], g_gain, tileH)
+            ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
+                xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p128_ref[:],
+                pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
+                scal_scr[2], scal_scr[3], g_gain, tileH)
+        else:
+            ydc_re, ydc_im = xre, xim
+            glast_re, glast_im = scal_scr[2], scal_scr[3]
+        x_last_re = xre[tileH - 1, _LANES - 1]
+        x_last_im = xim[tileH - 1, _LANES - 1]
     else:
-        ydc_re, ydc_im = xre, xim
-        glast_re, glast_im = scal_scr[2], scal_scr[3]
+        # experimental stacked panel: x_re over x_im along sublanes, so the
+        # u8 conversion and every DC pass run ONCE on (2·tileH, 128) —
+        # measured SLOWER on chip (see _dc_solve_stacked's verdict)
+        if u8_input:
+            Xi = jnp.concatenate([xre_ref[0].astype(jnp.int32),
+                                  xim_ref[0].astype(jnp.int32)], axis=0)
+            X = Xi.astype(jnp.float32) * jnp.float32(1.0 / 127.5) - 1.0
+        else:
+            X = jnp.concatenate([xre_ref[0], xim_ref[0]], axis=0)
+
+        if "dc" not in skip:
+            ydc_re, ydc_im, glast_re, glast_im = _dc_solve_stacked(
+                X, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p128_ref[:],
+                pg_ref[:], pN_ref[:], scal_scr[0], scal_scr[1],
+                scal_scr[2], scal_scr[3], g_gain, tileH)
+        else:
+            ydc_re, ydc_im = X[:tileH], X[tileH:]
+            glast_re, glast_im = scal_scr[2], scal_scr[3]
+        x_last_re = X[tileH - 1, _LANES - 1]
+        x_last_im = X[2 * tileH - 1, _LANES - 1]
 
     if "nco" not in skip:
         # ---- NCO pre-shift: one constant ramp row (nch | 64 ⇒ period | 128)
@@ -212,7 +236,8 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         cre = cur_re * pre_re + cur_im * pre_im
         cim = cur_im * pre_re - cur_re * pre_im
         if "atan2" not in skip:
-            audio_ref[0] = _atan2(cim, cre) * jnp.float32(inv_kf)
+            audio_ref[0] = (_atan2(cim, cre, fast_recip="fast_atan" in opts)
+                            * jnp.float32(inv_kf))
         else:
             audio_ref[0] = (cre + cim) * jnp.float32(inv_kf)
     else:
@@ -221,8 +246,8 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
     # ---- carry updates ----
     hist_re_scr[:] = ext_re[tileH:]
     hist_im_scr[:] = ext_im[tileH:]
-    scal_scr[0] = xre[tileH - 1, _LANES - 1]
-    scal_scr[1] = xim[tileH - 1, _LANES - 1]
+    scal_scr[0] = x_last_re
+    scal_scr[1] = x_last_im
     scal_scr[2] = glast_re
     scal_scr[3] = glast_im
 
@@ -255,11 +280,13 @@ def flagship_fused_wide_init(nch: int, m: int = 7):
 
 
 @functools.partial(jax.jit, static_argnames=("nch", "m", "as_db", "kf", "tileF",
-                                             "dc_alpha", "interpret", "skip"))
+                                             "dc_alpha", "interpret", "skip",
+                                             "opts"))
 def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
                              as_db: float = 80.0, kf: float = 0.6,
                              tileF: int = 512, dc_alpha: float = 0.0005,
-                             interpret: bool = False, skip: tuple = ()):
+                             interpret: bool = False, skip: tuple = (),
+                             opts: tuple = ()):
     """(state, x) → (state, audio (nch, n/nch) float32) — see module docstring.
 
     ``tileF`` counts FRAMES per grid tile (same meaning as
@@ -319,7 +346,8 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
 
     kernel = functools.partial(
         _kernel, nch=nch, L=L, tileH=tileH, histrows=h, g_gain=g,
-        inv_kf=1.0 / (_TWO_PI * kf), u8_input=u8_input, skip=tuple(skip))
+        inv_kf=1.0 / (_TWO_PI * kf), u8_input=u8_input, skip=tuple(skip),
+        opts=tuple(opts))
 
     const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                         memory_space=pltpu.VMEM)

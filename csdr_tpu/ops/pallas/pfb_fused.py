@@ -47,12 +47,32 @@ def _atan(z):
     return z * p
 
 
-def _atan2(y, x):
+def _fast_recip(x):
+    """1/x for strictly-positive f32 without a divide: exponent-flip
+    bit-trick seed (rel err ~3e-2) plus three Newton steps (~1 ulp final).
+
+    Measured on-chip verdict (benchmarks/probe_kernel_opts.py, scan-paired
+    protocol): NEUTRAL — Mosaic's lowered divide already costs about the
+    same as this sequence, so the divide stays the default and this path is
+    kept behind the kernels' ``opts=("fast_atan",)`` gate as the recorded
+    experiment.  (ABLATION_r02.json's 26% atan2 share is the whole stage —
+    range reduction, polynomial, and quadrant selects — not the divide.)
+    """
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    r = jax.lax.bitcast_convert_type(jnp.int32(0x7EF127EA) - xi, jnp.float32)
+    two = jnp.float32(2.0)
+    r = r * (two - x * r)
+    r = r * (two - x * r)
+    return r * (two - x * r)
+
+
+def _atan2(y, x, fast_recip: bool = False):
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
-    z = lo / jnp.maximum(hi, jnp.float32(1e-30))
+    hic = jnp.maximum(hi, jnp.float32(1e-30))
+    z = lo * _fast_recip(hic) if fast_recip else lo / hic
     a = _atan(z)
     a = jnp.where(ay > ax, jnp.float32(np.pi / 2) - a, a)
     a = jnp.where(x < 0, jnp.float32(np.pi) - a, a)
