@@ -111,3 +111,23 @@ def test_skip_gates_compile_and_reduce_work():
                                          skip=skip)
         assert y.shape == (nch, len(iq) // nch)
         assert np.isfinite(np.asarray(y)).all()
+
+
+def test_opts_gates_match_production():
+    """The experiment gates (probe_kernel_opts.py) compile and match the
+    production paths: stacked DC is bit-identical algebra (state must match
+    exactly), fast-reciprocal atan2 is within 1 ulp on the audio."""
+    from csdr_tpu.ops.pallas.flagship_fused import (flagship_fused_init as oi,
+                                                    flagship_fused_step as os_)
+    nch, tileF = 16, 64
+    iq = _signal(nch, tileF, blocks=1)
+    for init, step in ((oi, os_),
+                       (flagship_fused_wide_init, flagship_fused_wide_step)):
+        sd, se = init(nch), init(nch)
+        sd, yd = step(sd, jnp.asarray(iq), nch=nch, tileF=tileF,
+                      interpret=True)
+        se, ye = step(se, jnp.asarray(iq), nch=nch, tileF=tileF,
+                      interpret=True, opts=("dc_stack", "fast_atan"))
+        assert np.max(np.abs(np.asarray(yd) - np.asarray(ye))) < 5e-7
+        for k in ("hist_re", "hist_im", "scal"):
+            assert np.array_equal(np.asarray(sd[k]), np.asarray(se[k])), k

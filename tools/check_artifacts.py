@@ -33,6 +33,8 @@ SPEC = {
     "SYMSYNC_r02.json": (None, ["results"]),
     "SCALING_virtual_r02.json": (None, []),
     "STREAMING_r02.json": ("__best__", ["history"]),
+    "KERNEL_OPTS_r02.json": ("healthy", ["pairs"]),
+    "ABLATION_r02.json": ("healthy", ["ladder", "stages"]),
 }
 
 
