@@ -51,6 +51,12 @@ def _fast_recip(x):
     """1/x for strictly-positive f32 without a divide: exponent-flip
     bit-trick seed (rel err ~3e-2) plus three Newton steps (~1 ulp final).
 
+    Valid domain: 0 < x <= ~1e38.  Above ~2.1e38 the seed integer
+    (0x7EF127EA - bits(x)) goes negative, the seed bitcasts to a negative
+    float, and Newton iterates to NaN/garbage — so the input is clamped to
+    1e38 here (callers in this kernel feed O(1) magnitudes and already bound
+    the LOW end via ``hic``; the clamp makes the helper total on +f32).
+
     Measured on-chip verdict (benchmarks/probe_kernel_opts.py, scan-paired
     protocol): NEUTRAL — Mosaic's lowered divide already costs about the
     same as this sequence, so the divide stays the default and this path is
@@ -58,6 +64,7 @@ def _fast_recip(x):
     experiment.  (ABLATION_r02.json's 26% atan2 share is the whole stage —
     range reduction, polynomial, and quadrant selects — not the divide.)
     """
+    x = jnp.minimum(x, jnp.float32(1e38))
     xi = jax.lax.bitcast_convert_type(x, jnp.int32)
     r = jax.lax.bitcast_convert_type(jnp.int32(0x7EF127EA) - xi, jnp.float32)
     two = jnp.float32(2.0)

@@ -113,6 +113,28 @@ def test_skip_gates_compile_and_reduce_work():
         assert np.isfinite(np.asarray(y)).all()
 
 
+def test_opts_gates_match_production_u8():
+    """The u8 stacked-conversion branch of the opts gates (the exact
+    configuration probe_kernel_opts benchmarks: input 'u8_wide') matches the
+    production u8 path — interleaved cu8 planes, both kernels."""
+    from csdr_tpu.ops.pallas.flagship_fused import (flagship_fused_init as oi,
+                                                    flagship_fused_step as os_)
+    rng = np.random.default_rng(5)
+    nch, tileF = 16, 64
+    n = nch * tileF * 2
+    u8 = rng.integers(0, 256, 2 * n).astype(np.uint8)
+    planes = (jnp.asarray(u8[0::2]), jnp.asarray(u8[1::2]))
+    for init, step in ((oi, os_),
+                       (flagship_fused_wide_init, flagship_fused_wide_step)):
+        sd, se = init(nch), init(nch)
+        sd, yd = step(sd, planes, nch=nch, tileF=tileF, interpret=True)
+        se, ye = step(se, planes, nch=nch, tileF=tileF, interpret=True,
+                      opts=("dc_stack", "fast_atan"))
+        assert np.max(np.abs(np.asarray(yd) - np.asarray(ye))) < 5e-7
+        for k in ("hist_re", "hist_im", "scal"):
+            assert np.array_equal(np.asarray(sd[k]), np.asarray(se[k])), k
+
+
 def test_opts_gates_match_production():
     """The experiment gates (probe_kernel_opts.py) compile and match the
     production paths: stacked DC is bit-identical algebra (state must match
