@@ -31,6 +31,8 @@ sys.path.insert(0, REPO)
 
 import bench  # noqa: E402  (slope protocol + health gate)
 
+ROUND = os.environ.get("CSDR_ROUND", "r03")
+
 # cumulative removal order: each entry names the stage whose cost is the
 # delta between this variant and the previous one
 LADDER = [
@@ -43,8 +45,23 @@ LADDER = [
     ("dc", ("demod", "dft", "fir", "nco", "dc")),
 ]
 
+# sub-stage ladder (round 3): each variant removes ONE sub-stage from the
+# full production kernel, so (full - variant) attributes that sub-stage's
+# cost directly.  Aims the targeted optimizations: the dense row-carry
+# matvec (dc_rowcarry) and the difference-fold matmul (dc_md) subdivide
+# ABLATION's 45.7% DC share; the atan2 parts subdivide its 26.1%.
+SUB_LADDER = [
+    ("full", ()),
+    ("dc_rowcarry", ("dc_rowcarry",)),
+    ("dc_md", ("dc_md",)),
+    ("atan_div", ("atan_div",)),
+    ("atan_poly", ("atan_poly",)),
+    ("atan_sel", ("atan_sel",)),
+    ("atan_rr", ("atan_rr",)),
+]
 
-def measure(iters: int = 12, tileF: int | None = None):
+
+def measure(iters: int = 12, tileF: int | None = None, ladder=None):
     import jax
     import jax.numpy as jnp
     from csdr_tpu.ops.pallas.flagship_fused_wide import (
@@ -60,7 +77,7 @@ def measure(iters: int = 12, tileF: int | None = None):
           jax.jit(lambda: jnp.full((block,), 120, jnp.uint8))())
 
     rows = []
-    for name, skip in LADDER:
+    for name, skip in (ladder or LADDER):
         step = lambda st, x: flagship_fused_wide_step(
             st, x, nch=nch, tileF=tileF, skip=skip)
         st, y = step(flagship_fused_wide_init(nch), u8)  # compile + warm
@@ -77,6 +94,26 @@ def measure(iters: int = 12, tileF: int | None = None):
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    if len(sys.argv) > 2 and sys.argv[2] == "sub":
+        rows, tileF = measure(iters, ladder=SUB_LADDER)
+        full_ns = rows[0]["ns_per_sample"]
+        parts = []
+        for cur in rows[1:]:
+            d = full_ns - cur["ns_per_sample"]
+            parts.append({"part": cur["variant"],
+                          "ns_per_sample": round(d, 4),
+                          "pct_of_full": round(100.0 * d / full_ns, 1)})
+        healthy = rows[0]["msps"] >= bench.HEALTHY_MSPS
+        rec = {"healthy": healthy, "ts": time.time(), "tileF": tileF,
+               "block": bench._BLOCK, "input": "u8_wide",
+               "ladder": rows, "parts": parts}
+        out = os.path.join(HERE, "results", f"ABLATION_SUB_{ROUND}.json")
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(json.dumps({"metric": "ablation_sub_full_msps",
+                          "value": rows[0]["msps"], "healthy": healthy}))
+        print(f"# wrote {out}")
+        return
     rows, tileF = measure(iters)
     full_ns = rows[0]["ns_per_sample"]
     stages = []
@@ -93,7 +130,7 @@ def main():
     rec = {"healthy": healthy, "ts": time.time(), "tileF": tileF,
            "block": bench._BLOCK, "input": "u8_wide",
            "ladder": rows, "stages": stages}
-    out = os.path.join(HERE, "results", "ABLATION_r02.json")
+    out = os.path.join(HERE, "results", f"ABLATION_{ROUND}.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps({"metric": "ablation_full_msps",

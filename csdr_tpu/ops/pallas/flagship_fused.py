@@ -181,8 +181,84 @@ def _dc_solve_stacked(X, MdT_hi, MdT_lo, S, p1, pg, pN,
     return y_re, y_im, gext2[rows, 0], gext2[rows, 1]
 
 
+def _hier_group(rows: int) -> int | None:
+    """Group size B for the hierarchical row-carry solve: the largest
+    MXU-friendly divisor of ``rows`` that still leaves >= 2 groups.  None
+    means the panel is too small to gain anything — use the dense solve."""
+    for b in (128, 64, 32):
+        if rows % b == 0 and rows // b >= 2:
+            return b
+    return None
+
+
+def _dc_solve_pair_hier(xre, xim, MdT_hi, MdT_lo, S_B, p1, pg, pN,
+                        xp0_re, xp0_im, gin_re, gin_im, g_gain, rows,
+                        B, a_row):
+    """Row-carry solve in TWO levels instead of one dense matvec.
+
+    The production ``_dc_solve_pair`` solves the row recurrence
+    g[f] = a_row.g[f-1] + c[f-1] with a dense (rows+1, rows) f32
+    lower-triangular matmul — O(rows^2) MXU work whose N=2 result column
+    pads to the full 128 lanes, so at tileF=1024 the matvec alone costs more
+    MXU passes than the DFT (ABLATION_r02: the DC stage is 45.7% of the
+    kernel).  This variant packs the per-group carry columns along LANES:
+
+      C[:, 2k:2k+2] = c2[k.B:(k+1).B]                (G lane-slices)
+      Hg = S_B @ C                                   ((B+1, B) @ (B, 2G))
+      E[k] = aB.E[k-1] + Hg[B, k-1],  E[0] = g_in    (log2 G doubling scan
+                                                      on a padded 128-lane
+                                                      row; aB = a_row^B)
+      ge[k.B+i] = Hg[i, k-pair] + a_row^i . E[k]     (one fma)
+
+    — O(rows.B) MXU work, exact same algebra (different summation order:
+    results match the dense solve to f32 rounding, ~1e-6).  ``S_B`` is
+    _row_carry_matrix(a_row, B); everything else is built in-kernel from
+    iota + exp on tiny panels."""
+    g = jnp.float32(g_gain)
+    w_re = g * xre + dot3(split_bf16(xre), MdT_hi, MdT_lo) - pg * xp0_re
+    w_im = g * xim + dot3(split_bf16(xim), MdT_hi, MdT_lo) - pg * xp0_im
+    G = rows // B
+    aB = float(a_row) ** B
+    # lane-pack the per-group carry columns: (B, 2G)
+    C = jnp.concatenate(
+        [jnp.concatenate([w_re[k * B:(k + 1) * B, -1:],
+                          w_im[k * B:(k + 1) * B, -1:]], axis=1)
+         for k in range(G)], axis=1)
+    Hg = jnp.dot(S_B, C, preferred_element_type=jnp.float32)  # (B+1, 2G)
+    # inter-group carries on a 128-lane padded row (lane ops below 128 wide
+    # are not guaranteed to lower; [2G, 128) stays zero throughout)
+    T_row = Hg[B:B + 1] if 2 * G == 128 else jnp.concatenate(
+        [Hg[B:B + 1], jnp.zeros((1, 128 - 2 * G), jnp.float32)], axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    P = T_row
+    s = 1
+    while s < G:
+        rolled = pltpu.roll(P, 2 * s, axis=1)
+        P = P + jnp.float32(aB ** s) * jnp.where(lane >= 2 * s, rolled, 0.0)
+        s *= 2
+    # E[k] = aB^k.g_in + P[k-1]  (shift right one pair, zero-fill)
+    Pr = pltpu.roll(P, 2, axis=1)
+    E_noin = jnp.where(lane >= 2, Pr, 0.0)
+    k_lane = lane // 2
+    powA2 = jnp.exp(k_lane.astype(jnp.float32) * jnp.float32(np.log(aB)))
+    gin_row = jnp.where(lane % 2 == 0, gin_re, gin_im)
+    E = (E_noin + powA2 * gin_row)[:, :2 * G]                 # (1, 2G)
+    # per-row within-group decay column a_row^i
+    rio = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    pB = jnp.exp(rio.astype(jnp.float32) * jnp.float32(np.log(a_row)))
+    Ge = Hg[:B] + pB * E                                      # (B, 2G)
+    ge = jnp.concatenate([Ge[:, 2 * k:2 * k + 2] for k in range(G)], axis=0)
+    y_re = w_re + p1 * ge[:, 0:1]
+    y_im = w_im + p1 * ge[:, 1:2]
+    # outgoing carry: g_out = sum_{j<=G-1} aB^(G-1-j).T[j] + aB^G.g_in
+    g_out_re = P[0, 2 * G - 2] + jnp.float32(aB ** G) * gin_re
+    g_out_im = P[0, 2 * G - 1] + jnp.float32(aB ** G) * gin_im
+    return y_re, y_im, g_out_re, g_out_im
+
+
 def _dc_solve_pair(xre, xim, MdT_hi, MdT_lo, S, p1, pg, pN,
-                   xp0_re, xp0_im, gin_re, gin_im, g_gain, rows):
+                   xp0_re, xp0_im, gin_re, gin_im, g_gain, rows,
+                   ablate: tuple = ()):
     """DC blocker over both real components of a flattened (rows, n) panel
     via the difference-folded decay form (_dc_diff_panels):
 
@@ -191,10 +267,19 @@ def _dc_solve_pair(xre, xim, MdT_hi, MdT_lo, S, p1, pg, pN,
         p1·g_prev correction (identical algebra to _dc_solve).
 
     xp0_* are (rows, 1) columns of the previous row's last sample (row 0
-    seeded from the carried scalar); gin_* the entering tile carries."""
+    seeded from the carried scalar); gin_* the entering tile carries.
+    ``ablate`` statically removes sub-stages for on-chip cost attribution
+    (probe_ablation sub-ladder; production always passes ()): "md" drops the
+    difference-fold matmul, "rowcarry" drops the row-carry matvec+fixup."""
     g = jnp.float32(g_gain)
-    w_re = g * xre + dot3(split_bf16(xre), MdT_hi, MdT_lo) - pg * xp0_re
-    w_im = g * xim + dot3(split_bf16(xim), MdT_hi, MdT_lo) - pg * xp0_im
+    if "md" in ablate:
+        w_re = g * xre - pg * xp0_re
+        w_im = g * xim - pg * xp0_im
+    else:
+        w_re = g * xre + dot3(split_bf16(xre), MdT_hi, MdT_lo) - pg * xp0_re
+        w_im = g * xim + dot3(split_bf16(xim), MdT_hi, MdT_lo) - pg * xp0_im
+    if "rowcarry" in ablate:
+        return w_re, w_im, gin_re, gin_im
     c2 = jnp.concatenate([w_re[:, -1:], w_im[:, -1:]], axis=1)   # (rows, 2)
     gext2 = jnp.dot(S, c2, preferred_element_type=jnp.float32)   # (rows+1, 2)
     ge_re = gext2[:, 0:1] + pN * gin_re
@@ -210,11 +295,14 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
             hist_re_scr, hist_im_scr, scal_scr,
-            *, nch, L, tileF, g_gain, inv_kf, u8_input=False, opts=()):
+            *, nch, L, tileF, g_gain, a_row, hierB, inv_kf,
+            u8_input=False, opts=()):
     # ``opts`` statically selects experimental implementations for on-chip
     # A/B measurement (benchmarks/probe_kernel_opts.py): "dc_stack" = stacked
     # DC solve (measured 9% slower — kept as the recorded negative result),
-    # "fast_atan" = Newton-reciprocal atan2 (measured neutral).  Default ()
+    # "fast_atan" = Newton-reciprocal atan2 (measured neutral), "dc_hier" =
+    # two-level row-carry solve (round 3; S_ref then carries the (B+1, B)
+    # group matrix instead of the dense (tileF+1, tileF) one).  Default ()
     # = the production paths.
     i = pl.program_id(0)
     T = pl.num_programs(0)
@@ -248,10 +336,16 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
         col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
 
-        ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
-            xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p64_ref[:],
-            pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
-            scal_scr[2], scal_scr[3], g_gain, tileF)
+        if "dc_hier" in opts and hierB:
+            ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair_hier(
+                xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p64_ref[:],
+                pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
+                scal_scr[2], scal_scr[3], g_gain, tileF, hierB, a_row)
+        else:
+            ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
+                xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p64_ref[:],
+                pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
+                scal_scr[2], scal_scr[3], g_gain, tileF)
         x_last_re = xre[tileF - 1, nch - 1]
         x_last_im = xim[tileF - 1, nch - 1]
     else:
@@ -403,14 +497,18 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
     mdT_lo = jnp.asarray(mdT_lo_np, dtype=jnp.bfloat16)
     pg = jnp.asarray(_dc_pg_row(r, g, nch))                # (1, nch): g·a^i
     a_row = float(r ** nch)
-    S = jnp.asarray(_row_carry_matrix(a_row, tileF))       # (tileF+1, tileF)
+    hierB = _hier_group(tileF) if "dc_hier" in opts and \
+        "dc_stack" not in opts else None
+    # dc_hier swaps the dense row-carry matrix for the (B+1, B) group one
+    S = jnp.asarray(_row_carry_matrix(a_row, hierB if hierB else tileF))
     p64 = jnp.asarray(_powvec(r, nch))                     # (1, nch): a^(i+1)
     pN = jnp.asarray(_row_decay_col(a_row, tileF))         # (tileF+1, 1)
     phase = state["phase"].reshape(1, 1)
 
     kernel = functools.partial(
-        _kernel, nch=nch, L=L, tileF=tileF, g_gain=g,
-        inv_kf=1.0 / (_TWO_PI * kf), u8_input=u8_input, opts=tuple(opts))
+        _kernel, nch=nch, L=L, tileF=tileF, g_gain=g, a_row=a_row,
+        hierB=hierB, inv_kf=1.0 / (_TWO_PI * kf), u8_input=u8_input,
+        opts=tuple(opts))
 
     const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                         memory_space=pltpu.VMEM)
@@ -422,7 +520,7 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
             pl.BlockSpec((1, tileF, nch), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             const2((2, nch)),
             const2((nch, nch)), const2((nch, nch)),
-            const2((tileF + 1, tileF)),
+            const2(tuple(S.shape)),
             const2((1, nch)), const2((1, nch)), const2((tileF + 1, 1)),
             const2((L + 1, nch)),
             const2((nch, nch)), const2((nch, nch)),

@@ -54,7 +54,8 @@ from .bf16x3 import split_bf16, split_bf16_np, cdot3
 from .pfb_fused import _atan2
 from .flagship_fused import (_permuted_tap_panel, _row_carry_matrix,
                              _powvec, _row_decay_col, _dc_diff_panels,
-                             _dc_pg_row, _dc_solve_pair, _dc_solve_stacked)
+                             _dc_pg_row, _dc_solve_pair, _dc_solve_stacked,
+                             _dc_solve_pair_hier, _hier_group)
 
 __all__ = ["flagship_fused_wide_init", "flagship_fused_wide_step"]
 
@@ -94,8 +95,8 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
             hist_re_scr, hist_im_scr, scal_scr,
-            *, nch, L, tileH, histrows, g_gain, inv_kf, u8_input=False,
-            skip=(), opts=()):
+            *, nch, L, tileH, histrows, g_gain, a_row, hierB, inv_kf,
+            u8_input=False, skip=(), opts=()):
     # ``skip`` is a static tuple of stage names compiled OUT of the kernel —
     # used ONLY by benchmarks/probe_ablation.py to attribute per-stage cost
     # on real hardware.  Empty (the default and every production call) leaves
@@ -131,10 +132,19 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
             col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
             col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
 
-            ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
-                xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p128_ref[:],
-                pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
-                scal_scr[2], scal_scr[3], g_gain, tileH)
+            if "dc_hier" in opts and hierB:
+                ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair_hier(
+                    xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:],
+                    p128_ref[:], pg_ref[:], pN_ref[:], col_prev_re,
+                    col_prev_im, scal_scr[2], scal_scr[3], g_gain, tileH,
+                    hierB, a_row)
+            else:
+                dc_ablate = tuple(s[3:] for s in skip if s.startswith("dc_"))
+                ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
+                    xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:],
+                    p128_ref[:], pg_ref[:], pN_ref[:], col_prev_re,
+                    col_prev_im, scal_scr[2], scal_scr[3], g_gain, tileH,
+                    ablate=dc_ablate)
         else:
             ydc_re, ydc_im = xre, xim
             glast_re, glast_im = scal_scr[2], scal_scr[3]
@@ -236,7 +246,9 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         cre = cur_re * pre_re + cur_im * pre_im
         cim = cur_im * pre_re - cur_re * pre_im
         if "atan2" not in skip:
-            audio_ref[0] = (_atan2(cim, cre, fast_recip="fast_atan" in opts)
+            at_ablate = tuple(s[5:] for s in skip if s.startswith("atan_"))
+            audio_ref[0] = (_atan2(cim, cre, fast_recip="fast_atan" in opts,
+                                   ablate=at_ablate)
                             * jnp.float32(inv_kf))
         else:
             audio_ref[0] = (cre + cim) * jnp.float32(inv_kf)
@@ -338,7 +350,10 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
     mdT_lo = jnp.asarray(mdT_lo_np, dtype=jnp.bfloat16)
     pg = jnp.asarray(_dc_pg_row(r, g, _LANES))  # (1, 128): g·a^i
     a_row = float(r ** _LANES)
-    S = jnp.asarray(_row_carry_matrix(a_row, tileH))
+    hierB = _hier_group(tileH) if "dc_hier" in opts and \
+        "dc_stack" not in opts else None
+    # dc_hier swaps the dense row-carry matrix for the (B+1, B) group one
+    S = jnp.asarray(_row_carry_matrix(a_row, hierB if hierB else tileH))
     p128 = jnp.asarray(_powvec(r, _LANES))
     pN = jnp.asarray(_row_decay_col(a_row, tileH))
     phase = state["phase"].reshape(1, 1)
@@ -346,8 +361,8 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
 
     kernel = functools.partial(
         _kernel, nch=nch, L=L, tileH=tileH, histrows=h, g_gain=g,
-        inv_kf=1.0 / (_TWO_PI * kf), u8_input=u8_input, skip=tuple(skip),
-        opts=tuple(opts))
+        a_row=a_row, hierB=hierB, inv_kf=1.0 / (_TWO_PI * kf),
+        u8_input=u8_input, skip=tuple(skip), opts=tuple(opts))
 
     const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                         memory_space=pltpu.VMEM)
@@ -361,7 +376,7 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
                          memory_space=pltpu.VMEM),
             const2((1, _LANES)),
             const2((_LANES, _LANES)), const2((_LANES, _LANES)),
-            const2((tileH + 1, tileH)),
+            const2(tuple(S.shape)),
             const2((1, _LANES)), const2((1, _LANES)), const2((tileH + 1, 1)),
             const2((L + 1, _LANES)),
             const2((_LANES, _LANES)), const2((_LANES, _LANES)),

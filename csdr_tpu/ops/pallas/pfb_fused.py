@@ -73,14 +73,27 @@ def _fast_recip(x):
     return r * (two - x * r)
 
 
-def _atan2(y, x, fast_recip: bool = False):
+def _atan2(y, x, fast_recip: bool = False, ablate: tuple = ()):
+    """Full-range polynomial atan2.  ``ablate`` statically removes parts for
+    per-stage cost attribution on real hardware (benchmarks/probe_ablation.py
+    sub-ladder) — production calls always pass () and compile the full form:
+    "div" replaces the quotient with the numerator, "poly" the polynomial
+    with identity, "sel" drops the three quadrant fixups, "rr" drops the
+    whole range reduction (abs/min/max/div)."""
+    if "rr" in ablate:
+        return y if "poly" in ablate else _atan(y)
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
     hic = jnp.maximum(hi, jnp.float32(1e-30))
-    z = lo * _fast_recip(hic) if fast_recip else lo / hic
-    a = _atan(z)
+    if "div" in ablate:
+        z = lo
+    else:
+        z = lo * _fast_recip(hic) if fast_recip else lo / hic
+    a = z if "poly" in ablate else _atan(z)
+    if "sel" in ablate:
+        return a
     a = jnp.where(ay > ax, jnp.float32(np.pi / 2) - a, a)
     a = jnp.where(x < 0, jnp.float32(np.pi) - a, a)
     return jnp.where(y < 0, -a, a)

@@ -113,6 +113,69 @@ def test_skip_gates_compile_and_reduce_work():
         assert np.isfinite(np.asarray(y)).all()
 
 
+def test_dc_hier_matches_production_dc_only():
+    """The two-level row-carry solve (opts="dc_hier") matches the dense
+    solve on the DC stage itself: all later stages skipped, so the kernel
+    output IS the DC-blocked stream (plus history slices) — no atan2 branch
+    sensitivity.  Multi-tile + multi-block to cover SMEM carry hand-off."""
+    nch, tileF = 64, 512          # tileH=256 -> B=128, G=2
+    iq = _signal(nch, tileF, blocks=2, seed=3)
+    half = len(iq) // 2
+    skip = ("demod", "dft", "fir", "nco")
+    sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
+    for i in range(2):
+        blk = jnp.asarray(iq[i * half:(i + 1) * half])
+        sa, ya = flagship_fused_wide_step(sa, blk, nch=nch, tileF=tileF,
+                                          interpret=True, skip=skip)
+        sb, yb = flagship_fused_wide_step(sb, blk, nch=nch, tileF=tileF,
+                                          interpret=True, skip=skip,
+                                          opts=("dc_hier",))
+        err = np.max(np.abs(np.asarray(ya) - np.asarray(yb)))
+        assert err < 2e-5, (i, err)
+    for k in ("hist_re", "hist_im", "scal"):
+        err = np.max(np.abs(np.asarray(sa[k]) - np.asarray(sb[k])))
+        assert err < 2e-5, (k, err)
+
+
+def test_dc_hier_full_kernel_both_layouts():
+    """dc_hier through the FULL kernel (both layouts): audio matches
+    production except isolated atan2 branch flips on noise-only channels
+    (a ~1e-6 DC difference can flip the wrap branch near +-pi)."""
+    from csdr_tpu.ops.pallas.flagship_fused import (flagship_fused_init as oi,
+                                                    flagship_fused_step as os_)
+    for init, step, nch, tileF in (
+            (oi, os_, 64, 256),
+            (flagship_fused_wide_init, flagship_fused_wide_step, 64, 512)):
+        iq = _signal(nch, 256, blocks=2, seed=4)
+        half = len(iq) // 2
+        sa, sb = init(nch), init(nch)
+        for i in range(2):
+            blk = jnp.asarray(iq[i * half:(i + 1) * half])
+            sa, ya = step(sa, blk, nch=nch, tileF=tileF, interpret=True)
+            sb, yb = step(sb, blk, nch=nch, tileF=tileF, interpret=True,
+                          opts=("dc_hier",))
+            d = np.abs(np.asarray(ya) - np.asarray(yb))
+            assert float(np.mean(d > 0.01)) < 0.005, float(np.mean(d > 0.01))
+            assert float(np.quantile(d, 0.99)) < 1e-4, float(np.quantile(d, 0.99))
+        for k in ("hist_re", "hist_im", "scal"):
+            err = np.max(np.abs(np.asarray(sa[k]) - np.asarray(sb[k])))
+            assert err < 2e-5, (k, err)
+
+
+def test_ablate_sub_gates_compile():
+    """The sub-stage ablation gates (probe_ablation sub-ladder) compile and
+    produce finite output in every configuration."""
+    nch, tileF = 16, 64
+    iq = _signal(nch, tileF, blocks=1)
+    for skip in [("atan_div",), ("atan_poly",), ("atan_sel",), ("atan_rr",),
+                 ("dc_md",), ("dc_rowcarry",), ("dc_md", "dc_rowcarry")]:
+        st = flagship_fused_wide_init(nch)
+        st, y = flagship_fused_wide_step(st, jnp.asarray(iq), nch=nch,
+                                         tileF=tileF, interpret=True,
+                                         skip=skip)
+        assert np.isfinite(np.asarray(y)).all(), skip
+
+
 def test_opts_gates_match_production_u8():
     """The u8 stacked-conversion branch of the opts gates (the exact
     configuration probe_kernel_opts benchmarks: input 'u8_wide') matches the
