@@ -68,7 +68,14 @@ def ldd_closure(binary: str) -> list[str]:
     return libs
 
 
-def bundle_runtime(out_dir: str) -> None:
+# the framework's actual runtime dependency closure (the host venv may carry
+# unrelated heavyweights — torch, transformers — that a deployed receiver
+# never imports)
+_RUNTIME_DEPS = ("jax", "jaxlib", "numpy", "scipy", "ml_dtypes", "opt_einsum",
+                 "libtpu")
+
+
+def bundle_runtime(out_dir: str, deps: tuple = _RUNTIME_DEPS) -> None:
     """Make the bundle fully self-contained (reference AppImage parity,
     Cabal2AppImage.hs:119-156): copy the running python interpreter + its
     ldd closure and the environment's site-packages into the bundle, so the
@@ -98,11 +105,7 @@ def bundle_runtime(out_dir: str) -> None:
                         ignore=shutil.ignore_patterns("__pycache__", "test",
                                                       "idlelib", "tkinter"),
                         dirs_exist_ok=True)
-    # site-packages: only the framework's actual dependency closure (the
-    # host venv may carry unrelated heavyweights — torch, transformers —
-    # that a deployed receiver never imports)
-    deps = ("jax", "jaxlib", "numpy", "scipy", "ml_dtypes", "opt_einsum",
-            "libtpu")
+    # site-packages: only the requested dependency closure (see _RUNTIME_DEPS)
     dst_sp = os.path.join(rt, "site-packages")
     os.makedirs(dst_sp, exist_ok=True)
     for sp in set(p for p in sys.path if p.endswith("site-packages")):
@@ -126,7 +129,11 @@ def bundle_runtime(out_dir: str) -> None:
 
 
 def build_bundle(out_dir: str, repo_root: str | None = None,
-                 self_contained: bool = False) -> str:
+                 self_contained: bool = False,
+                 runtime_deps: tuple = _RUNTIME_DEPS) -> str:
+    """``runtime_deps`` narrows the bundled site-packages closure — the
+    CPU-only smoke test drops libtpu (637 MB) to keep the env -i launch test
+    fast; production bundles ship the full default closure."""
     root = repo_root or os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     os.makedirs(out_dir, exist_ok=True)
     staging = os.path.join(out_dir, "_staging")
@@ -154,7 +161,7 @@ def build_bundle(out_dir: str, repo_root: str | None = None,
 
     launcher = os.path.join(out_dir, "csdr")
     if self_contained:
-        bundle_runtime(out_dir)
+        bundle_runtime(out_dir, deps=runtime_deps)
         with open(launcher, "w") as f:
             f.write(
                 '#!/bin/sh\nHERE="$(dirname "$(readlink -f "$0")")"\n'

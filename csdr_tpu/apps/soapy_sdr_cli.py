@@ -405,12 +405,6 @@ def run_opts(opts) -> int:
             S.AudioFileSink(opts.output, audio_sink_rate(decim), 2,
                             fmt.lower()),
             audio_sink_rate(decim), 2)
-        if opts.mesh:
-            # the closed-form-PLL stereo graph time-shards like any other
-            # composition (models/stereo.StereoFMDecoder.shard_apply); the
-            # scan-PLL mode refuses inside shard_validate with a clear message
-            return _run_sharded_generic(opts, kind, per, None, stream,
-                                        out_sink=sink)
         if opts.rds:
             # decode the 57 kHz RDS subcarrier alongside the stereo audio
             # (capability extension — models/rds.py).  One pipeline: the
@@ -424,9 +418,32 @@ def run_opts(opts) -> int:
             graph = chain(B.dc_blocker(), *agc_blocks, B.fm_demodulator(0.8),
                           Tee(stereo_fm_decoder(out_bw, decim),
                               rds_receiver(out_bw)))
-            with sink:
-                Pipeline(graph, block_size=opts.blocksize).run(
-                    stream, S.BranchSinks(sink, bit_sink))
+            if opts.mesh:
+                # the multi-rate Tee shards too: per-branch out_specs carry
+                # per-leaf local lengths (core/block.Tee.shard_validate) and
+                # the sharded runner trims each leaf by its own rate
+                from ..parallel.generic import ShardedChain
+                from ..parallel.runner import ShardedPipeline
+
+                mesh = _mesh_of(opts)
+                if mesh is None:
+                    return 1
+                dt = int(opts.mesh.lower().split("x")[0])
+                g = graph.granule
+                block = max(opts.blocksize // (dt * g), 1) * dt * g
+                try:
+                    sh = ShardedChain(graph, mesh, block)
+                except NotImplementedError as e:
+                    print(f"--mesh: this flow cannot be time-sharded ({e})")
+                    return 1
+                _announce("Flow", graph, opts)
+                with sink:
+                    ShardedPipeline(sh).run(stream,
+                                            S.BranchSinks(sink, bit_sink))
+            else:
+                with sink:
+                    Pipeline(graph, block_size=opts.blocksize).run(
+                        stream, S.BranchSinks(sink, bit_sink))
             info = decode_groups(bit_sink.concat())
             pi = f"{info['pi']:04X}" if info["pi"] is not None else "----"
             print(f"RDS: PI={pi} PS={info['ps']!r} RT={info['rt']!r} "
@@ -435,6 +452,12 @@ def run_opts(opts) -> int:
                 f.write(f"PI: {pi}\nPS: {info['ps']}\nRT: {info['rt']}\n"
                         f"groups: {info['groups']}\n")
             return 0
+        if opts.mesh:
+            # the closed-form-PLL stereo graph time-shards like any other
+            # composition (models/stereo.StereoFMDecoder.shard_apply); the
+            # scan-PLL mode refuses inside shard_validate with a clear message
+            return _run_sharded_generic(opts, kind, per, None, stream,
+                                        out_sink=sink)
         graph = chain(B.dc_blocker(), per)
         pipe = Pipeline(graph, block_size=opts.blocksize)
         with sink:

@@ -153,7 +153,22 @@ class Chain(Block):
 
     def shard_validate(self, nloc, ctx):
         for b in self.blocks:
-            nloc = b.shard_validate(nloc, ctx)
+            if isinstance(nloc, int):
+                nloc = b.shard_validate(nloc, ctx)
+            elif getattr(b, "tree_preserving", False) and b.stateless:
+                # per-leaf map mirrors rate_tree's tree_preserving rule
+                nloc = jax.tree.map(
+                    lambda n: b.shard_validate(n, ctx.clone()), nloc)
+            elif len(set(jax.tree.leaves(nloc))) == 1:
+                # a combining block collapses an equal-length tuple (the
+                # rate_tree collapse rule): validate on the common length
+                nloc = b.shard_validate(jax.tree.leaves(nloc)[0], ctx)
+            else:
+                raise NotImplementedError(
+                    f"{b.name}: cannot consume a multi-rate tuple "
+                    f"(local lengths {jax.tree.leaves(nloc)}) under a mesh — "
+                    f"multi-rate Tees must be terminal or followed by "
+                    f"tree_preserving stateless blocks")
             ctx.layout = b.shard_layout(ctx.layout)
         return nloc
 
@@ -280,14 +295,14 @@ class Tee(Block):
         return (s1, s2), (y1, y2)
 
     def shard_validate(self, nloc, ctx):
+        """Multi-rate branches are fine under a mesh: each output leaf gets
+        its own local length (the shard_map out_specs are a pytree and the
+        runner trims each leaf by its own rational rate).  A scalar is
+        returned when the branches agree so downstream non-tree blocks keep
+        working; otherwise the (n1, n2) tree mirrors rate_tree()."""
         n1 = self.b1.shard_validate(nloc, ctx.clone())
         n2 = self.b2.shard_validate(nloc, ctx.clone())
-        if n1 != n2:
-            raise NotImplementedError(
-                f"{self.name}: branches produce different local lengths "
-                f"({n1} vs {n2}) — multi-rate tees run on the serial "
-                f"Pipeline only")
-        return n1
+        return n1 if n1 == n2 else (n1, n2)
 
     def shard_layout(self, in_layout):
         return (self.b1.shard_layout(in_layout), self.b2.shard_layout(in_layout))

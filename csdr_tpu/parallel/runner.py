@@ -17,7 +17,8 @@ import numpy as np
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..core.runtime import CEnc, rechunk, take_n, decode_tree_host
+from ..core.runtime import (CEnc, rechunk, take_n, decode_tree_host,
+                            _trim_tree)
 
 __all__ = ["ShardedPipeline"]
 
@@ -33,6 +34,11 @@ class ShardedPipeline:
         self.state = sharded.init()
         self.block_size = sharded.block_size
         self.rate = self._rate(sharded)
+        # per-leaf rational rates (multi-rate Tee graphs): the generic
+        # ShardedChain exposes the underlying Block's rate_tree; the
+        # hand-fused flagship has one scalar rate
+        blk = getattr(sharded, "block", None)
+        self.rate_tree = blk.rate_tree() if blk is not None else self.rate
 
     @staticmethod
     def _rate(sh) -> Fraction:
@@ -61,17 +67,17 @@ class ShardedPipeline:
         it: Iterable[np.ndarray] = source
         if num_samples is not None:
             it = take_n(it, num_samples)
-        r = self.rate
+        rt = self.rate_tree
         for chunk in rechunk(it, n):
             valid = len(chunk)
             if valid < n:
                 chunk = np.pad(chunk, (0, n - valid))
             self.state, y = self.sh.step(self.state, self._put(chunk))
-            valid_out = (valid * r.numerator) // r.denominator
-            arr = decode_tree_host(y)
-            yield jax.tree.map(
-                lambda a: a[..., :valid_out] if a.ndim >= 2 else a[:valid_out],
-                arr)
+            # tree-aware trim: tuple outputs (Tee graphs) trim per leaf,
+            # each by its own rational rate — same rule as the serial
+            # Pipeline (core/runtime._trim_tree)
+            out, _ = _trim_tree(decode_tree_host(y), rt, valid)
+            yield out
 
     def run(self, source: Iterable[np.ndarray], sink: Callable,
             num_samples: int | None = None) -> int:

@@ -208,19 +208,21 @@ def test_multirate_tee_stream_and_granule():
     assert len(a) == n // 8 and len(b) == n // 4
 
 
-def test_multirate_tee_refuses_mesh():
-    """Multi-rate tees run on the serial Pipeline only: under a mesh the
-    branches would produce different local lengths — clean refusal."""
+def test_multirate_tee_shards():
+    """Multi-rate tees shard since round 3: per-branch out_specs carry
+    per-leaf local lengths (full numerics coverage lives in
+    tests/test_sharding_generic.py::test_sharded_multirate_tee); here just
+    the static construction and the per-leaf local length tree."""
     import jax
-    import pytest
     from jax.sharding import Mesh
 
     from csdr_tpu.parallel import ShardedChain
 
     tee = cs.Tee(cs.fir_decimator(4), cs.Lambda(lambda x: x))
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("time", "ch"))
-    with pytest.raises(NotImplementedError, match="different local lengths"):
-        ShardedChain(cs.chain(tee), mesh, 1 << 14)
+    sh = ShardedChain(cs.chain(tee), mesh, 1 << 14)
+    nloc = (1 << 14) // 4
+    assert sh.nloc_out == (nloc // 4, nloc)
 
 
 def test_branch_sinks_type_check():

@@ -142,3 +142,30 @@ def test_sharded_rds_receiver_bit_identical(dt):
         st, y = sc.step(st, blk)
         got = np.asarray(decode_tree_host(y))
         assert np.array_equal(got, ref), (dt, i, int(np.sum(got != ref)))
+
+
+def test_cli_defms_rds_mesh_matches_serial(tmp_path, monkeypatch):
+    """`DeFMS --rds --mesh` (the most complex production graph: multi-rate
+    Tee of stereo decoder + RDS receiver) produces the same stereo WAV bytes
+    and the same decoded RDS text as the serial run."""
+    import os
+
+    from csdr_tpu.apps.soapy_sdr_cli import main as cli_main
+
+    monkeypatch.chdir(tmp_path)
+    quad = 192000.0
+    pi, ps = 0x52D4, "CSDR-TPU"
+    groups = [rds.make_group_0a(pi, s, ps[2 * s:2 * s + 2]) for s in range(4)]
+    g = rds.rds_receiver(quad)
+    n = (int(quad * 1.2) // g.granule) * g.granule
+    mpx = 0.25 * _mpx_with_rds(quad, n, 0.7, groups)
+    iq = np.exp(1j * np.cumsum(2 * np.pi * 0.8 * mpx)).astype(np.complex64)
+    iq.tofile("cap.cf32")
+
+    base = ["--filename", "cap.cf32", "-s", str(quad), "-n", str(n),
+            "--demod", "DeFMS 4 WAV", "--rds"]
+    assert cli_main(base + ["-o", "serial"]) == 0
+    assert cli_main(base + ["--mesh", "2x1", "-o", "meshed"]) == 0
+    assert open("serial.wav", "rb").read() == open("meshed.wav", "rb").read()
+    assert open("serial.rds.txt").read() == open("meshed.rds.txt").read()
+    assert f"PS: {ps}" in open("meshed.rds.txt").read()

@@ -352,3 +352,59 @@ def test_sharded_symsync_rejects_tiny_blocks():
     mesh = mesh_of(8, 1)
     with pytest.raises(ValueError, match="sub-windows|halo|multiple"):
         ShardedChain(cs.chain(sym_sync_r(4, 4, 0.0, 64)), mesh, 8 * 4 * 8)
+
+
+# ---------------------------------------------------------------------------
+# Multi-rate Tee under a mesh (round 3): branches at different rational rates
+# in ONE sharded graph — per-branch out_specs carry per-leaf local lengths.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("dt,dc", [(2, 1), (4, 1), (4, 2)])
+def test_sharded_multirate_tee(dt, dc):
+    from csdr_tpu.core.block import Tee
+
+    mesh = mesh_of(dt, dc)
+    graph = cs.chain(
+        cs.dc_blocker(),
+        Tee(cs.chain(cs.fir_filter_c_kaiser(33, 0.2), cs.fir_decimator(4)),
+            cs.chain(cs.fir_filter_c_kaiser(17, 0.45))))
+    block = dt * 4 * 512
+    n_blocks = 3
+    iq = make_iq(n_blocks * block)
+    want = run_single(graph, iq, block, n_blocks)
+    got = run_sharded(graph, iq, block, n_blocks, mesh)
+    for g, w in zip(got, want):
+        assert g[0].shape[0] * 4 == g[1].shape[0]  # 1/4-rate vs full-rate
+    assert_close(got, want)
+
+
+def test_sharded_multirate_tee_rejects_combining_block(dt=2):
+    """A block that would combine a multi-rate tuple (different local
+    lengths) refuses with a clear message."""
+    from csdr_tpu.core.block import Tee, Lambda
+
+    mesh = mesh_of(dt, 1)
+    graph = cs.chain(
+        Tee(cs.chain(cs.fir_decimator(4)), cs.chain(cs.fir_decimator(2))),
+        Lambda(lambda xy: xy[0] + xy[1][::2], name="combine"))
+    with pytest.raises(NotImplementedError, match="multi-rate"):
+        ShardedChain(graph, mesh, dt * 8 * 512)
+
+
+def test_sharded_multirate_tee_runner_trims_per_leaf(dt=2):
+    """ShardedPipeline trims each Tee leaf by its own rational rate on a
+    short final block (the byte-accounting invariant, per branch)."""
+    from csdr_tpu.core.block import Tee
+
+    mesh = mesh_of(dt, 1)
+    graph = cs.chain(Tee(cs.chain(cs.fir_decimator(4)),
+                         cs.chain(cs.fir_filter_c_kaiser(9, 0.3))))
+    block = dt * 4 * 256
+    sh = ShardedChain(graph, mesh, block)
+    runner = ShardedPipeline(sh)
+    n_total = block + block // 2  # final block is half-full
+    iq = make_iq(n_total)
+    outs = list(runner.stream(iter([iq])))
+    n1 = sum(o[0].shape[0] for o in outs)
+    n2 = sum(o[1].shape[0] for o in outs)
+    assert n1 == n_total // 4
+    assert n2 == n_total
