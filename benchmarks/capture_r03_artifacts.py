@@ -1,0 +1,182 @@
+"""Serialized capture of the round-3 on-chip artifacts.
+
+Single-tenant relay-tunneled chip (docs/TPU_BACKEND_NOTES.md): one client at
+a time, health-gated windows, children never SIGKILLed
+(capture_streaming._run_capped).  Round-3 jobs, in order of value:
+
+  1. HONEST_r03.json       — slope-fitted cross-checked throughput + copy
+                             verdict with the labeled-spec suspect flags
+  2. ABLATION_SUB_r03.json — per-PART stage budget (dc matvec / dc matmul /
+                             atan2 div/poly/selects) — aims the kernel work
+  3. KERNEL_OPTS_r03.json  — scan-paired A/B of the round-3 dc_hier solve
+                             (dedup-proof seeding)
+  4. HWID_r03.json         — hardware identity (HBM capacity, int8 rate)
+  5. RECEIVERS_r03.json    — on-chip validation of the 8 round-2 receivers
+  6. STREAMING_r03.json    — end-to-end ingest incl. the downlink-free
+                             `nodl` variants (only the uplink must be
+                             healthy)
+  7. ABLATION_r03.json     — full stage ladder refresh
+  8. ROOFLINE_r03.json     — ceilings + flagship at tuned tiles
+
+TUNE/BACKENDS re-capture is deferred to a follow-up session once the
+KERNEL_OPTS verdict decides the production kernel configuration.
+
+Usage: python benchmarks/capture_r03_artifacts.py [max_minutes]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+RES = os.path.join(HERE, "results")
+sys.path.insert(0, HERE)
+
+import capture_streaming as cap  # probe(), _run_capped, _json_line
+
+REPO = os.path.dirname(HERE)
+
+
+def _healthy(name: str, key) -> bool:
+    try:
+        with open(os.path.join(RES, name)) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return False
+    if key is None:
+        return True
+    if callable(key):
+        return bool(key(d))
+    return bool(d.get(key))
+
+
+def run_script(rel: str, args: list[str], secs: int, env_extra=None):
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    import subprocess
+    p = None
+    cmd = [sys.executable, os.path.join(HERE, rel)] + args
+    # mirror _run_capped but with env support
+    import signal
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, cwd=REPO, env=env)
+    try:
+        out, _ = p.communicate(timeout=secs)
+    except subprocess.TimeoutExpired:
+        out = None
+        for sig, grace in ((signal.SIGINT, 180), (signal.SIGTERM, 60)):
+            try:
+                p.send_signal(sig)
+                out, _ = p.communicate(timeout=grace)
+                break
+            except subprocess.TimeoutExpired:
+                continue
+            except OSError:
+                break
+    if out:
+        print(out.strip()[-3000:], flush=True)
+    return out
+
+
+def _annotate(name: str, probe) -> None:
+    try:
+        path = os.path.join(RES, name)
+        with open(path) as f:
+            rec = json.load(f)
+        rec["probe_before"] = probe
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+    except (OSError, ValueError):
+        pass
+
+
+def main():
+    max_minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 360.0
+    deadline = time.time() + 60 * max_minutes
+
+    while time.time() < deadline:
+        todo = {
+            "honest": not _healthy("HONEST_r03.json", None),
+            "absub": not _healthy("ABLATION_SUB_r03.json", "healthy"),
+            "kopts": not _healthy("KERNEL_OPTS_r03.json", "healthy"),
+            "hwid": not _healthy("HWID_r03.json", None),
+            "receivers": not _healthy("RECEIVERS_r03.json", "all_ok"),
+            "streaming": not _healthy(
+                "STREAMING_r03.json", lambda d: d.get("best") is not None),
+            "ablation": not _healthy("ABLATION_r03.json", "healthy"),
+            "roofline": not _healthy("ROOFLINE_r03.json", "healthy"),
+        }
+        if not any(todo.values()):
+            print("# all round-3 artifacts captured", flush=True)
+            return
+        p = cap.probe()
+        ts = time.strftime("%H:%M:%S")
+        if p is None:
+            print(f"# {ts} probe timed out — relay wedged, sleeping 600 s",
+                  flush=True)
+            time.sleep(600)
+            continue
+        print(f"# {ts} wire {p['up_MBps']} up / {p['down_MBps']} down MB/s "
+              f"todo={[k for k, v in todo.items() if v]}", flush=True)
+        up_ok = p["up_MBps"] >= 80.0
+        up_min = p["up_MBps"] >= 10.0
+
+        if todo["honest"] and up_min:
+            run_script("probe_honest.py", [], 3600)
+            _annotate("HONEST_r03.json", p)
+        if todo["hwid"] and up_min:
+            run_script("probe_hwid.py", ["--alloc"] if up_ok else [], 1800)
+            _annotate("HWID_r03.json", p)
+        if todo["absub"] and up_ok:
+            run_script("probe_ablation.py", ["12", "sub"], 2400)
+            _annotate("ABLATION_SUB_r03.json", p)
+        window_ok = _healthy("ABLATION_SUB_r03.json", "healthy")
+        if todo["kopts"] and up_ok and (window_ok or not todo["absub"]):
+            run_script("probe_kernel_opts.py", ["12"], 3600,
+                       env_extra={"CSDR_OPTS_EXPERIMENT": "dc_hier"})
+            _annotate("KERNEL_OPTS_r03.json", p)
+        if todo["receivers"] and up_ok:
+            run_script("validate_receivers.py", [], 2400)
+            _annotate("RECEIVERS_r03.json", p)
+        if todo["ablation"] and up_ok:
+            run_script("probe_ablation.py", ["12"], 2400)
+            _annotate("ABLATION_r03.json", p)
+        if todo["roofline"] and up_ok:
+            run_script("probe_roofline.py", ["20"], 2400)
+            _annotate("ROOFLINE_r03.json", p)
+        if todo["streaming"] and up_ok:
+            try:
+                with open(os.path.join(RES, "STREAMING_r03.json")) as f:
+                    prev = json.load(f)
+                history, best = prev.get("history", []), prev.get("best")
+            except (OSError, ValueError):
+                history, best = [], None
+            variants = ["cu8 nodl", "nodl"]
+            if p["down_MBps"] >= 20.0:
+                variants = [None, "cu8", "decim8"] + variants
+            elif p["down_MBps"] >= 3.0:
+                variants = ["decim8"] + variants
+            for variant in variants:
+                r = cap.bench(variant)
+                if r is None:
+                    history.append({"ts": round(time.time(), 1),
+                                    "bench": variant or "cf32",
+                                    "result": "failed/timeout"})
+                    continue
+                r["probe_before"] = p
+                history.append({"ts": round(time.time(), 1), "bench": r})
+                print(json.dumps(r), flush=True)
+                if best is None or r["value"] > best["value"]:
+                    best = r
+            cap._write(best, history)
+        time.sleep(60 if up_ok else 240)
+
+    print("# budget exhausted", flush=True)
+
+
+if __name__ == "__main__":
+    main()

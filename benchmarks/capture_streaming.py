@@ -29,7 +29,8 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-OUT = os.path.join(HERE, "results", "STREAMING_r02.json")
+ROUND = os.environ.get("CSDR_ROUND", "r03")
+OUT = os.path.join(HERE, "results", f"STREAMING_{ROUND}.json")
 
 PROBE = r"""
 import time, json, numpy as np, jax
@@ -119,8 +120,17 @@ def main():
             continue
         history.append({"ts": ts, "probe": p})
         print(f"# wire {p['up_MBps']} up / {p['down_MBps']} down MB/s", flush=True)
-        if p["up_MBps"] >= min_up and p["down_MBps"] >= min_down:
-            for variant in (None, "cu8", "decim8"):
+        if p["up_MBps"] >= min_up:
+            # downlink-free variants (round 3) need only a healthy uplink:
+            # the sink stream reduces to an on-device chained checksum and
+            # one 4-byte download ends the timed region — see
+            # bench_streaming.py `nodl`
+            variants = ["cu8 nodl", "nodl"]
+            if p["down_MBps"] >= min_down:
+                variants = [None, "cu8", "decim8"] + variants
+            elif p["down_MBps"] >= 3.0:
+                variants = ["decim8"] + variants
+            for variant in variants:
                 r = bench(variant)
                 if r is None:
                     history.append({"ts": round(time.time(), 1),

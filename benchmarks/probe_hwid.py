@@ -1,0 +1,196 @@
+"""Hardware-identity probe — resolve the v5e/v6e ambiguity with discriminating
+measurements (round-3 verdict item).
+
+Round 2 measured, with the honest dedup-proof protocol, HBM duplex r+w at
+1.43-1.64 TB/s (the v6e spec; v5e's is 819 GB/s) while the MXU sustained
+182-183 bf16 Tflops (the v5e peak; v6e's is ~918) and the relay labels the
+part "v5e" — mutually contradictory.  Discriminators this probe records:
+
+  1. HBM CAPACITY (the clean one): v5e carries 16 GB, v6e 32 GB.  Read from
+     device.memory_stats()['bytes_limit'] when the runtime exposes it;
+     otherwise (optional, --alloc) allocate 1-GB chained buffers until
+     RESOURCE_EXHAUSTED and count.
+  2. int8 MXU rate: v5e ~394 TOPS, v6e ~1836 TOPS — a second independent
+     compute axis (both parts are 2x their bf16 rate, so this mainly
+     cross-checks the bf16 measurement on a different datapath).
+  3. Device/runtime self-description: device_kind, platform_version,
+     core_on_chip, and every attribute the client exposes.
+
+Interpretation matrix (recorded into the artifact):
+  capacity 16 GB + MXU ~183 => the part IS a v5e; the >spec copy rate is a
+      property of the relay path or an underquoted duplex spec — roofline
+      ratios must peg to MEASURED ceilings and HONEST's
+      'exceeds_labeled_spec' windows stay flagged suspect.
+  capacity 32 GB => the pool serves v6e silicon behind a v5e label; the MXU
+      reading then implies a heavily derated clock — record both and peg to
+      measured ceilings.
+
+Timing follows the honest protocol: state-chained non-affine work,
+download-terminated, two-point slope (docs/TPU_BACKEND_NOTES.md).
+
+Usage: python benchmarks/probe_hwid.py [--alloc]
+Writes benchmarks/results/HWID_r03.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+ROUND = os.environ.get("CSDR_ROUND", "r03")
+
+V5E = {"hbm_GB": 16, "bf16_Tflops": 197.0, "int8_Tops": 394.0,
+       "hbm_GBps": 819.0}
+V6E = {"hbm_GB": 32, "bf16_Tflops": 918.0, "int8_Tops": 1836.0,
+       "hbm_GBps": 1640.0}
+
+
+def device_info() -> dict:
+    import jax
+
+    d = jax.devices()[0]
+    info = {"device_kind": getattr(d, "device_kind", None),
+            "platform": getattr(d, "platform", None),
+            "core_on_chip": getattr(d, "core_on_chip", None),
+            "coords": getattr(d, "coords", None),
+            "platform_version": None, "attributes": {}}
+    try:
+        info["platform_version"] = d.client.platform_version
+    except Exception:
+        pass
+    for attr in ("num_cores", "num_cores_on_chip", "memory_stats"):
+        try:
+            v = getattr(d, attr)
+            if attr == "memory_stats":
+                v = v()
+            info["attributes"][attr] = v if not callable(v) else None
+        except Exception:
+            pass
+    return info
+
+
+def capacity_from_stats() -> float | None:
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    for key in ("bytes_limit", "bytes_reservable_limit", "pool_bytes"):
+        if stats.get(key):
+            return stats[key] / 1e9
+    return None
+
+
+def capacity_by_allocation(max_GB: int = 40) -> float:
+    """Allocate 1-GB f32 buffers (each value-distinct — dedup-proof) until
+    the runtime refuses; the count bounds the usable HBM.  Uses a REAL small
+    download per buffer as the existence proof."""
+    import jax
+    import jax.numpy as jnp
+
+    held = []
+    fill = jax.jit(lambda v: jnp.full((1 << 28,), v, jnp.float32))  # 1 GiB
+    got = 0.0
+    try:
+        for i in range(max_GB):
+            b = fill(jnp.float32(i + 1))
+            float(jax.device_get(b.reshape(-1)[0]))  # proof it exists
+            held.append(b)
+            got += (1 << 28) * 4 / 1e9
+    except Exception as e:
+        print(f"# allocation stopped at {got:.1f} GB: "
+              f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+    finally:
+        del held
+    return got
+
+
+def int8_matmul_tops(n: int = 4096, reps=(4, 16)) -> float | None:
+    """Sustained int8 matmul rate, two-point slope, chained (each step's
+    operand derives from the previous result so no dispatch repeats)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(a, b, k):
+        # int8 @ int8 -> int32; fold the result back into an int8 operand
+        # (xor keeps values live and non-affine), k chained steps
+        for _ in range(k):
+            c = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            a = (c & 0x7F).astype(jnp.int8)
+        return a
+
+    fns = {k: jax.jit(lambda a, b, kk=k: chain(a, b, kk)) for k in reps}
+    a0 = jax.jit(lambda: jnp.ones((n, n), jnp.int8))()
+    b0 = jax.jit(lambda: (jnp.ones((n, n), jnp.int8) * 3))()
+    for k in reps:
+        r = fns[k](a0, b0)
+        float(jax.device_get(r.astype(jnp.float32).reshape(-1)[0]))
+    times = {}
+    for k in reps:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = fns[k](a0, b0)
+            float(jax.device_get(r.astype(jnp.float32).reshape(-1)[0]))
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+        print(f"# int8 k={k}: {best:.4f} s", flush=True)
+    k1, k2 = reps
+    dt = times[k2] - times[k1]
+    if dt <= 0:
+        return None
+    return 2 * n ** 3 * (k2 - k1) / dt / 1e12
+
+
+def main():
+    do_alloc = "--alloc" in sys.argv
+    rec = {"ts": time.time(), "device": device_info(),
+           "specs": {"v5e": V5E, "v6e": V6E}}
+    cap = capacity_from_stats()
+    rec["hbm_capacity_GB_from_stats"] = round(cap, 2) if cap else None
+    if cap is None and do_alloc:
+        cap = capacity_by_allocation()
+        rec["hbm_capacity_GB_by_allocation"] = round(cap, 2)
+    rec["int8_matmul_Tops"] = int8_matmul_tops()
+    if rec["int8_matmul_Tops"]:
+        rec["int8_matmul_Tops"] = round(rec["int8_matmul_Tops"], 1)
+
+    verdict = {"capacity_says": None, "int8_says": None}
+    if cap:
+        verdict["capacity_says"] = ("v5e" if cap < 24 else "v6e")
+    t8 = rec["int8_matmul_Tops"]
+    if t8:
+        verdict["int8_says"] = ("v5e" if t8 < 900 else "v6e")
+    if verdict["capacity_says"] == "v5e":
+        verdict["conclusion"] = (
+            "part is a v5e (16 GB): the >spec duplex copy rate is a relay/"
+            "spec anomaly, not different silicon — peg rooflines to MEASURED "
+            "ceilings and keep exceeds_labeled_spec windows flagged")
+    elif verdict["capacity_says"] == "v6e":
+        verdict["conclusion"] = (
+            "pool serves 32 GB (v6e-class) silicon behind the v5e label; "
+            "the 183 Tflops MXU reading implies heavy compute derating — "
+            "peg rooflines to MEASURED ceilings")
+    else:
+        verdict["conclusion"] = ("capacity unavailable; identity remains "
+                                 "ambiguous — rerun with --alloc in a "
+                                 "healthy window")
+    rec["verdict"] = verdict
+    out = os.path.join(HERE, "results", f"HWID_{ROUND}.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1, default=str)
+    print(json.dumps(verdict))
+    print(f"# wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,8 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT = os.path.join(HERE, "results", "ROOFLINE_r02.json")
+ROUND = os.environ.get("CSDR_ROUND", "r03")
+OUT = os.path.join(HERE, "results", f"ROOFLINE_{ROUND}.json")
 sys.path.insert(0, os.path.dirname(HERE))
 
 

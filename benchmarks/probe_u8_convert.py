@@ -41,7 +41,8 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT = os.path.join(HERE, "results", "U8_CONVERT_r02.json")
+ROUND = os.environ.get("CSDR_ROUND", "r03")
+OUT = os.path.join(HERE, "results", f"U8_CONVERT_{ROUND}.json")
 sys.path.insert(0, os.path.dirname(HERE))
 
 HEALTH_GBPS = 200.0  # healthy windows measure ~1 TB/s streaming f32 copy

@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Chunk size in CF32 samples")
     p.add_argument("--devname", default="rtlsdr", metavar="NAME",
                    help="Soapy device/driver name")
+    p.add_argument("--ppm", type=int, default=0, metavar="INT",
+                   help="Frequency correction in ppm (rtl_tcp driver)")
+    p.add_argument("--bias-t", dest="bias_t", action="store_true",
+                   help="Power the bias tee (rtl_tcp driver)")
     p.add_argument("-f", "--frequency", type=float, default=100.0e6, metavar="DOUBLE",
                    help="Rx frequency in Hz")
     p.add_argument("-g", "--gain", type=float, default=0.0, metavar="DOUBLE",
@@ -179,6 +183,12 @@ def _open_source(opts):
             # finite default length — size it to the request so `-n` beyond
             # the default is honored instead of silently short-delivering
             kw["total_samples"] = int(opts.numsamples)
+        if opts.devname == "rtl_tcp":
+            # protocol-depth passthrough (io/rtl_tcp.py round-3 surface)
+            if getattr(opts, "ppm", 0):
+                kw["ppm"] = opts.ppm
+            if getattr(opts, "bias_t", False):
+                kw["bias_t"] = True
         return iter(SRC.open_sdr(opts.devname, opts.samplerate, opts.frequency,
                                  opts.gain, **kw))
     except (OSError, ConnectionError) as e:

@@ -32,7 +32,8 @@ import numpy as np
 
 from .sources import SdrSource, register_sdr_driver
 
-__all__ = ["RtlTcpSource", "RtlTcpServer", "RTL_MAGIC"]
+__all__ = ["RtlTcpSource", "RtlTcpServer", "RTL_MAGIC", "CMD_NAMES",
+           "TUNER_NAMES"]
 
 RTL_MAGIC = b"RTL0"
 
@@ -40,6 +41,27 @@ _CMD_FREQUENCY = 0x01
 _CMD_SAMPLE_RATE = 0x02
 _CMD_GAIN_MODE = 0x03
 _CMD_GAIN = 0x04
+_CMD_FREQ_CORRECTION = 0x05   # ppm, signed
+_CMD_DIRECT_SAMPLING = 0x09   # 0 off / 1 I-branch / 2 Q-branch
+_CMD_OFFSET_TUNING = 0x0A
+_CMD_GAIN_INDEX = 0x0D        # tuner gain by index into the gain table
+_CMD_BIAS_TEE = 0x0E          # librtlsdr >= 0.6 bias-T GPIO
+
+# librtlsdr's full command set, for command-log introspection (the server
+# records every command a client sends; gqrx/SDR# send several of these on
+# connect)
+CMD_NAMES = {
+    0x01: "set_frequency", 0x02: "set_sample_rate", 0x03: "set_gain_mode",
+    0x04: "set_gain", 0x05: "set_freq_correction", 0x06: "set_if_gain",
+    0x07: "set_test_mode", 0x08: "set_agc_mode", 0x09: "set_direct_sampling",
+    0x0A: "set_offset_tuning", 0x0B: "set_rtl_xtal", 0x0C: "set_tuner_xtal",
+    0x0D: "set_gain_by_index", 0x0E: "set_bias_tee",
+}
+
+# rtl_tcp header tuner-type field -> dongle tuner name (librtlsdr enum) —
+# the "dongle info" the wire actually carries
+TUNER_NAMES = {0: "UNKNOWN", 1: "E4000", 2: "FC0012", 3: "FC0013",
+               4: "FC2580", 5: "R820T", 6: "R828D"}
 
 _U8_SCALE = np.float32(1.0 / 127.5)
 
@@ -56,6 +78,14 @@ class RtlTcpSource(SdrSource):
     the fresh connection; only after N consecutive failed dials does the
     stream end.  Default 0 keeps the reference's semantics: first
     timeout/close is a graceful EOS (Source.chs:226-233).
+
+    Protocol depth (round 3): ``ppm`` sends set_freq_correction (0x05),
+    ``bias_t`` powers the bias tee (0x0E), ``direct_sampling`` (0x09) and
+    ``offset_tuning`` (0x0A) select the librtlsdr HF paths, and
+    ``gain_index`` tunes by gain-table index (0x0D) instead of tenth-dB.
+    All are replayed on every reconnect (an rtl_tcp server forgets tuner
+    state with the connection).  ``tuner_name`` exposes the dongle's tuner
+    chip parsed from the greeting header.
     """
 
     mtu = 1 << 17  # samples per read (MTU-sized like Source.chs:197)
@@ -64,7 +94,10 @@ class RtlTcpSource(SdrSource):
                  gain: float = 0.0, host: str | None = None,
                  port: int | None = None, timeout: float = 1.0,
                  raw_u8: bool = False, reconnect: int | None = None,
-                 reconnect_wait: float = 0.1, gain_mode: str | None = None):
+                 reconnect_wait: float = 0.1, gain_mode: str | None = None,
+                 ppm: int = 0, bias_t: bool = False,
+                 direct_sampling: int = 0, offset_tuning: bool = False,
+                 gain_index: int | None = None):
         if host is None or port is None:
             addr = os.environ.get("CSDR_RTLTCP_ADDR", "127.0.0.1:1234")
             h, colon, p = addr.rpartition(":")
@@ -79,6 +112,14 @@ class RtlTcpSource(SdrSource):
         # 0 means hardware AGC.  rtl-sdr tuners have a legal manual 0 dB step;
         # gain_mode="manual" selects it explicitly.
         self.gain_mode = gain_mode or ("manual" if gain else "auto")
+        if direct_sampling not in (0, 1, 2):
+            raise ValueError(
+                f"direct_sampling must be 0/1/2, got {direct_sampling}")
+        self.ppm = int(ppm)
+        self.bias_t = bool(bias_t)
+        self.direct_sampling = int(direct_sampling)
+        self.offset_tuning = bool(offset_tuning)
+        self.gain_index = gain_index
         self.raw_u8 = raw_u8
         self.sample_rate = sample_rate
         self.frequency = frequency
@@ -110,11 +151,24 @@ class RtlTcpSource(SdrSource):
         self.tuner_type, self.gain_count = struct.unpack(">II", hdr[4:])
         self._cmd(_CMD_SAMPLE_RATE, int(self.sample_rate))
         self._cmd(_CMD_FREQUENCY, int(self.frequency))
-        if self.gain_mode == "manual":
+        if self.gain_index is not None:
+            self._cmd(_CMD_GAIN_MODE, 1)
+            self._cmd(_CMD_GAIN_INDEX, int(self.gain_index))
+        elif self.gain_mode == "manual":
             self._cmd(_CMD_GAIN_MODE, 1)
             self._cmd(_CMD_GAIN, int(round(self.gain * 10.0)))
         else:
             self._cmd(_CMD_GAIN_MODE, 0)
+        if self.ppm:
+            # signed ppm rides the wire as a two's-complement u32 (librtlsdr
+            # casts it straight back to int)
+            self._cmd(_CMD_FREQ_CORRECTION, self.ppm)
+        if self.direct_sampling:
+            self._cmd(_CMD_DIRECT_SAMPLING, self.direct_sampling)
+        if self.offset_tuning:
+            self._cmd(_CMD_OFFSET_TUNING, 1)
+        if self.bias_t:
+            self._cmd(_CMD_BIAS_TEE, 1)
 
     def _try_reconnect(self) -> bool:
         """After an unexpected EOS: re-dial up to ``reconnect`` times with
@@ -179,6 +233,11 @@ class RtlTcpSource(SdrSource):
         pairs = f.reshape(-1, 2)
         return (pairs[:, 0] + 1j * pairs[:, 1]).astype(np.complex64)
 
+    @property
+    def tuner_name(self) -> str:
+        """Dongle tuner chip, parsed from the greeting header."""
+        return TUNER_NAMES.get(self.tuner_type, f"type{self.tuner_type}")
+
     def close(self):
         try:
             self.sock.close()
@@ -199,7 +258,14 @@ class RtlTcpServer:
     Tuner commands a client sends (set frequency/rate/gain) are recorded in
     ``self.commands`` — a file has a fixed tuning, like rtl_tcp serving a
     recorded stream.  Serves one client at a time, looping until close()
-    (librtlsdr's rtl_tcp behaves the same way)."""
+    (librtlsdr's rtl_tcp behaves the same way).
+
+    gqrx compatibility: gqrx's "RTL-SDR via TCP" device connects, reads the
+    12-byte greeting, immediately sends set_sample_rate + set_frequency (+
+    gain/ppm commands as the UI changes), and expects a continuous u8 IQ
+    stream — exactly this server's contract.  Every command is accepted and
+    recorded (``commands_named()`` for a readable log); unknown command
+    bytes are recorded too rather than desynchronizing the stream."""
 
     def __init__(self, make_source, host: str = "127.0.0.1", port: int = 0,
                  tuner_type: int = 5, gain_count: int = 29):
@@ -299,6 +365,11 @@ class RtlTcpServer:
                     conn.close()
                 except OSError:
                     pass
+
+    def commands_named(self) -> list[tuple[str, int]]:
+        """The recorded client command log with librtlsdr command names."""
+        return [(CMD_NAMES.get(c, f"cmd_0x{c:02x}"), a)
+                for c, a in self.commands]
 
     def close(self):
         self._closing = True

@@ -480,3 +480,64 @@ def test_rtl_tcp_server_missing_file_and_source_error():
                 break
             time.sleep(0.05)
         assert isinstance(srv.error, IOError)
+
+
+def test_rtl_tcp_protocol_extensions_sent_on_dial():
+    """ppm / bias-T / direct sampling / offset tuning / gain-by-index ride
+    the wire as librtlsdr commands 0x05/0x0E/0x09/0x0A/0x0D, and the dongle
+    tuner name is parsed from the greeting (protocol depth, round 3)."""
+    payload = bytes(np.arange(4096, dtype=np.uint8))
+    srv = LoopbackRtlTcp(payload, tuner_type=6)
+    src = RtlTcpSource(sample_rate=1.0e6, frequency=96.3e6, port=srv.port,
+                       host="127.0.0.1", ppm=-12, bias_t=True,
+                       direct_sampling=2, offset_tuning=True, gain_index=7)
+    assert src.tuner_name == "R828D"
+    while src.read() is not None:
+        pass
+    src.close()
+    srv.thread.join(timeout=5)
+    cmds = dict(srv.commands)
+    # signed ppm rides as two's-complement u32
+    assert cmds[0x05] == (-12) & 0xFFFFFFFF
+    assert cmds[0x0E] == 1
+    assert cmds[0x09] == 2
+    assert cmds[0x0A] == 1
+    assert cmds[0x0D] == 7
+    assert cmds[0x03] == 1  # gain_index implies manual mode
+    assert 0x04 not in cmds  # ...and replaces the tenth-dB gain command
+
+
+def test_rtl_tcp_extensions_validate_and_cli_passthrough(tmp_path, monkeypatch):
+    """--ppm/--bias-t reach the wire through the full CLI device path, and
+    the server records them with librtlsdr names (commands_named)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direct_sampling"):
+        RtlTcpSource(port=1, host="x", direct_sampling=3)
+
+    from csdr_tpu.apps.soapy_sdr_cli import main
+    from csdr_tpu.io.rtl_tcp import RtlTcpServer
+
+    fs = 512_000
+    n = 200_000
+    t = np.arange(n)
+    msg = 0.4 * np.sin(2 * np.pi * 0.002 * t)
+    z = (0.95 * np.exp(1j * 2 * np.pi * 0.6 * np.cumsum(msg))).astype(np.complex64)
+    srv = RtlTcpServer(lambda: iter([z]))
+    monkeypatch.setenv("CSDR_RTLTCP_ADDR", f"127.0.0.1:{srv.port}")
+
+    out = tmp_path / "ext_out"
+    rc = main([
+        "--devname", "rtl_tcp", "-s", str(fs), "-f", "100000000",
+        "--ppm", "-25", "--bias-t",
+        "--demod", "DeNBFM 0.6 WAV", "-n", "65536",
+        "--blocksize", "65536", "-o", str(out),
+    ])
+    srv.close()
+    assert rc == 0
+    import os
+    assert os.path.getsize(str(out) + ".wav") == 65536 * 4 + 44
+    named = dict(srv.commands_named())
+    assert named["set_freq_correction"] == (-25) & 0xFFFFFFFF
+    assert named["set_bias_tee"] == 1
+    assert named["set_sample_rate"] == fs

@@ -21,20 +21,26 @@ RES = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
     "benchmarks", "results")
 
 # name -> (health key or None (presence = ok), required fields)
+# Round-3 artifacts (this round's capture TODOs: capture_r03_artifacts.py)
 SPEC = {
-    "HONEST_r02.json": (None, ["scan", "hostloop", "copy", "verdict"]),
+    "HONEST_r03.json": (None, ["scan", "hostloop", "copy", "verdict"]),
+    "ROOFLINE_r03.json": ("healthy", ["hbm_copy_GBps", "device_kind"]),
+    "KERNEL_OPTS_r03.json": ("healthy", ["pairs"]),
+    "ABLATION_r03.json": ("healthy", ["ladder", "stages"]),
+    "ABLATION_SUB_r03.json": ("healthy", ["ladder", "parts"]),
+    "HWID_r03.json": (None, ["device", "verdict"]),
+    "RECEIVERS_r03.json": ("all_ok", ["rows"]),
+    "STREAMING_r03.json": ("__best__", ["history"]),
+    "SCALING_r03.json": ("meets_80pct_target", ["points"]),
+    # Round-2 artifacts that carry over until a kernel-config change forces
+    # a re-capture (TUNE/BACKENDS wait on the KERNEL_OPTS_r03 verdict)
     "TUNE_r02.json": ("healthy", ["best_flagship_msps", "cache"]),
     "BACKENDS_r02.json": ("healthy", ["msps_per_backend"]),
-    "ROOFLINE_r02.json": ("healthy", ["hbm_copy_GBps", "device_kind"]),
     "U8_CONVERT_r02.json": ("healthy_window", ["u8_i32_f32"]),
     "BLOCKSWEEP_r02.json": ("healthy", ["msps"]),
     "SCANLOOP_r02.json": ("healthy", ["msps"]),
     "FFTFIR_r02.json": (None, ["results"]),
     "SYMSYNC_r02.json": (None, ["results"]),
-    "SCALING_virtual_r02.json": (None, []),
-    "STREAMING_r02.json": ("__best__", ["history"]),
-    "KERNEL_OPTS_r02.json": ("healthy", ["pairs"]),
-    "ABLATION_r02.json": ("healthy", ["ladder", "stages"]),
 }
 
 
