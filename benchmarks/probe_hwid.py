@@ -157,12 +157,24 @@ def main():
            "specs": {"v5e": V5E, "v6e": V6E}}
     cap = capacity_from_stats()
     rec["hbm_capacity_GB_from_stats"] = round(cap, 2) if cap else None
+    # int8 BEFORE the allocation probe: driving the device to
+    # RESOURCE_EXHAUSTED can poison later dispatches in this process
+    # (observed: the int8 matmul after a full-HBM walk raised uncaught and
+    # the artifact was never written)
+    try:
+        rec["int8_matmul_Tops"] = int8_matmul_tops()
+        if rec["int8_matmul_Tops"]:
+            rec["int8_matmul_Tops"] = round(rec["int8_matmul_Tops"], 1)
+    except Exception as e:
+        rec["int8_matmul_Tops"] = None
+        rec["int8_error"] = f"{type(e).__name__}: {e}"[:200]
     if cap is None and do_alloc:
-        cap = capacity_by_allocation()
-        rec["hbm_capacity_GB_by_allocation"] = round(cap, 2)
-    rec["int8_matmul_Tops"] = int8_matmul_tops()
-    if rec["int8_matmul_Tops"]:
-        rec["int8_matmul_Tops"] = round(rec["int8_matmul_Tops"], 1)
+        try:
+            cap = capacity_by_allocation()
+        except Exception as e:
+            rec["alloc_error"] = f"{type(e).__name__}: {e}"[:200]
+        else:
+            rec["hbm_capacity_GB_by_allocation"] = round(cap, 2)
 
     verdict = {"capacity_says": None, "int8_says": None}
     if cap:

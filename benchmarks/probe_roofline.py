@@ -65,12 +65,19 @@ def main():
     out = {"device_kind": jax.devices()[0].device_kind,
            "platform": jax.default_backend()}
 
-    # --- HBM streaming bandwidth: y = x + 1 over 64 MB (reads 64, writes 64)
-    n = 1 << 24  # 16M f32 = 64 MB
-    x = jax.jit(lambda: jnp.zeros((n,), jnp.float32))()
-    add1 = jax.jit(lambda a: a + 1.0)
-    dt = _time_chain(add1, x, iters)
-    out["hbm_copy_GBps"] = round(3 * iters * 2 * 4 * n / dt / 1e9, 1)
+    # --- HBM streaming bandwidth: probe_honest's hardened copy probe —
+    # barriered, NON-AFFINE (y + y^2*eps cannot fold across passes), a fresh
+    # value-distinct buffer per rep, slope-fitted.  The previous y = x + 1
+    # dispatch chain here recorded 14,617 GB/s in a window where the
+    # hardened probe measured 1,437 (9x beyond any known part) — an affine
+    # chain restarted from the same buffer is relay-replayable.
+    import probe_honest
+
+    cres = probe_honest.probe_copy()
+    out["hbm_copy_GBps"] = cres["hbm_rw_GBps"]
+    out["hbm_copy_detail"] = cres
+    out["copy_suspect"] = bool(out["hbm_copy_GBps"]
+                               and out["hbm_copy_GBps"] > 1700.0)
 
     # --- MXU bf16 sustained: chained (4096,4096) @ const
     m = 4096
@@ -112,7 +119,10 @@ def main():
 
     best = max(out.get("flagship_wide_msps", 0.0),
                out.get("flagship_narrow_msps", 0.0))
-    out["healthy"] = bool(best >= bench.HEALTHY_MSPS)
+    # a non-physical copy rate invalidates every light-speed ratio derived
+    # from it — the window is NOT healthy even if the flagship ran fast
+    out["healthy"] = bool(best >= bench.HEALTHY_MSPS
+                          and not out.get("copy_suspect"))
     print(json.dumps(out))
 
     prev_healthy = False

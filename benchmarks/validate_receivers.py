@@ -82,9 +82,14 @@ def val_cw_morse():
                 key += [1] * (unit if el == "." else 3 * unit) + [0] * unit
             key += [0] * (2 * unit)
         key += [0] * (4 * unit)
-    key = np.array(key + [0] * unit, np.float32)
+    key = np.array([0] * (2 * unit) + key + [0] * (2 * unit), np.float32)
     t = np.arange(len(key))
-    iq = (key * np.exp(2j * np.pi * (500.0 / FS) * t)).astype(np.complex64)
+    # 30 Hz mistuning, inside the 100 Hz envelope filter (a 500 Hz offset
+    # falls outside it and decodes garbage — validator bug, not the model's)
+    rng = np.random.default_rng(0)
+    iq = (key * np.exp(2j * np.pi * (30.0 / FS) * t)
+          + 0.03 * (rng.normal(size=len(key))
+                    + 1j * rng.normal(size=len(key)))).astype(np.complex64)
     env = _run(morse.cw_envelope(100.0 / FS), iq, 1 << 14)
     got = morse.decode_envelope(env)
     return {"name": "morse_cw", "ok": got == text, "decoded": got,

@@ -219,16 +219,18 @@ def _dc_solve_pair_hier(xre, xim, MdT_hi, MdT_lo, S_B, p1, pg, pN,
     w_im = g * xim + dot3(split_bf16(xim), MdT_hi, MdT_lo) - pg * xp0_im
     G = rows // B
     aB = float(a_row) ** B
-    # lane-pack the per-group carry columns: (B, 2G)
-    C = jnp.concatenate(
-        [jnp.concatenate([w_re[k * B:(k + 1) * B, -1:],
-                          w_im[k * B:(k + 1) * B, -1:]], axis=1)
-         for k in range(G)], axis=1)
-    Hg = jnp.dot(S_B, C, preferred_element_type=jnp.float32)  # (B+1, 2G)
-    # inter-group carries on a 128-lane padded row (lane ops below 128 wide
-    # are not guaranteed to lower; [2G, 128) stays zero throughout)
-    T_row = Hg[B:B + 1] if 2 * G == 128 else jnp.concatenate(
-        [Hg[B:B + 1], jnp.zeros((1, 128 - 2 * G), jnp.float32)], axis=1)
+    # lane-pack the per-group carry columns into a FULL 128-lane panel
+    # (pairs at lanes [0, 2G), zeros beyond): Mosaic keeps every row op on
+    # the standard (., 128) vreg shape, and the zero tail rides through the
+    # matmul/scan unchanged
+    parts = [jnp.concatenate([w_re[k * B:(k + 1) * B, -1:],
+                              w_im[k * B:(k + 1) * B, -1:]], axis=1)
+             for k in range(G)]
+    if 2 * G < 128:
+        parts.append(jnp.zeros((B, 128 - 2 * G), jnp.float32))
+    C = jnp.concatenate(parts, axis=1)                        # (B, 128)
+    Hg = jnp.dot(S_B, C, preferred_element_type=jnp.float32)  # (B+1, 128)
+    T_row = Hg[B:B + 1]                                       # (1, 128)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     P = T_row
     s = 1
@@ -242,12 +244,19 @@ def _dc_solve_pair_hier(xre, xim, MdT_hi, MdT_lo, S_B, p1, pg, pN,
     k_lane = lane // 2
     powA2 = jnp.exp(k_lane.astype(jnp.float32) * jnp.float32(np.log(aB)))
     gin_row = jnp.where(lane % 2 == 0, gin_re, gin_im)
-    E = (E_noin + powA2 * gin_row)[:, :2 * G]                 # (1, 2G)
+    E = E_noin + powA2 * gin_row                              # (1, 128)
     # per-row within-group decay column a_row^i
     rio = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
     pB = jnp.exp(rio.astype(jnp.float32) * jnp.float32(np.log(a_row)))
-    Ge = Hg[:B] + pB * E                                      # (B, 2G)
-    ge = jnp.concatenate([Ge[:, 2 * k:2 * k + 2] for k in range(G)], axis=0)
+    Ge = Hg[:B] + pB * E                                      # (B, 128)
+    # unpack (B, 128) group pairs -> (rows, 2): canonicalize every group's
+    # pair to lane offset 0 with a roll BEFORE the sublane concat — Mosaic
+    # cannot concatenate vregs whose lane offsets differ (observed
+    # "tpu.concatenate" lowering failure on offset slices)
+    ge_parts = [(Ge if k == 0
+                 else pltpu.roll(Ge, 128 - 2 * k, axis=1))[:, 0:2]
+                for k in range(G)]
+    ge = jnp.concatenate(ge_parts, axis=0)                    # (rows, 2)
     y_re = w_re + p1 * ge[:, 0:1]
     y_im = w_im + p1 * ge[:, 1:2]
     # outgoing carry: g_out = sum_{j<=G-1} aB^(G-1-j).T[j] + aB^G.g_in
