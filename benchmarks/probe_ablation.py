@@ -62,6 +62,12 @@ SUB_LADDER = [
 
 
 def measure(iters: int = 12, tileF: int | None = None, ladder=None):
+    """Bracketed ladder: the FULL build is re-measured before every variant
+    and each variant's time is normalized by its bracketing full — window
+    quality swings mid-ladder otherwise poison every delta (an r03 capture
+    recorded a NEGATIVE atan2 share and a 2x-too-fast full during a window
+    collapse).  ``window_drift`` = max/min of the full measurements; the
+    caller marks the run unhealthy above 1.3."""
     import jax
     import jax.numpy as jnp
     from csdr_tpu.ops.pallas.flagship_fused_wide import (
@@ -73,29 +79,56 @@ def measure(iters: int = 12, tileF: int | None = None, ladder=None):
     if tileF is None:
         tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
 
-    u8 = (jax.jit(lambda: jnp.full((block,), 137, jnp.uint8))(),
-          jax.jit(lambda: jnp.full((block,), 120, jnp.uint8))())
+    seed = [0]
 
-    rows = []
-    for name, skip in (ladder or LADDER):
+    def fresh_u8():
+        # distinct content per run: byte-identical dispatches are
+        # relay-replayable (docs/TPU_BACKEND_NOTES.md)
+        seed[0] += 1
+        v = seed[0]
+        return (jax.jit(lambda a: jnp.full((block,), a, jnp.uint8))(
+                    jnp.uint8(100 + v % 97)),
+                jax.jit(lambda a: jnp.full((block,), a, jnp.uint8))(
+                    jnp.uint8(90 + (3 * v) % 89)))
+
+    def slope_of(skip):
         step = lambda st, x: flagship_fused_wide_step(
             st, x, nch=nch, tileF=tileF, skip=skip)
-        st, y = step(flagship_fused_wide_init(nch), u8)  # compile + warm
+        st, y = step(flagship_fused_wide_init(nch), fresh_u8())
         bench._probe_scalar(y)
-        msps = bench._slope_msps(step, lambda: flagship_fused_wide_init(nch),
-                                 u8, block, iters)
+        return bench._slope_msps(step, lambda: flagship_fused_wide_init(nch),
+                                 fresh_u8(), block, iters)
+
+    items = list(ladder or LADDER)
+    assert items[0][0] == "full"
+    fulls = [slope_of(())]
+    print(f"# full[0]      {fulls[0]:9.1f} MSPS", flush=True)
+    rows = [{"variant": "full", "skip": [], "msps": round(fulls[0], 1),
+             "ns_per_sample": round(1e3 / fulls[0], 4)}]
+    for name, skip in items[1:]:
+        msps = slope_of(skip)
+        f = slope_of(())
+        fulls.append(f)
+        bracket = 0.5 * (fulls[-2] + fulls[-1])
+        # normalize to the first full's window: t_norm = t * (f_bracket/f_0)
+        # in time-space  =>  msps_norm = msps * f_0 / bracket
+        msps_n = msps * fulls[0] / bracket
         rows.append({"variant": name, "skip": list(skip),
-                     "msps": round(msps, 1),
-                     "ns_per_sample": round(1e3 / msps, 4)})
-        print(f"# {name:12s} {msps:9.1f} MSPS  {1e3/msps:.4f} ns/sample",
-              flush=True)
-    return rows, tileF
+                     "msps_raw": round(msps, 1),
+                     "bracket_full_msps": round(bracket, 1),
+                     "msps": round(msps_n, 1),
+                     "ns_per_sample": round(1e3 / msps_n, 4)})
+        print(f"# {name:12s} raw {msps:9.1f} norm {msps_n:9.1f} MSPS "
+              f"(bracket full {bracket:9.1f})", flush=True)
+    drift = max(fulls) / min(fulls)
+    print(f"# window drift across ladder: {drift:.3f}", flush=True)
+    return rows, tileF, drift
 
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     if len(sys.argv) > 2 and sys.argv[2] == "sub":
-        rows, tileF = measure(iters, ladder=SUB_LADDER)
+        rows, tileF, drift = measure(iters, ladder=SUB_LADDER)
         full_ns = rows[0]["ns_per_sample"]
         parts = []
         for cur in rows[1:]:
@@ -103,9 +136,10 @@ def main():
             parts.append({"part": cur["variant"],
                           "ns_per_sample": round(d, 4),
                           "pct_of_full": round(100.0 * d / full_ns, 1)})
-        healthy = rows[0]["msps"] >= bench.HEALTHY_MSPS
+        healthy = rows[0]["msps"] >= bench.HEALTHY_MSPS and drift < 1.3
         rec = {"healthy": healthy, "ts": time.time(), "tileF": tileF,
                "block": bench._BLOCK, "input": "u8_wide",
+               "window_drift": round(drift, 3),
                "ladder": rows, "parts": parts}
         out = os.path.join(HERE, "results", f"ABLATION_SUB_{ROUND}.json")
         with open(out, "w") as f:
@@ -114,7 +148,7 @@ def main():
                           "value": rows[0]["msps"], "healthy": healthy}))
         print(f"# wrote {out}")
         return
-    rows, tileF = measure(iters)
+    rows, tileF, drift = measure(iters)
     full_ns = rows[0]["ns_per_sample"]
     stages = []
     for prev, cur in zip(rows, rows[1:]):
@@ -126,9 +160,10 @@ def main():
     stages.append({"stage": "io_layout_floor",
                    "ns_per_sample": round(floor, 4),
                    "pct_of_full": round(100.0 * floor / full_ns, 1)})
-    healthy = rows[0]["msps"] >= bench.HEALTHY_MSPS
+    healthy = rows[0]["msps"] >= bench.HEALTHY_MSPS and drift < 1.3
     rec = {"healthy": healthy, "ts": time.time(), "tileF": tileF,
            "block": bench._BLOCK, "input": "u8_wide",
+           "window_drift": round(drift, 3),
            "ladder": rows, "stages": stages}
     out = os.path.join(HERE, "results", f"ABLATION_{ROUND}.json")
     with open(out, "w") as f:
