@@ -138,8 +138,10 @@ def main():
         if todo["absub"] and up_ok:
             run_script("probe_ablation.py", ["12", "sub"], 2400)
             _annotate("ABLATION_SUB_r03.json", p)
-        window_ok = _healthy("ABLATION_SUB_r03.json", "healthy")
-        if todo["kopts"] and up_ok and (window_ok or not todo["absub"]):
+        # the scan-paired A/B is drift-robust by construction (adjacent
+        # production/experiment pairs inside seconds-long dispatches), so it
+        # does NOT wait for a drift-stable ladder window
+        if todo["kopts"] and up_ok:
             run_script("probe_kernel_opts.py", ["12"], 3600,
                        env_extra={"CSDR_OPTS_EXPERIMENT": "dc_hier"})
             _annotate("KERNEL_OPTS_r03.json", p)
