@@ -40,6 +40,81 @@ import capture_streaming as cap  # probe(), _run_capped, _json_line
 REPO = os.path.dirname(HERE)
 
 
+def _user_cache():
+    root = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    return os.path.join(root, "csdr_tpu", "autotune.json")
+
+
+def run_tune(probe) -> bool:
+    """bench.py tune with the hier production kernel; on success refresh the
+    packaged cache and record TUNE_r03.json (ported from
+    capture_r02_artifacts.run_tune)."""
+    out = cap._run_capped([sys.executable, os.path.join(REPO, "bench.py"),
+                           "tune", "10"], 3600)
+    if out:
+        print(out.strip()[-2000:], flush=True)
+    try:
+        with open(_user_cache()) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        return False
+    best = max((v.get("msps", 0.0) for k, v in cache.items()
+                if k.startswith(("flagship_fused:tpu", "flagship_fused_wide:tpu"))
+                and not k.endswith(":u8")), default=0.0)
+    healthy = best >= 2500.0
+    rec = {"healthy": healthy, "best_flagship_msps": round(best, 1),
+           "probe_before": probe, "cache": cache}
+    with open(os.path.join(RES, "TUNE_r03.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    if healthy:
+        with open(os.path.join(REPO, "csdr_tpu", "utils",
+                               "autotune_tpu.json"), "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+        print("# packaged autotune cache refreshed", flush=True)
+    else:
+        try:
+            os.remove(_user_cache())
+            print("# degraded sweep — user cache dropped", flush=True)
+        except OSError:
+            pass
+    return healthy
+
+
+def run_backends(probe) -> bool:
+    res = {}
+    for be in ("pallas_full", "pallas_wide", "pallas", "xla", "cu8",
+               "cu8_wide"):
+        out = cap._run_capped([sys.executable, os.path.join(REPO, "bench.py"),
+                               "15", be], 1800)
+        r = cap._json_line(out) if out else None
+        res[be] = (r or {}).get("value")
+        print(f"# backend {be}: {res[be]}", flush=True)
+    best = max((v for v in (res.get("pallas_full"), res.get("pallas_wide"))
+                if v), default=0.0)
+    healthy = best >= 2500.0
+    with open(os.path.join(RES, "BACKENDS_r03.json"), "w") as f:
+        json.dump({"healthy": healthy, "probe_before": probe,
+                   "msps_per_backend": res}, f, indent=1)
+    return healthy
+
+
+def run_scanloop(probe) -> bool:
+    res = {}
+    for be in ("pallas_full:scan", "pallas_wide:scan", "cu8:scan",
+               "cu8_wide:scan"):
+        out = cap._run_capped([sys.executable, os.path.join(REPO, "bench.py"),
+                               "10", be], 1800)
+        r = cap._json_line(out) if out else None
+        res[be] = (r or {}).get("value")
+        print(f"# scanloop {be}: {res[be]}", flush=True)
+    best = max((v for v in res.values() if v), default=0.0)
+    healthy = best >= 2500.0
+    with open(os.path.join(RES, "SCANLOOP_r03.json"), "w") as f:
+        json.dump({"healthy": healthy, "probe_before": probe,
+                   "msps": res}, f, indent=1)
+    return healthy
+
+
 def _healthy(name: str, key) -> bool:
     try:
         with open(os.path.join(RES, name)) as f:
@@ -113,6 +188,11 @@ def main():
                 lambda d: (d.get("best") or {}).get("value", 0.0) >= 50.0),
             "ablation": not _healthy("ABLATION_r03.json", "healthy"),
             "roofline": not _healthy("ROOFLINE_r03.json", "healthy"),
+            # post-flip recaptures: the hier solve is the production kernel
+            # now, so the tuned tiles and per-backend numbers move
+            "tune": not _healthy("TUNE_r03.json", "healthy"),
+            "backends": not _healthy("BACKENDS_r03.json", "healthy"),
+            "scanloop": not _healthy("SCANLOOP_r03.json", "healthy"),
         }
         if not any(todo.values()):
             print("# all round-3 artifacts captured", flush=True)
@@ -148,6 +228,12 @@ def main():
         if todo["receivers"] and up_ok:
             run_script("validate_receivers.py", [], 2400)
             _annotate("RECEIVERS_r03.json", p)
+        if todo["tune"] and up_ok:
+            run_tune(p)
+        if todo["backends"] and up_ok and not todo["tune"]:
+            run_backends(p)
+        if todo["scanloop"] and up_ok:
+            run_scanloop(p)
         if todo["ablation"] and up_ok:
             run_script("probe_ablation.py", ["12"], 2400)
             _annotate("ABLATION_r03.json", p)

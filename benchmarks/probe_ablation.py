@@ -49,7 +49,10 @@ LADDER = [
 # full production kernel, so (full - variant) attributes that sub-stage's
 # cost directly.  Aims the targeted optimizations: the dense row-carry
 # matvec (dc_rowcarry) and the difference-fold matmul (dc_md) subdivide
-# ABLATION's 45.7% DC share; the atan2 parts subdivide its 26.1%.
+# the DC share; the atan2 parts subdivide its 26.1%.  NOTE: requesting a
+# dc_* part forces the DENSE solve (the kernels ship the group matrix for
+# the hier production default otherwise), so the dc rows attribute the
+# dense baseline; hier-vs-dense end-to-end is KERNEL_OPTS' job.
 SUB_LADDER = [
     ("full", ()),
     ("dc_rowcarry", ("dc_rowcarry",)),

@@ -45,8 +45,10 @@ sys.path.insert(0, REPO)
 import bench  # noqa: E402  (slope protocol + health gate)
 
 ROUND = os.environ.get("CSDR_ROUND", "r03")
+# default A/B: production (now the hier row-carry solve, +17% measured in
+# KERNEL_OPTS_r03) vs the dense solve it replaced
 EXPERIMENT = tuple(p for p in os.environ.get(
-    "CSDR_OPTS_EXPERIMENT", "dc_hier").split(",") if p)
+    "CSDR_OPTS_EXPERIMENT", "dc_dense").split(",") if p)
 
 VARIANTS = [
     ("production", ()),

@@ -345,7 +345,7 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
         col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
 
-        if "dc_hier" in opts and hierB:
+        if hierB:
             ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair_hier(
                 xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p64_ref[:],
                 pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
@@ -506,8 +506,13 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
     mdT_lo = jnp.asarray(mdT_lo_np, dtype=jnp.bfloat16)
     pg = jnp.asarray(_dc_pg_row(r, g, nch))                # (1, nch): g·a^i
     a_row = float(r ** nch)
-    hierB = _hier_group(tileF) if "dc_hier" in opts and \
-        "dc_stack" not in opts else None
+    # PRODUCTION DEFAULT since round 3: the two-level row-carry solve
+    # measured +17% end-to-end (KERNEL_OPTS_r03.json, scan-paired, healthy
+    # window) — the dense solve stays reachable via opts=("dc_dense",) for
+    # reproduction/A-B.  Small tiles (no valid group size) use dense
+    # automatically.
+    use_hier = "dc_dense" not in opts and "dc_stack" not in opts
+    hierB = _hier_group(tileF) if use_hier else None
     # dc_hier swaps the dense row-carry matrix for the (B+1, B) group one
     S = jnp.asarray(_row_carry_matrix(a_row, hierB if hierB else tileF))
     p64 = jnp.asarray(_powvec(r, nch))                     # (1, nch): a^(i+1)

@@ -132,14 +132,15 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
             col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
             col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
 
-            if "dc_hier" in opts and hierB:
+            dc_ablate = tuple(s[3:] for s in skip if s.startswith("dc_"))
+            if hierB and not dc_ablate:
                 ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair_hier(
                     xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:],
                     p128_ref[:], pg_ref[:], pN_ref[:], col_prev_re,
                     col_prev_im, scal_scr[2], scal_scr[3], g_gain, tileH,
                     hierB, a_row)
             else:
-                dc_ablate = tuple(s[3:] for s in skip if s.startswith("dc_"))
+                # dc_* sub-ablation always measures the DENSE solve parts
                 ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
                     xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:],
                     p128_ref[:], pg_ref[:], pN_ref[:], col_prev_re,
@@ -350,8 +351,14 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
     mdT_lo = jnp.asarray(mdT_lo_np, dtype=jnp.bfloat16)
     pg = jnp.asarray(_dc_pg_row(r, g, _LANES))  # (1, 128): g·a^i
     a_row = float(r ** _LANES)
-    hierB = _hier_group(tileH) if "dc_hier" in opts and \
-        "dc_stack" not in opts else None
+    # PRODUCTION DEFAULT since round 3: the two-level row-carry solve
+    # measured +17% end-to-end (KERNEL_OPTS_r03.json, scan-paired, healthy
+    # window) — the dense solve stays reachable via opts=("dc_dense",) for
+    # reproduction/A-B.  Small tiles (no valid group size) use dense
+    # automatically.
+    use_hier = "dc_dense" not in opts and "dc_stack" not in opts and \
+        not any(s.startswith("dc_") for s in skip)   # dc_* sub-ablation
+    hierB = _hier_group(tileH) if use_hier else None  # measures the dense parts
     # dc_hier swaps the dense row-carry matrix for the (B+1, B) group one
     S = jnp.asarray(_row_carry_matrix(a_row, hierB if hierB else tileH))
     p128 = jnp.asarray(_powvec(r, _LANES))

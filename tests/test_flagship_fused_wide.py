@@ -114,10 +114,12 @@ def test_skip_gates_compile_and_reduce_work():
 
 
 def test_dc_hier_matches_production_dc_only():
-    """The two-level row-carry solve (opts="dc_hier") matches the dense
-    solve on the DC stage itself: all later stages skipped, so the kernel
-    output IS the DC-blocked stream (plus history slices) — no atan2 branch
-    sensitivity.  Multi-tile + multi-block to cover SMEM carry hand-off."""
+    """The two-level row-carry solve (the PRODUCTION default since round 3,
+    +17% on chip — KERNEL_OPTS_r03) matches the dense solve
+    (opts="dc_dense") on the DC stage itself: all later stages skipped, so
+    the kernel output IS the DC-blocked stream (plus history slices) — no
+    atan2 branch sensitivity.  Multi-tile + multi-block to cover SMEM carry
+    hand-off."""
     nch, tileF = 64, 512          # tileH=256 -> B=128, G=2
     iq = _signal(nch, tileF, blocks=2, seed=3)
     half = len(iq) // 2
@@ -126,10 +128,10 @@ def test_dc_hier_matches_production_dc_only():
     for i in range(2):
         blk = jnp.asarray(iq[i * half:(i + 1) * half])
         sa, ya = flagship_fused_wide_step(sa, blk, nch=nch, tileF=tileF,
-                                          interpret=True, skip=skip)
-        sb, yb = flagship_fused_wide_step(sb, blk, nch=nch, tileF=tileF,
                                           interpret=True, skip=skip,
-                                          opts=("dc_hier",))
+                                          opts=("dc_dense",))
+        sb, yb = flagship_fused_wide_step(sb, blk, nch=nch, tileF=tileF,
+                                          interpret=True, skip=skip)
         err = np.max(np.abs(np.asarray(ya) - np.asarray(yb)))
         assert err < 2e-5, (i, err)
     for k in ("hist_re", "hist_im", "scal"):
@@ -138,9 +140,10 @@ def test_dc_hier_matches_production_dc_only():
 
 
 def test_dc_hier_full_kernel_both_layouts():
-    """dc_hier through the FULL kernel (both layouts): audio matches
-    production except isolated atan2 branch flips on noise-only channels
-    (a ~1e-6 DC difference can flip the wrap branch near +-pi)."""
+    """The hier default through the FULL kernel (both layouts): audio
+    matches the dense solve except isolated atan2 branch flips on
+    noise-only channels (a ~1e-6 DC difference can flip the wrap branch
+    near +-pi)."""
     from csdr_tpu.ops.pallas.flagship_fused import (flagship_fused_init as oi,
                                                     flagship_fused_step as os_)
     for init, step, nch, tileF in (
@@ -151,9 +154,9 @@ def test_dc_hier_full_kernel_both_layouts():
         sa, sb = init(nch), init(nch)
         for i in range(2):
             blk = jnp.asarray(iq[i * half:(i + 1) * half])
-            sa, ya = step(sa, blk, nch=nch, tileF=tileF, interpret=True)
-            sb, yb = step(sb, blk, nch=nch, tileF=tileF, interpret=True,
-                          opts=("dc_hier",))
+            sa, ya = step(sa, blk, nch=nch, tileF=tileF, interpret=True,
+                          opts=("dc_dense",))
+            sb, yb = step(sb, blk, nch=nch, tileF=tileF, interpret=True)
             d = np.abs(np.asarray(ya) - np.asarray(yb))
             assert float(np.mean(d > 0.01)) < 0.005, float(np.mean(d > 0.01))
             assert float(np.quantile(d, 0.99)) < 1e-4, float(np.quantile(d, 0.99))
@@ -189,8 +192,11 @@ def test_opts_gates_match_production_u8():
     planes = (jnp.asarray(u8[0::2]), jnp.asarray(u8[1::2]))
     for init, step in ((oi, os_),
                        (flagship_fused_wide_init, flagship_fused_wide_step)):
+        # dc_dense baseline: the stacked solve is bit-identical to the
+        # DENSE algebra (the hier default differs at ~1e-6 fp order)
         sd, se = init(nch), init(nch)
-        sd, yd = step(sd, planes, nch=nch, tileF=tileF, interpret=True)
+        sd, yd = step(sd, planes, nch=nch, tileF=tileF, interpret=True,
+                      opts=("dc_dense",))
         se, ye = step(se, planes, nch=nch, tileF=tileF, interpret=True,
                       opts=("dc_stack", "fast_atan"))
         assert np.max(np.abs(np.asarray(yd) - np.asarray(ye))) < 5e-7
@@ -210,7 +216,7 @@ def test_opts_gates_match_production():
                        (flagship_fused_wide_init, flagship_fused_wide_step)):
         sd, se = init(nch), init(nch)
         sd, yd = step(sd, jnp.asarray(iq), nch=nch, tileF=tileF,
-                      interpret=True)
+                      interpret=True, opts=("dc_dense",))
         se, ye = step(se, jnp.asarray(iq), nch=nch, tileF=tileF,
                       interpret=True, opts=("dc_stack", "fast_atan"))
         assert np.max(np.abs(np.asarray(yd) - np.asarray(ye))) < 5e-7
