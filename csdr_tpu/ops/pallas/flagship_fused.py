@@ -183,10 +183,11 @@ def _dc_solve_stacked(X, MdT_hi, MdT_lo, S, p1, pg, pN,
 
 def _hier_group(rows: int) -> int | None:
     """Group size B for the hierarchical row-carry solve: the largest
-    MXU-friendly divisor of ``rows`` that still leaves >= 2 groups.  None
-    means the panel is too small to gain anything — use the dense solve."""
+    MXU-friendly divisor of ``rows`` that leaves 2..64 groups (the packed
+    per-group carry pairs must fit one 128-lane row: 2G <= 128).  None
+    means the panel is out of range — use the dense solve."""
     for b in (128, 64, 32):
-        if rows % b == 0 and rows // b >= 2:
+        if rows % b == 0 and 2 <= rows // b <= 64:
             return b
     return None
 
