@@ -216,7 +216,7 @@ def main():
             run_script("probe_hwid.py", ["--alloc"] if up_ok else [], 1800)
             _annotate("HWID_r03.json", p)
         if todo["absub"] and up_ok:
-            run_script("probe_ablation.py", ["12", "sub"], 2400)
+            run_script("probe_ablation.py", ["8", "sub"], 2400)
             _annotate("ABLATION_SUB_r03.json", p)
         # the scan-paired A/B is drift-robust by construction (adjacent
         # production/experiment pairs inside seconds-long dispatches), so it
@@ -235,7 +235,7 @@ def main():
         if todo["scanloop"] and up_ok:
             run_scanloop(p)
         if todo["ablation"] and up_ok:
-            run_script("probe_ablation.py", ["12"], 2400)
+            run_script("probe_ablation.py", ["8"], 2400)
             _annotate("ABLATION_r03.json", p)
         if todo["roofline"] and up_ok:
             run_script("probe_roofline.py", ["20"], 2400)
