@@ -75,7 +75,8 @@ def main():
             # u8 over the host wire (2 B/sample instead of 8), converted on
             # device (blocks.u8_to_iq) before the fused receive chain
             graph = _chain(cs.u8_to_iq(), graph)
-        pipe = cs.Pipeline(graph, block_size=(1 << 22) if cu8 else (1 << 21))
+        blk_sz = (1 << 23) if (cu8 and nodl) else (1 << 22) if cu8 else (1 << 21)
+        pipe = cs.Pipeline(graph, block_size=blk_sz)
 
         try:
             from csdr_tpu.io.native import NativeRawFileSink as Sink
@@ -93,21 +94,28 @@ def main():
             src = cs.cf32_file_source(cap, 1 << 20)
 
         if nodl:
-            # downlink-free: on-device chained checksum instead of host sinks
+            # downlink-free: on-device checksum instead of host sinks.  ONE
+            # dispatch per block (the pipeline step); the checksum reduction
+            # over every block's retained output runs once at the end — in
+            # dispatch-stall windows (~1 s/dispatch regardless of size) the
+            # per-block acc dispatch would otherwise double the stall bill.
             import jax
             import jax.numpy as jnp
             from csdr_tpu.core.runtime import rechunk
 
-            def _acc(c, y_enc):
-                leaf = jax.tree.leaves(y_enc)[0]
-                arr = leaf.ri if hasattr(leaf, "ri") else leaf
-                # FULL reduction: every audio element feeds the checksum, so
-                # no partial-output narrowing can skip demod work; 0.5·c
-                # keeps the chain bounded and block-order-dependent
-                return c * jnp.float32(0.5) + jnp.sum(arr)
+            def _acc_all(cs_ys):
+                # FULL reduction over every block: every audio element feeds
+                # the checksum, so no partial-output narrowing can skip
+                # demod work; the descending weights keep it order-dependent
+                tot = jnp.float32(0.0)
+                for i, y in enumerate(cs_ys):
+                    leaf = jax.tree.leaves(y)[0]
+                    arr = leaf.ri if hasattr(leaf, "ri") else leaf
+                    tot = tot * jnp.float32(0.5) + jnp.sum(arr)
+                return tot
 
-            acc = jax.jit(_acc)
-            csum = jnp.float32(0.0)
+            acc_all = jax.jit(_acc_all)
+            ys = []
             total_in = 0
             host_bytes = 0
             t0 = time.perf_counter()
@@ -116,8 +124,8 @@ def main():
                 host_bytes += chunk.nbytes    # host-truth wire bytes
                 if len(chunk) < pipe.block_size:
                     chunk = np.pad(chunk, (0, pipe.block_size - len(chunk)))
-                csum = acc(csum, pipe.process_block(chunk))
-            proof = float(jax.device_get(csum))  # forces the WHOLE chain
+                ys.append(pipe.process_block(chunk))
+            proof = float(jax.device_get(acc_all(ys)))  # forces EVERY block
             dt = time.perf_counter() - t0
             total = total_in
             if cu8:

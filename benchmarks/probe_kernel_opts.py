@@ -151,6 +151,10 @@ def paired(iters: int = 10, rounds: int = 4, tileF: int | None = None):
     return pairs, med, tileF
 
 
+TILEF_AB = os.environ.get("CSDR_TILEF_AB", "")  # "256,1024": A/B two tileFs
+                                                 # with PRODUCTION opts
+
+
 def scan_paired(rounds: int = 3, inner: int = 512, tileF: int | None = None):
     """Strongest instrument for a <10% delta: one dispatch = ``inner``
     state-chained kernel steps inside lax.scan (seconds of device work, so
@@ -167,11 +171,13 @@ def scan_paired(rounds: int = 3, inner: int = 512, tileF: int | None = None):
     if tileF is None:
         tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
 
-    def chunk_for(opts):
+    def chunk_for(opts, tf=None):
+        tf = tileF if tf is None else tf
+
         def chunk(state, probe, x):
             def body(carry, _):
                 st, pr = carry
-                st2, y = flagship_fused_wide_step(st, x, nch=nch, tileF=tileF,
+                st2, y = flagship_fused_wide_step(st, x, nch=nch, tileF=tf,
                                                   opts=opts)
                 pr2 = y.reshape(-1)[0] + 0.0 * pr
                 return (st2, pr2), None
@@ -190,8 +196,15 @@ def scan_paired(rounds: int = 3, inner: int = 512, tileF: int | None = None):
             return inner * block / (time.perf_counter() - t0) / 1e6
         return run
 
-    base = chunk_for(())
-    exp = chunk_for(EXPERIMENT)
+    if TILEF_AB:
+        # tileF A/B with production opts (drift-immune adjacent pairs) —
+        # settles autotune-sweep outliers recorded during window spikes
+        ta, tb = (int(v) for v in TILEF_AB.split(","))
+        base = chunk_for((), ta)
+        exp = chunk_for((), tb)
+    else:
+        base = chunk_for(())
+        exp = chunk_for(EXPERIMENT)
     pairs, ratios = [], []
     for r in range(rounds):
         a = base()
