@@ -53,14 +53,23 @@ LADDER = [
 # dc_* part forces the DENSE solve (the kernels ship the group matrix for
 # the hier production default otherwise), so the dc rows attribute the
 # dense baseline; hier-vs-dense end-to-end is KERNEL_OPTS' job.
+# Entries are (name, skip, opts).  Since the hier solve became the
+# production default, the dc_* parts need an explicit DENSE baseline
+# (requesting a dc_* skip forces the dense path, so "hier-full minus
+# dense-minus-part" would compare across implementations):
+#   dc_hier_gain       = t(full_dense) - t(full)        (the flip's win)
+#   dc_rowcarry(dense) = t(full_dense) - t(dense w/o rowcarry)
+#   dc_md(dense)       = t(full_dense) - t(dense w/o md)
+#   atan_*             = t(full) - t(variant)           (hier both sides)
 SUB_LADDER = [
-    ("full", ()),
-    ("dc_rowcarry", ("dc_rowcarry",)),
-    ("dc_md", ("dc_md",)),
-    ("atan_div", ("atan_div",)),
-    ("atan_poly", ("atan_poly",)),
-    ("atan_sel", ("atan_sel",)),
-    ("atan_rr", ("atan_rr",)),
+    ("full", (), ()),
+    ("full_dense", (), ("dc_dense",)),
+    ("dc_rowcarry", ("dc_rowcarry",), ()),
+    ("dc_md", ("dc_md",), ()),
+    ("atan_div", ("atan_div",), ()),
+    ("atan_poly", ("atan_poly",), ()),
+    ("atan_sel", ("atan_sel",), ()),
+    ("atan_rr", ("atan_rr",), ()),
 ]
 
 
@@ -94,22 +103,22 @@ def measure(iters: int = 12, tileF: int | None = None, ladder=None):
                 jax.jit(lambda a: jnp.full((block,), a, jnp.uint8))(
                     jnp.uint8(90 + (3 * v) % 89)))
 
-    def slope_of(skip):
+    def slope_of(skip, opts=()):
         step = lambda st, x: flagship_fused_wide_step(
-            st, x, nch=nch, tileF=tileF, skip=skip)
+            st, x, nch=nch, tileF=tileF, skip=skip, opts=opts)
         st, y = step(flagship_fused_wide_init(nch), fresh_u8())
         bench._probe_scalar(y)
         return bench._slope_msps(step, lambda: flagship_fused_wide_init(nch),
                                  fresh_u8(), block, iters)
 
-    items = list(ladder or LADDER)
+    items = [(e + ((),))[:3] for e in (ladder or LADDER)]  # pad opts
     assert items[0][0] == "full"
     fulls = [slope_of(())]
     print(f"# full[0]      {fulls[0]:9.1f} MSPS", flush=True)
     rows = [{"variant": "full", "skip": [], "msps": round(fulls[0], 1),
              "ns_per_sample": round(1e3 / fulls[0], 4)}]
-    for name, skip in items[1:]:
-        msps = slope_of(skip)
+    for name, skip, opts in items[1:]:
+        msps = slope_of(skip, opts)
         f = slope_of(())
         fulls.append(f)
         bracket = 0.5 * (fulls[-2] + fulls[-1])
@@ -133,12 +142,22 @@ def main():
     if len(sys.argv) > 2 and sys.argv[2] == "sub":
         rows, tileF, drift = measure(iters, ladder=SUB_LADDER)
         full_ns = rows[0]["ns_per_sample"]
-        parts = []
+        by = {r["variant"]: r["ns_per_sample"] for r in rows}
+        dense_ns = by.get("full_dense", full_ns)
+        parts = [{"part": "dc_hier_gain",
+                  "ns_per_sample": round(dense_ns - full_ns, 4),
+                  "pct_of_dense_full": round(
+                      100.0 * (dense_ns - full_ns) / dense_ns, 1)}]
         for cur in rows[1:]:
-            d = full_ns - cur["ns_per_sample"]
-            parts.append({"part": cur["variant"],
-                          "ns_per_sample": round(d, 4),
-                          "pct_of_full": round(100.0 * d / full_ns, 1)})
+            name = cur["variant"]
+            if name == "full_dense":
+                continue
+            base = dense_ns if name.startswith("dc_") else full_ns
+            d = base - cur["ns_per_sample"]
+            parts.append({"part": name, "baseline": (
+                "full_dense" if name.startswith("dc_") else "full"),
+                "ns_per_sample": round(d, 4),
+                "pct_of_baseline": round(100.0 * d / base, 1)})
         # bracket normalization corrects first-order window drift; the gate
         # rejects only wild swings where even adjacent brackets can't track
         # (this environment oscillates ~1.5x across a 15-min ladder)
