@@ -115,6 +115,22 @@ def main():
                 return tot
 
             acc_all = jax.jit(_acc_all)
+            # dispatch-latency pre-measurement: two tiny chained dispatches
+            # terminated by a download — records whether this sub-window is
+            # in the ~1 s/dispatch stall regime (then the e2e number
+            # measures the relay, not the framework)
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            _tiny = _jax.jit(lambda v: v * _jnp.float32(1.0000001) + 1.0)
+            _v = _jnp.float32(1.0)
+            _v = _tiny(_v)
+            float(_jax.device_get(_v))
+            _t = time.perf_counter()
+            _v = _tiny(_tiny(_v))
+            float(_jax.device_get(_v))
+            dispatch_ms = (time.perf_counter() - _t) * 500.0
+
             ys = []
             total_in = 0
             host_bytes = 0
@@ -173,6 +189,7 @@ def main():
             rec["sinks"] = ("on-device chained checksum, one 4-byte download "
                             "(downlink-free honest design)")
             rec["host_feed_MBps"] = round(host_bytes / dt / 1e6, 1)
+            rec["dispatch_ms_before"] = round(dispatch_ms, 1)
         print(json.dumps(rec))
 
 

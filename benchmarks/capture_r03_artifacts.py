@@ -209,6 +209,36 @@ def main():
         up_ok = p["up_MBps"] >= 80.0
         up_min = p["up_MBps"] >= 10.0
 
+        # streaming FIRST: the window oscillates on a minutes scale, and a
+        # fast-wire probe is only predictive of the sub-window immediately
+        # after it — every earlier ordering burned the good sub-windows on
+        # other jobs and ran streaming in the next stall
+        if todo["streaming"] and up_ok:
+            try:
+                with open(os.path.join(RES, "STREAMING_r03.json")) as f:
+                    prev = json.load(f)
+                history, best = prev.get("history", []), prev.get("best")
+            except (OSError, ValueError):
+                history, best = [], None
+            variants = ["cu8 nodl"]
+            if p["down_MBps"] >= 20.0:
+                variants = [None, "cu8", "decim8"] + variants
+            elif p["down_MBps"] >= 3.0:
+                variants = ["decim8"] + variants
+            for variant in variants:
+                r = cap.bench(variant)
+                if r is None:
+                    history.append({"ts": round(time.time(), 1),
+                                    "bench": variant or "cf32",
+                                    "result": "failed/timeout"})
+                    continue
+                r["probe_before"] = p
+                history.append({"ts": round(time.time(), 1), "bench": r})
+                print(json.dumps(r), flush=True)
+                if best is None or r["value"] > best["value"]:
+                    best = r
+            cap._write(best, history)
+
         if todo["honest"] and up_min:
             run_script("probe_honest.py", [], 3600)
             _annotate("HONEST_r03.json", p)
@@ -240,31 +270,6 @@ def main():
         if todo["roofline"] and up_ok:
             run_script("probe_roofline.py", ["20"], 2400)
             _annotate("ROOFLINE_r03.json", p)
-        if todo["streaming"] and up_ok:
-            try:
-                with open(os.path.join(RES, "STREAMING_r03.json")) as f:
-                    prev = json.load(f)
-                history, best = prev.get("history", []), prev.get("best")
-            except (OSError, ValueError):
-                history, best = [], None
-            variants = ["cu8 nodl", "nodl"]
-            if p["down_MBps"] >= 20.0:
-                variants = [None, "cu8", "decim8"] + variants
-            elif p["down_MBps"] >= 3.0:
-                variants = ["decim8"] + variants
-            for variant in variants:
-                r = cap.bench(variant)
-                if r is None:
-                    history.append({"ts": round(time.time(), 1),
-                                    "bench": variant or "cf32",
-                                    "result": "failed/timeout"})
-                    continue
-                r["probe_before"] = p
-                history.append({"ts": round(time.time(), 1), "bench": r})
-                print(json.dumps(r), flush=True)
-                if best is None or r["value"] > best["value"]:
-                    best = r
-            cap._write(best, history)
         time.sleep(60 if up_ok else 240)
 
     print("# budget exhausted", flush=True)
