@@ -191,6 +191,9 @@ def main():
             # post-flip recaptures: the hier solve is the production kernel
             # now, so the tuned tiles and per-backend numbers move
             "tune": not _healthy("TUNE_r03.json", "healthy"),
+            # settle the u8-wide tileF=256 sweep outlier (13.8 GSPS pinned
+            # mid-spike; backends then measured cu8_wide BELOW wide-f32)
+            "tileab": not _healthy("KERNEL_TILEF_r03.json", "healthy"),
             "backends": not _healthy("BACKENDS_r03.json", "healthy"),
             "scanloop": not _healthy("SCANLOOP_r03.json", "healthy"),
         }
@@ -255,6 +258,10 @@ def main():
             run_script("probe_kernel_opts.py", ["12"], 3600,
                        env_extra={"CSDR_OPTS_EXPERIMENT": "dc_hier"})
             _annotate("KERNEL_OPTS_r03.json", p)
+        if todo["tileab"] and up_ok:
+            run_script("probe_kernel_opts.py", ["12"], 3600,
+                       env_extra={"CSDR_TILEF_AB": "256,2048"})
+            _annotate("KERNEL_TILEF_r03.json", p)
         if todo["receivers"] and up_ok:
             run_script("validate_receivers.py", [], 2400)
             _annotate("RECEIVERS_r03.json", p)

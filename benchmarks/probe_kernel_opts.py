@@ -255,7 +255,12 @@ def main():
            "mode": mode_name, "experiment_opts": list(EXPERIMENT),
            "pairs": pairs,
            "median_ratio_experiment_vs_production": round(med, 4)}
-    out = os.path.join(HERE, "results", f"KERNEL_OPTS_{ROUND}.json")
+    if TILEF_AB:
+        rec["tilef_ab"] = TILEF_AB
+        rec["experiment_opts"] = f"tileF {TILEF_AB} (production opts)"
+        out = os.path.join(HERE, "results", f"KERNEL_TILEF_{ROUND}.json")
+    else:
+        out = os.path.join(HERE, "results", f"KERNEL_OPTS_{ROUND}.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps({"metric": f"kernel_opts_median_ratio_{mode_name}",
