@@ -130,6 +130,16 @@ def main():
             _v = _tiny(_tiny(_v))
             float(_jax.device_get(_v))
             dispatch_ms = (time.perf_counter() - _t) * 500.0
+            # sustained-upload diagnostic: 4 back-to-back DISTINCT 16 MB
+            # uploads — separates burst wire speed (the single-shot probe)
+            # from the sustained regime the feed loop actually sees
+            # (observed: 171 MB/s burst probe, ~6 MB/s sustained feed)
+            _t = time.perf_counter()
+            for _k in range(4):
+                _b = _jax.device_put(
+                    np.full(1 << 22, _k + 1, np.float32))
+                _jax.block_until_ready(_b)
+            sustained_up = 4 * (1 << 24) / (time.perf_counter() - _t) / 1e6
 
             ys = []
             total_in = 0
@@ -190,6 +200,7 @@ def main():
                             "(downlink-free honest design)")
             rec["host_feed_MBps"] = round(host_bytes / dt / 1e6, 1)
             rec["dispatch_ms_before"] = round(dispatch_ms, 1)
+            rec["sustained_up_MBps"] = round(sustained_up, 1)
         print(json.dumps(rec))
 
 
