@@ -47,13 +47,15 @@ def _fit(xs, ts):
     return float(a), float(b)
 
 
-def probe_scan(nch=64, block=1 << 22, inners=(64, 256, 1024), reps=3):
+def probe_scan(nch=64, block=1 << 22, inners=(64, 256, 1024), reps=3,
+               backend="pallas_wide"):
     import jax
     import jax.numpy as jnp
     from csdr_tpu.core.runtime import encode_tree, decode_tree, CEnc
     from csdr_tpu.models.receivers import channelized_fm_receiver
 
-    graph = channelized_fm_receiver(nch, kf=0.6, backend="pallas_full")
+    # pallas_wide: the production flagship backend (BACKENDS_r03 best)
+    graph = channelized_fm_receiver(nch, kf=0.6, backend=backend)
     x_in = CEnc(jax.jit(lambda: jnp.full((block, 2), 0.5, jnp.float32))())
 
     def one(s_enc, x_enc):
@@ -93,13 +95,14 @@ def probe_scan(nch=64, block=1 << 22, inners=(64, 256, 1024), reps=3):
             "msps": round(block / b / 1e6, 1) if b > 0 else None}
 
 
-def probe_hostloop(nch=64, block=1 << 22, ns=(8, 32, 128), reps=3):
+def probe_hostloop(nch=64, block=1 << 22, ns=(8, 32, 128), reps=3,
+                   backend="pallas_wide"):
     import jax
     import jax.numpy as jnp
     from csdr_tpu.core.runtime import encode_tree, decode_tree, CEnc
     from csdr_tpu.models.receivers import channelized_fm_receiver
 
-    graph = channelized_fm_receiver(nch, kf=0.6, backend="pallas_full")
+    graph = channelized_fm_receiver(nch, kf=0.6, backend=backend)
     x_in = CEnc(jax.jit(lambda: jnp.full((block, 2), 0.5, jnp.float32))())
 
     @jax.jit
