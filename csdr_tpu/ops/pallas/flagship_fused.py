@@ -182,13 +182,15 @@ def _dc_solve_stacked(X, MdT_hi, MdT_lo, S, p1, pg, pN,
 
 
 def _hier_group(rows: int) -> int | None:
-    """Group size B for the hierarchical row-carry solve: the largest
-    MXU-friendly divisor of ``rows`` that leaves 2..64 groups (the packed
-    per-group carry pairs must fit one 128-lane row: 2G <= 128).  None
-    means the panel is out of range — use the dense solve."""
-    for b in (128, 64, 32):
-        if rows % b == 0 and 2 <= rows // b <= 64:
-            return b
+    """Group size B for the hierarchical row-carry solve: full-sublane
+    groups (B=128) with 2..64 of them (the packed per-group carry pairs
+    must fit one 128-lane row: 2G <= 128).  None means the panel is out of
+    the measured-win regime — use the dense solve: at rows=128 (B=64) the
+    pack/unpack overhead measured 4% SLOWER than the small dense matvec
+    (ABLATION_SUB_r03 dc_hier_gain at tileF=256), while B=128 groups
+    measured +17% at tileH=512 (KERNEL_OPTS_r03)."""
+    if rows % 128 == 0 and 2 <= rows // 128 <= 64:
+        return 128
     return None
 
 
