@@ -32,13 +32,13 @@ SPEC = {
     "RECEIVERS_r03.json": ("all_ok", ["rows"]),
     "STREAMING_r03.json": ("__best__", ["history"]),
     "SCALING_r03.json": ("meets_80pct_target", ["points"]),
-    # Round-2 artifacts that carry over until a kernel-config change forces
-    # a re-capture (TUNE/BACKENDS wait on the KERNEL_OPTS_r03 verdict)
-    "TUNE_r02.json": ("healthy", ["best_flagship_msps", "cache"]),
-    "BACKENDS_r02.json": ("healthy", ["msps_per_backend"]),
+    "KERNEL_TILEF_r03.json": ("healthy", ["pairs"]),
+    "TUNE_r03.json": ("healthy", ["best_flagship_msps", "cache"]),
+    "BACKENDS_r03.json": ("healthy", ["msps_per_backend"]),
+    "SCANLOOP_r03.json": ("healthy", ["msps"]),
+    # Round-2 artifacts that carry over (flagship-kernel-independent)
     "U8_CONVERT_r02.json": ("healthy_window", ["u8_i32_f32"]),
     "BLOCKSWEEP_r02.json": ("healthy", ["msps"]),
-    "SCANLOOP_r02.json": ("healthy", ["msps"]),
     "FFTFIR_r02.json": (None, ["results"]),
     "SYMSYNC_r02.json": (None, ["results"]),
 }
