@@ -140,6 +140,29 @@ def main():
                     np.full(1 << 22, _k + 1, np.float32))
                 _jax.block_until_ready(_b)
             sustained_up = 4 * (1 << 24) / (time.perf_counter() - _t) / 1e6
+            # u8 flavor: the feed loop ships uint8 planes; if the relay's
+            # u8 path is slower than f32, this shows it
+            _t = time.perf_counter()
+            for _k in range(4):
+                _b = _jax.device_put(
+                    np.full(1 << 24, _k + 7, np.uint8))
+                _jax.block_until_ready(_b)
+            sustained_up_u8 = 4 * (1 << 24) / (time.perf_counter() - _t) / 1e6
+            # device-resident dispatch loop: 4 pipeline steps on an input
+            # already on device — isolates the program dispatch path from
+            # the host feed entirely
+            _xd = _jax.device_put(np.full(pipe.block_size, 100, np.uint8)
+                                  if cu8 else
+                                  np.zeros(pipe.block_size, np.complex64))
+            _jax.block_until_ready(_xd) if not np.iscomplexobj(_xd) else None
+            _t = time.perf_counter()
+            _ys = [pipe.process_block(_xd) for _ in range(4)]
+            _probe = float(_jax.device_get(
+                _jax.tree_util.tree_leaves(_ys[-1])[0].ri.reshape(-1)[0]
+                if hasattr(_jax.tree_util.tree_leaves(_ys[-1])[0], "ri")
+                else _jax.tree_util.tree_leaves(_ys[-1])[0].reshape(-1)[0]))
+            resident_step_ms = (time.perf_counter() - _t) * 250.0
+            del _ys
 
             ys = []
             total_in = 0
@@ -201,6 +224,8 @@ def main():
             rec["host_feed_MBps"] = round(host_bytes / dt / 1e6, 1)
             rec["dispatch_ms_before"] = round(dispatch_ms, 1)
             rec["sustained_up_MBps"] = round(sustained_up, 1)
+            rec["sustained_up_u8_MBps"] = round(sustained_up_u8, 1)
+            rec["resident_step_ms"] = round(resident_step_ms, 1)
         print(json.dumps(rec))
 
 
