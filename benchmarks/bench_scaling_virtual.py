@@ -67,7 +67,7 @@ def measure_ceiling(n: int, secs: float, mode: str = "single") -> dict:
             cmd = _worker_cmd(str(k), [mode, str(BLOCK_PER_DEV),
                                        str(secs), sync, str(k)])
             procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                          stderr=subprocess.DEVNULL,
+                                          stderr=subprocess.PIPE,
                                           text=True, env=_env()))
         deadline = time.time() + 600
         while time.time() < deadline:
@@ -80,8 +80,12 @@ def measure_ceiling(n: int, secs: float, mode: str = "single") -> dict:
         open(os.path.join(sync, "go"), "w").close()
         rows = []
         for p in procs:
-            out, _ = p.communicate(timeout=900)
-            rows.append(json.loads(out.strip().splitlines()[-1]))
+            out, err = p.communicate(timeout=900)
+            lines = (out or "").strip().splitlines()
+            if not lines:
+                raise RuntimeError(
+                    f"ceiling worker produced no output (rc={p.returncode})")
+            rows.append(json.loads(lines[-1]))
     return {"per_worker_msps": [r["msps"] for r in rows],
             "aggregate_msps": round(sum(r["msps"] for r in rows), 2)}
 
@@ -113,7 +117,11 @@ def main():
     for n in counts:
         ceil = measure_ceiling(n, secs)
         prog = measure_program(n, secs, cores)
-        eff = prog["msps"] / ceil["aggregate_msps"] if ceil["aggregate_msps"] else None
+        eff = (prog["msps"] / ceil["aggregate_msps"]
+               if ceil["aggregate_msps"] else None)
+        if eff is None:
+            print(f"# n={n}: zero ceiling — skipping point", flush=True)
+            continue
         # decomposition controls: the SAME protocol on a collective-free
         # elementwise workload isolates the in-process multi-device
         # runtime's overhead (thread scheduling of N virtual devices) from
@@ -162,7 +170,12 @@ def main():
         except RuntimeError as e:
             over = {"devices": 8, "error": str(e)[:200]}
 
-    multi = [p for p in points if p["devices"] > 1]
+    multi = [p for p in points if p["devices"] > 1
+             and p["efficiency_vs_measured_ceiling"] is not None
+             and p["structural_efficiency"] is not None]
+    if not multi:
+        raise SystemExit("no multi-device points measurable on this host "
+                         f"({cores} cores) — artifact not written")
     min_eff = min(p["efficiency_vs_measured_ceiling"] for p in multi)
     min_struct = min(p["structural_efficiency"] for p in multi)
     rec = {"ts": time.time(), "host_cores": cores,

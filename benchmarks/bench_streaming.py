@@ -150,11 +150,17 @@ def main():
             sustained_up_u8 = 4 * (1 << 24) / (time.perf_counter() - _t) / 1e6
             # device-resident dispatch loop: 4 pipeline steps on an input
             # already on device — isolates the program dispatch path from
-            # the host feed entirely
-            _xd = _jax.device_put(np.full(pipe.block_size, 100, np.uint8)
-                                  if cu8 else
-                                  np.zeros(pipe.block_size, np.complex64))
-            _jax.block_until_ready(_xd) if not np.iscomplexobj(_xd) else None
+            # the host feed entirely.  COMPLEX-FREE: the cf32 flavor ships
+            # encoded (n, 2) float planes (CEnc) — an eager complex
+            # device_put wedges this TPU backend (docs/TPU_BACKEND_NOTES.md)
+            from csdr_tpu.core.runtime import CEnc as _CEnc
+
+            if cu8:
+                _xd = _jax.device_put(np.full(pipe.block_size, 100, np.uint8))
+            else:
+                _xd = _CEnc(_jax.device_put(
+                    np.zeros((pipe.block_size, 2), np.float32)))
+            _jax.block_until_ready(_xd.ri if hasattr(_xd, "ri") else _xd)
             _t = time.perf_counter()
             _ys = [pipe.process_block(_xd) for _ in range(4)]
             _probe = float(_jax.device_get(

@@ -255,8 +255,11 @@ def main():
         # production/experiment pairs inside seconds-long dispatches), so it
         # does NOT wait for a drift-stable ladder window
         if todo["kopts"] and up_ok:
+            # production is the hier solve now: the meaningful A/B is vs
+            # the dense path it replaced (dc_hier would compare hier to
+            # itself and overwrite the +17% artifact with a ratio of 1)
             run_script("probe_kernel_opts.py", ["12"], 3600,
-                       env_extra={"CSDR_OPTS_EXPERIMENT": "dc_hier"})
+                       env_extra={"CSDR_OPTS_EXPERIMENT": "dc_dense"})
             _annotate("KERNEL_OPTS_r03.json", p)
         if todo["tileab"] and up_ok:
             run_script("probe_kernel_opts.py", ["12"], 3600,

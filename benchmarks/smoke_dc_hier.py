@@ -62,9 +62,11 @@ def main():
 
             @jax.jit
             def diff(u8=u8, tf=tileF, st=step, ini=init):
-                _, ya = st(ini(nch), u8, nch=nch, tileF=tf)
-                _, yb = st(ini(nch), u8, nch=nch, tileF=tf,
-                           opts=("dc_hier",))
+                # dense reference vs the (default) hier production path —
+                # opts=("dc_hier",) would compare hier to itself post-flip
+                _, ya = st(ini(nch), u8, nch=nch, tileF=tf,
+                           opts=("dc_dense",))
+                _, yb = st(ini(nch), u8, nch=nch, tileF=tf)
                 d = jnp.abs(ya - yb)
                 return jnp.max(d), jnp.quantile(d, 0.99), jnp.mean(
                     (d > 0.01).astype(jnp.float32))

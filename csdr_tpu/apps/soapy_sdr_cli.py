@@ -446,6 +446,9 @@ def run_opts(opts) -> int:
                 except NotImplementedError as e:
                     print(f"--mesh: this flow cannot be time-sharded ({e})")
                     return 1
+                except ValueError as e:
+                    print(f"--mesh: invalid configuration ({e})")
+                    return 1
                 _announce("Flow", graph, opts)
                 with sink:
                     ShardedPipeline(sh).run(stream,

@@ -268,8 +268,9 @@ class Tee(Block):
     rates and the runtime trims each output leaf independently — e.g. tee a
     WBFM audio path (1/decim) with a constellation tap (1:1) in one graph.
     ``self.rate`` is branch 1's rate (the primary output for sample
-    accounting); under a mesh, multi-rate tees refuse (branch outputs would
-    need different per-device lengths)."""
+    accounting).  Multi-rate tees shard too (round 3): shard_validate
+    returns a per-branch local-length tree and the sharded runner trims
+    each leaf by its own rate."""
 
     def __init__(self, b1: Block, b2: Block, name: str = "tee"):
         self.b1, self.b2 = b1, b2

@@ -82,7 +82,6 @@ class ShardedPipeline:
     def run(self, source: Iterable[np.ndarray], sink: Callable,
             num_samples: int | None = None) -> int:
         total = 0
-        r = self.rate
         for out in self.stream(source, num_samples):
             sink(out)
             first = jax.tree.leaves(out)[0]
