@@ -161,6 +161,11 @@ def main():
                 _xd = _CEnc(_jax.device_put(
                     np.zeros((pipe.block_size, 2), np.float32)))
             _jax.block_until_ready(_xd.ri if hasattr(_xd, "ri") else _xd)
+            _w = pipe.process_block(_xd)       # compile + warm FIRST —
+            _jax.block_until_ready(            # the first observed 3.2 s
+                _jax.tree_util.tree_leaves(_w)[0].ri
+                if hasattr(_jax.tree_util.tree_leaves(_w)[0], "ri")
+                else _jax.tree_util.tree_leaves(_w)[0])
             _t = time.perf_counter()
             _ys = [pipe.process_block(_xd) for _ in range(4)]
             _probe = float(_jax.device_get(
