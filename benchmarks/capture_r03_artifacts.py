@@ -198,6 +198,9 @@ def main():
             # settle the u8-wide tileF=256 sweep outlier (13.8 GSPS pinned
             # mid-spike; backends then measured cu8_wide BELOW wide-f32)
             "tileab": not _healthy("KERNEL_TILEF_r03.json", "healthy"),
+            # audio layout A/B: the out-of-kernel channel-major transpose is
+            # ~half the io/layout floor (ABLATION_r03); measure skipping it
+            "audioframes": not _healthy("KERNEL_AF_r03.json", "healthy"),
             "backends": not _healthy("BACKENDS_r03.json", "healthy"),
             "scanloop": not _healthy("SCANLOOP_r03.json", "healthy"),
         }
@@ -269,6 +272,11 @@ def main():
             run_script("probe_kernel_opts.py", ["12"], 3600,
                        env_extra={"CSDR_TILEF_AB": "256,2048"})
             _annotate("KERNEL_TILEF_r03.json", p)
+        if todo["audioframes"] and up_ok:
+            run_script("probe_kernel_opts.py", ["12"], 3600,
+                       env_extra={"CSDR_OPTS_EXPERIMENT": "audio_frames",
+                                  "CSDR_OPTS_OUT": "KERNEL_AF_r03.json"})
+            _annotate("KERNEL_AF_r03.json", p)
         if todo["receivers"] and up_ok:
             run_script("validate_receivers.py", [], 2400)
             _annotate("RECEIVERS_r03.json", p)

@@ -260,7 +260,8 @@ def main():
         rec["experiment_opts"] = f"tileF {TILEF_AB} (production opts)"
         out = os.path.join(HERE, "results", f"KERNEL_TILEF_{ROUND}.json")
     else:
-        out = os.path.join(HERE, "results", f"KERNEL_OPTS_{ROUND}.json")
+        out = os.path.join(HERE, "results", os.environ.get(
+            "CSDR_OPTS_OUT", f"KERNEL_OPTS_{ROUND}.json"))
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps({"metric": f"kernel_opts_median_ratio_{mode_name}",

@@ -570,4 +570,6 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
     new_phase = jnp.mod(state["phase"] + phase_increment(float(omega), int(n)),
                         np.float32(_TWO_PI))
     new_state = dict(phase=new_phase, hist_re=hist_re, hist_im=hist_im, scal=scal)
+    if "audio_frames" in opts:
+        return new_state, audio.reshape(F, nch)   # see flagship_fused_wide
     return new_state, audio.reshape(F, nch).T

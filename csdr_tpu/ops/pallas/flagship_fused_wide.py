@@ -417,4 +417,10 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
     new_phase = jnp.mod(state["phase"] + phase_increment(float(omega), int(n)),
                         np.float32(_TWO_PI))
     new_state = dict(phase=new_phase, hist_re=hist_re, hist_im=hist_im, scal=scal)
+    if "audio_frames" in opts:
+        # frame-major (n/nch, nch) output: skips the channel-major transpose
+        # (an XLA pass over the whole audio, ~half the io/layout floor per
+        # ABLATION_r03) — for consumers that accept either layout (host
+        # sinks transpose as a free numpy view after download)
+        return new_state, audio.reshape(F, nch)
     return new_state, audio.reshape(F, nch).T

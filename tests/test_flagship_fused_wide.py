@@ -222,3 +222,21 @@ def test_opts_gates_match_production():
         assert np.max(np.abs(np.asarray(yd) - np.asarray(ye))) < 5e-7
         for k in ("hist_re", "hist_im", "scal"):
             assert np.array_equal(np.asarray(sd[k]), np.asarray(se[k])), k
+
+
+def test_audio_frames_layout_matches_transposed():
+    """opts=("audio_frames",) returns the same audio frame-major: y_frames.T
+    must equal the default channel-major output exactly."""
+    from csdr_tpu.ops.pallas.flagship_fused import (flagship_fused_init as oi,
+                                                    flagship_fused_step as os_)
+    nch, tileF = 16, 64
+    iq = _signal(nch, tileF, blocks=1, seed=6)
+    for init, step in ((oi, os_),
+                       (flagship_fused_wide_init, flagship_fused_wide_step)):
+        sa, sb = init(nch), init(nch)
+        sa, ya = step(sa, jnp.asarray(iq), nch=nch, tileF=tileF,
+                      interpret=True)
+        sb, yb = step(sb, jnp.asarray(iq), nch=nch, tileF=tileF,
+                      interpret=True, opts=("audio_frames",))
+        assert yb.shape == (len(iq) // nch, nch)
+        assert np.array_equal(np.asarray(ya), np.asarray(yb).T)
