@@ -103,6 +103,33 @@ def main():
             import jax.numpy as jnp
             from csdr_tpu.core.runtime import rechunk
 
+            if cu8:
+                # the PRODUCTION u8 ingest path: interleaved rtl_sdr bytes
+                # straight into the fused wide kernel (2 B/sample on the
+                # wire, conversion in-kernel) — the same graph as the
+                # composite Pipeline but one small fast-dispatch program
+                from csdr_tpu.ops.pallas.flagship_fused_wide import (
+                    flagship_fused_wide_init, flagship_fused_wide_step)
+                from csdr_tpu.blocks.pallas_blocks import _interp_default
+                from csdr_tpu.utils import autotune
+
+                tF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
+                interp = _interp_default(False)
+                kstate = flagship_fused_wide_init(nch)
+
+                class _KPipe:
+                    block_size = pipe.block_size
+
+                    @staticmethod
+                    def process_block(chunk_u8):
+                        nonlocal kstate
+                        kstate, audio = flagship_fused_wide_step(
+                            kstate, jnp.asarray(chunk_u8), nch=nch, tileF=tF,
+                            interpret=interp)
+                        return audio
+
+                pipe = _KPipe()
+
             def _acc_all(cs_ys):
                 # FULL reduction over every block: every audio element feeds
                 # the checksum, so no partial-output narrowing can skip
