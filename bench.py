@@ -277,9 +277,12 @@ def main():
         # latter, so it leads the chain; host-loop modes back it up in case
         # a kernel regression breaks the scan compile.  Keep the best healthy
         # measurement across attempts rather than reporting a sick window.
+        # pallas_wide leads: it is the production-best backend since the
+        # round-3 hier flip + tile re-pin (BACKENDS_r03: wide 12,248 vs
+        # narrow 5,089; HONEST_r03 cross-checks the wide graph at 10.4 GSPS)
         attempts_plan = (
-            [("scan", be) for be in ("pallas_full", "pallas_wide")]
-            + [("loop", be) for be in ("pallas_full", "pallas_wide",
+            [("scan", be) for be in ("pallas_wide", "pallas_full")]
+            + [("loop", be) for be in ("pallas_wide", "pallas_full",
                                        "pallas", "xla")])
         msps = None
         for attempt in range(5):
