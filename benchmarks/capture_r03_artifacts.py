@@ -201,6 +201,9 @@ def main():
             # audio layout A/B: the out-of-kernel channel-major transpose is
             # ~half the io/layout floor (ABLATION_r03); measure skipping it
             "audioframes": not _healthy("KERNEL_AF_r03.json", "healthy"),
+            # 3-multiply complex DFT (9 vs 12 MXU passes; DFT is 22% of the
+            # production-tile kernel budget)
+            "dftkara": not _healthy("KERNEL_KARA_r03.json", "healthy"),
             "backends": not _healthy("BACKENDS_r03.json", "healthy"),
             "scanloop": not _healthy("SCANLOOP_r03.json", "healthy"),
         }
@@ -277,6 +280,11 @@ def main():
                        env_extra={"CSDR_OPTS_EXPERIMENT": "audio_frames",
                                   "CSDR_OPTS_OUT": "KERNEL_AF_r03.json"})
             _annotate("KERNEL_AF_r03.json", p)
+        if todo["dftkara"] and up_ok:
+            run_script("probe_kernel_opts.py", ["12"], 3600,
+                       env_extra={"CSDR_OPTS_EXPERIMENT": "dft_kara",
+                                  "CSDR_OPTS_OUT": "KERNEL_KARA_r03.json"})
+            _annotate("KERNEL_KARA_r03.json", p)
         if todo["receivers"] and up_ok:
             run_script("validate_receivers.py", [], 2400)
             _annotate("RECEIVERS_r03.json", p)

@@ -16,7 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["split_bf16", "split_bf16_np", "dot3", "cdot3"]
+__all__ = ["split_bf16", "split_bf16_np", "dot3", "cdot3",
+           "cdot3_kara"]
 
 
 def split_bf16(a):
@@ -51,3 +52,20 @@ def cdot3(ure_p, uim_p, wre_hi, wre_lo, wim_hi, wim_lo):
     dre = dot3(ure_p, wre_hi, wre_lo) - dot3(uim_p, wim_hi, wim_lo)
     dim = dot3(ure_p, wim_hi, wim_lo) + dot3(uim_p, wre_hi, wre_lo)
     return dre, dim
+
+
+def cdot3_kara(ure_p, uim_p, usum_p, wre, wmr, wpr):
+    """3-multiply (Karatsuba) complex product: 9 bf16 MXU passes instead of
+    cdot3's 12.  With host-precomputed combination planes
+    Wmr = Wim − Wre and Wpr = Wre + Wim (each a (hi, lo) split pair):
+
+        k1 = (Re+Im) @ Wre,  k2 = Re @ Wmr,  k3 = Im @ Wpr
+        dre = k1 − k3,       dim = k1 + k2
+
+    ``usum_p`` is split_bf16(ure + uim).  Error floor ~2-3× the cdot3 one
+    (operand magnitudes double in the combos) — still ≈ −88 dB, beyond the
+    80 dB channelizer spec."""
+    k1 = dot3(usum_p, wre[0], wre[1])
+    k2 = dot3(ure_p, wmr[0], wmr[1])
+    k3 = dot3(uim_p, wpr[0], wpr[1])
+    return k1 - k3, k1 + k2

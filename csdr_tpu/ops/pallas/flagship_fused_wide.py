@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..pfb import pfb_dft_matrix, pfb_offset
 from ..nco import phase_ramp, phase_increment
-from .bf16x3 import split_bf16, split_bf16_np, cdot3
+from .bf16x3 import split_bf16, split_bf16_np, cdot3, cdot3_kara
 from .pfb_fused import _atan2
 from .flagship_fused import (_permuted_tap_panel, _row_carry_matrix,
                              _powvec, _row_decay_col, _dc_diff_panels,
@@ -68,6 +68,27 @@ def _wide_tap_panel(nch: int, m: int, as_db: float) -> np.ndarray:
     """(L+1, 128) T̂ duplicated across the R frame slots."""
     That = _permuted_tap_panel(nch, m, as_db)  # (L+1, nch)
     return np.tile(That, (1, _LANES // nch))
+
+
+@functools.lru_cache(maxsize=None)
+def _wide_dft_kara(nch: int):
+    """Karatsuba combination planes for cdot3_kara, packed lane-wise:
+    (128, 384) hi and lo panels [Wre | Wim−Wre | Wre+Wim] (block-diagonal
+    like _wide_dft)."""
+    W = pfb_dft_matrix(nch)
+    q = np.arange(nch)
+    Whet = W[(nch - q) % nch, :]
+    R = _LANES // nch
+    combos = (Whet.real, Whet.imag - Whet.real, Whet.real + Whet.imag)
+    his, los = [], []
+    for comp in combos:
+        blk = np.zeros((_LANES, _LANES), dtype=np.float32)
+        for a in range(R):
+            blk[a * nch:(a + 1) * nch, a * nch:(a + 1) * nch] = comp
+        hi, lo = split_bf16_np(blk)
+        his.append(hi)
+        los.append(lo)
+    return np.concatenate(his, axis=1), np.concatenate(los, axis=1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -229,8 +250,20 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         # ---- block-diagonal DFT, bf16_3x ----
         ure_p = split_bf16(ure)
         uim_p = split_bf16(uim)
-        dre, dim = cdot3(ure_p, uim_p, wre_hi_ref[:], wre_lo_ref[:],
-                         wim_hi_ref[:], wim_lo_ref[:])
+        if "dft_kara" in opts:
+            # 3-multiply complex: wre refs carry the packed (128, 384)
+            # combination planes [Wre | Wim-Wre | Wre+Wim]; wim refs are
+            # dummies (see the step function)
+            usum_p = split_bf16(ure + uim)
+            Whi, Wlo = wre_hi_ref[:], wre_lo_ref[:]
+            dre, dim = cdot3_kara(
+                ure_p, uim_p, usum_p,
+                (Whi[:, 0:_LANES], Wlo[:, 0:_LANES]),
+                (Whi[:, _LANES:2 * _LANES], Wlo[:, _LANES:2 * _LANES]),
+                (Whi[:, 2 * _LANES:3 * _LANES], Wlo[:, 2 * _LANES:3 * _LANES]))
+        else:
+            dre, dim = cdot3(ure_p, uim_p, wre_hi_ref[:], wre_lo_ref[:],
+                             wim_hi_ref[:], wim_lo_ref[:])
     else:
         dre, dim = ure, uim
 
@@ -341,11 +374,18 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
     ramp = jnp.asarray(phase_ramp(float(omega), _LANES).reshape(1, _LANES))
 
     That = jnp.asarray(_wide_tap_panel(nch, m, as_db))
-    (wre_hi_np, wre_lo_np), (wim_hi_np, wim_lo_np) = _wide_dft(nch)
-    wre_hi = jnp.asarray(wre_hi_np, dtype=jnp.bfloat16)
-    wre_lo = jnp.asarray(wre_lo_np, dtype=jnp.bfloat16)
-    wim_hi = jnp.asarray(wim_hi_np, dtype=jnp.bfloat16)
-    wim_lo = jnp.asarray(wim_lo_np, dtype=jnp.bfloat16)
+    if "dft_kara" in opts:
+        kara_hi_np, kara_lo_np = _wide_dft_kara(nch)
+        wre_hi = jnp.asarray(kara_hi_np, dtype=jnp.bfloat16)
+        wre_lo = jnp.asarray(kara_lo_np, dtype=jnp.bfloat16)
+        wim_hi = jnp.zeros((1, 1), jnp.bfloat16)   # unused dummies
+        wim_lo = jnp.zeros((1, 1), jnp.bfloat16)
+    else:
+        (wre_hi_np, wre_lo_np), (wim_hi_np, wim_lo_np) = _wide_dft(nch)
+        wre_hi = jnp.asarray(wre_hi_np, dtype=jnp.bfloat16)
+        wre_lo = jnp.asarray(wre_lo_np, dtype=jnp.bfloat16)
+        wim_hi = jnp.asarray(wim_hi_np, dtype=jnp.bfloat16)
+        wim_lo = jnp.asarray(wim_lo_np, dtype=jnp.bfloat16)
     mdT_hi_np, mdT_lo_np = _dc_diff_panels(r, g, _LANES)
     mdT_hi = jnp.asarray(mdT_hi_np, dtype=jnp.bfloat16)
     mdT_lo = jnp.asarray(mdT_lo_np, dtype=jnp.bfloat16)
@@ -386,8 +426,8 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
             const2(tuple(S.shape)),
             const2((1, _LANES)), const2((1, _LANES)), const2((tileH + 1, 1)),
             const2((L + 1, _LANES)),
-            const2((_LANES, _LANES)), const2((_LANES, _LANES)),
-            const2((_LANES, _LANES)), const2((_LANES, _LANES)),
+            const2(tuple(wre_hi.shape)), const2(tuple(wre_lo.shape)),
+            const2(tuple(wim_hi.shape)), const2(tuple(wim_lo.shape)),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             const2((h, _LANES)), const2((h, _LANES)),
             pl.BlockSpec(memory_space=pltpu.SMEM),

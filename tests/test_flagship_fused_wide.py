@@ -240,3 +240,23 @@ def test_audio_frames_layout_matches_transposed():
                       interpret=True, opts=("audio_frames",))
         assert yb.shape == (len(iq) // nch, nch)
         assert np.array_equal(np.asarray(ya), np.asarray(yb).T)
+
+
+def test_dft_kara_matches_production():
+    """The 3-multiply (Karatsuba) DFT gate matches the 4-multiply cdot3
+    within its slightly higher (−88 dB class) error floor."""
+    nch, tileF = 16, 64
+    iq = _signal(nch, tileF, blocks=1, seed=7)
+    sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
+    sa, ya = flagship_fused_wide_step(sa, jnp.asarray(iq), nch=nch,
+                                      tileF=tileF, interpret=True)
+    sb, yb = flagship_fused_wide_step(sb, jnp.asarray(iq), nch=nch,
+                                      tileF=tileF, interpret=True,
+                                      opts=("dft_kara",))
+    d = np.abs(np.asarray(ya) - np.asarray(yb))
+    # isolated atan2 branch flips on noise channels aside, the audio sits
+    # within the combined bf16x3 floors
+    assert float(np.mean(d > 0.01)) < 0.005, float(np.mean(d > 0.01))
+    assert float(np.quantile(d, 0.99)) < 3e-4, float(np.quantile(d, 0.99))
+    for k in ("hist_re", "hist_im"):
+        assert np.allclose(np.asarray(sa[k]), np.asarray(sb[k]), atol=1e-6)
