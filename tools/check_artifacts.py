@@ -33,6 +33,8 @@ SPEC = {
     "STREAMING_r03.json": ("__best__", ["history"]),
     "SCALING_r03.json": ("meets_80pct_target", ["points"]),
     "KERNEL_TILEF_r03.json": ("healthy", ["pairs"]),
+    "KERNEL_AF_r03.json": ("healthy", ["pairs"]),
+    "KERNEL_KARA_r03.json": ("healthy", ["pairs"]),
     "TUNE_r03.json": ("healthy", ["best_flagship_msps", "cache"]),
     "BACKENDS_r03.json": ("healthy", ["msps_per_backend"]),
     "SCANLOOP_r03.json": ("healthy", ["msps"]),
