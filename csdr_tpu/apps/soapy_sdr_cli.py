@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["xla", "pallas", "pallas_full"],
                    help="Kernel backend for the channelized FM path "
                         "(-c N + DeNBFM): fused Pallas kernels or pure XLA")
+    p.add_argument("--profile", action="store_true",
+                   help="Per-block profiling: run each stage as its own "
+                        "device step and print a time-budget table "
+                        "(MSPS per stage) at the end of the run")
     p.add_argument("--mesh", default=None, metavar="TxC",
                    help="Run the flow on a device mesh, e.g. '4x2' = 4 "
                         "time-shards x 2 channel-shards.  Every demod flow "
@@ -438,9 +442,7 @@ def run_opts(opts) -> int:
                 mesh = _mesh_of(opts)
                 if mesh is None:
                     return 1
-                dt = int(opts.mesh.lower().split("x")[0])
-                g = graph.granule
-                block = max(opts.blocksize // (dt * g), 1) * dt * g
+                block = _sharded_block(mesh, graph, opts.blocksize)
                 try:
                     sh = ShardedChain(graph, mesh, block)
                 except NotImplementedError as e:
@@ -454,9 +456,11 @@ def run_opts(opts) -> int:
                     ShardedPipeline(sh).run(stream,
                                             S.BranchSinks(sink, bit_sink))
             else:
+                pipe = Pipeline(graph, block_size=opts.blocksize,
+                                profile=getattr(opts, "profile", False))
                 with sink:
-                    Pipeline(graph, block_size=opts.blocksize).run(
-                        stream, S.BranchSinks(sink, bit_sink))
+                    pipe.run(stream, S.BranchSinks(sink, bit_sink))
+                _profile_summary(pipe, opts)
             info = decode_groups(bit_sink.concat())
             pi = f"{info['pi']:04X}" if info["pi"] is not None else "----"
             print(f"RDS: PI={pi} PS={info['ps']!r} RT={info['rt']!r} "
@@ -472,9 +476,11 @@ def run_opts(opts) -> int:
             return _run_sharded_generic(opts, kind, per, None, stream,
                                         out_sink=sink)
         graph = chain(B.dc_blocker(), per)
-        pipe = Pipeline(graph, block_size=opts.blocksize)
+        pipe = Pipeline(graph, block_size=opts.blocksize,
+                        profile=getattr(opts, "profile", False))
         with sink:
             pipe.run(stream, sink)
+        _profile_summary(pipe, opts)
         return 0
     else:
         raise AssertionError(kind)
@@ -527,13 +533,21 @@ def run_opts(opts) -> int:
 
     graph = chain(*stages)
     _announce("Flow", graph, opts)
-    pipe = Pipeline(graph, block_size=opts.blocksize)
+    pipe = Pipeline(graph, block_size=opts.blocksize,
+                    profile=getattr(opts, "profile", False))
     t0 = time.perf_counter()
     with sink:
         total = pipe.run(stream, sink)
     _summary(total, time.perf_counter() - t0, opts)
+    _profile_summary(pipe, opts)
     print(f"Wrote {total} output samples per stream")
     return 0
+
+
+def _profile_summary(pipe, opts):
+    if getattr(opts, "profile", False) and getattr(pipe, "stage_stats", None):
+        print("Per-stage budget (on-device time per block):")
+        print(pipe.profile_report())
 
 
 def _summary(total_out: int, dt: float, opts):
@@ -553,6 +567,15 @@ def _mesh_of(opts):
         print(f"mesh {opts.mesh} needs {dt * dc} devices, have {len(devs)}")
         return None
     return Mesh(np.asarray(devs[:dt * dc]).reshape(dt, dc), ("time", "ch"))
+
+
+def _sharded_block(mesh, graph, blocksize: int) -> int:
+    """Round the requested block size to a multiple of time_shards·granule
+    (ShardedChain's divisibility contract).  dt comes from the Mesh object
+    itself so --mesh is parsed in exactly one place (_mesh_of)."""
+    dt = mesh.devices.shape[0]
+    g = graph.granule
+    return max(blocksize // (dt * g), 1) * dt * g
 
 
 def _run_sharded_generic(opts, kind, per, make_sink, stream,
@@ -586,9 +609,7 @@ def _run_sharded_generic(opts, kind, per, make_sink, stream,
         sink = out_sink if out_sink is not None else make_sink(opts.output)
     graph = chain(*stages)
     _announce("Flow", graph, opts)
-    dt = int(opts.mesh.lower().split("x")[0])
-    g = graph.granule
-    block = max(opts.blocksize // (dt * g), 1) * dt * g
+    block = _sharded_block(mesh, graph, opts.blocksize)
     try:
         sh = ShardedChain(graph, mesh, block)
     except NotImplementedError as e:

@@ -63,6 +63,18 @@ class Block:
         runtime trims each output leaf by its own rate (core/runtime)."""
         return self.rate
 
+    def flush_len(self) -> int:
+        """End-of-stream flush allowance (reference fold `done`,
+        Trans.hs:86-104): how many ZERO input samples must be fed after the
+        source ends so this block emits the output samples it is still
+        withholding.  Non-zero only for blocks that delay data past their
+        output (Delay's n-sample buffer, StereoFMDecoder's group-delay
+        line); causal filters emit 1:1 and owe nothing.  The runtime feeds
+        the graph's total allowance as one final zero block and trims the
+        result by the ordinary rational-rate accounting
+        (core/runtime.Pipeline.run(flush=...))."""
+        return 0
+
     # ---- sharding protocol ------------------------------------------------
     def shard_apply(self, state, x, ctx):
         if self.stateless:
@@ -176,6 +188,19 @@ class Chain(Block):
         for b in self.blocks:
             in_layout = b.shard_layout(in_layout)
         return in_layout
+
+    def flush_len(self) -> int:
+        # Block i's allowance is at ITS input rate; scale each back to the
+        # chain input by the accumulated rate prefix and take the ceiling so
+        # every stage receives at least its owed fill.
+        total = Fraction(0)
+        prefix = Fraction(1)
+        for b in self.blocks:
+            fl = b.flush_len()
+            if fl:
+                total += Fraction(fl) / prefix
+            prefix *= b.rate
+        return int(math.ceil(total))
 
     def rate_tree(self):
         # Walk the chain propagating per-leaf rates.  A block that declares
@@ -295,6 +320,11 @@ class Tee(Block):
         s2, y2 = self.b2.shard_apply(state[1], x, ctx.clone())
         return (s1, s2), (y1, y2)
 
+    def flush_len(self) -> int:
+        # one zero-fill feeds both branches; the larger owed allowance wins
+        # (the other branch's extra fill is trimmed by its own rate)
+        return max(self.b1.flush_len(), self.b2.flush_len())
+
     def shard_validate(self, nloc, ctx):
         """Multi-rate branches are fine under a mesh: each output leaf gets
         its own local length (the shard_map out_specs are a pytree and the
@@ -331,6 +361,9 @@ class PerChannel(Block):
 
     def apply(self, state, x):
         return jax.vmap(self.inner.apply)(state, x)
+
+    def flush_len(self) -> int:
+        return self.inner.flush_len()
 
     def shard_apply(self, state, x, ctx):
         """x: (nch_local, n) panel, channel-sharded when ctx.dc > 1.  The
@@ -409,10 +442,12 @@ class Delay(TailStateBlock):
     positions *earlier* to compensate filter group delay in the stereo
     decoder.  State: last n samples of the previous block.
 
-    End-of-stream note: the reference's fold-`done` emits the final n
-    buffered samples paired with zeros; this streaming Block has no
-    end-of-stream hook, so the delayed copy simply ends n samples early
-    (n = a filter group delay, microseconds of audio).
+    End-of-stream: ``flush_len() = n`` — the runtime feeds n final zeros,
+    so the delayed copy completes with its owed buffer tail paired with a
+    zeroed live slot (x=0, delayed=buffer).  Deliberate divergence: the
+    reference's fold-`done` zips the leftover buffer into the LIVE slot
+    with zeros in the delayed slot (Trans.hs:98-99), which hands the tail
+    to the wrong branch; ours keeps each branch's sample order intact.
     """
 
     def __init__(self, n: int, dtype=jnp.float32, name: str = "delay"):
@@ -428,6 +463,9 @@ class Delay(TailStateBlock):
         full = jnp.concatenate([state, x])
         delayed = full[: x.shape[0]]
         return full[x.shape[0]:], (x, delayed)
+
+    def flush_len(self) -> int:
+        return self.n
 
     def shard_layout(self, in_layout):
         return (in_layout, in_layout)

@@ -145,6 +145,22 @@ def rechunk(chunks: Iterable[np.ndarray], size: int) -> Iterator[np.ndarray]:
         yield np.concatenate(buf) if len(buf) > 1 else buf[0]
 
 
+def append_flush(chunks: Iterable[np.ndarray], nflush: int) -> Iterator[np.ndarray]:
+    """Append the graph's end-of-stream zero-fill allowance (Block.flush_len)
+    after the source is exhausted, matching the last chunk's dtype/row shape.
+    The fill counts as ordinary valid input, so the rational-rate trim emits
+    exactly the withheld samples (reference fold `done`, Trans.hs:86-104).
+    An empty source flushes nothing (there is nothing withheld)."""
+    tail_shape: tuple = ()
+    dtype = None
+    for c in chunks:
+        c = np.asarray(c)
+        tail_shape, dtype = c.shape[1:], c.dtype
+        yield c
+    if nflush and dtype is not None:
+        yield np.zeros((nflush,) + tail_shape, dtype)
+
+
 def take_n(chunks: Iterable[np.ndarray], n: int) -> Iterator[np.ndarray]:
     """Trim a chunk stream to exactly n samples (reference takeNArr,
     Trans.hs:33-56)."""
@@ -179,18 +195,50 @@ class Pipeline:
     encoding); block.apply itself runs on ordinary complex arrays."""
 
     def __init__(self, block: Block, block_size: int = DEFAULT_BLOCK,
-                 donate: bool = True, device=None):
+                 donate: bool = True, device=None, profile: bool = False):
         g = block.granule
         self.block = block
         self.block_size = max(g, (block_size // g) * g)
         self.device = device
+        self.profile = profile
+        self.stage_stats: list = []
 
         def step(s_enc, x_enc):
             s, x = decode_tree(s_enc), decode_tree(x_enc)
             s2, y = block.apply(s, x)
             return encode_tree(s2), encode_tree(y)
 
-        self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        if profile:
+            # per-block profiling (SURVEY.md §5: the counter the reference
+            # lacks): each stage compiles to its own jit with a CEnc-encoded
+            # boundary; process_block barriers between stages and meters
+            # each.  The whole-graph fusion across stage boundaries is lost
+            # while profiling — this is an observability mode, the budget
+            # shares are what it is for, not peak absolute throughput.
+            from .block import Chain as _Chain
+            from ..utils.prof import StageStat
+
+            self._stage_split = isinstance(block, _Chain)
+            self._stages = (list(block.blocks) if self._stage_split
+                            else [block])
+
+            def mk(b):
+                def stp(s_enc, x_enc):
+                    s, x = decode_tree(s_enc), decode_tree(x_enc)
+                    s2, y = b.apply(s, x)
+                    return encode_tree(s2), encode_tree(y)
+                return jax.jit(stp, donate_argnums=(0,) if donate else ())
+
+            self._stage_steps = [mk(b) for b in self._stages]
+            rates, acc = [], Fraction(1)
+            for b in self._stages:
+                rates.append(acc)
+                acc *= b.rate
+            self._stage_in_rate = rates
+            self.stage_stats = [StageStat(b.name or type(b).__name__)
+                                for b in self._stages]
+        else:
+            self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
         # jit the init+encode: eager ops that *create* complex arrays fail on
         # this TPU backend, while compiled programs with complex internals
         # are fine (docs/TPU_BACKEND_NOTES.md)
@@ -208,18 +256,59 @@ class Pipeline:
         Returns the ENCODED output pytree (CEnc re/im planes for complex
         leaves) — pass it through ``decode_tree_host`` for numpy complex;
         ``run``/``stream`` do that for you."""
-        self.state, y_enc = self._step(self.state, self._place(_encode_host(x)))
-        return y_enc
+        x_enc = self._place(_encode_host(x))
+        if not self.profile:
+            self.state, y_enc = self._step(self.state, x_enc)
+            return y_enc
+        return self._process_profiled(x_enc)
+
+    def _process_profiled(self, x_enc):
+        """Profiled step: stages run as separate jits with a barrier and a
+        wall-clock meter around each.  Data stays device-resident between
+        stages (encoded trees); the input-sample count per stage follows the
+        accumulated rational rate so per-stage MSPS are on each stage's own
+        basis."""
+        import time
+
+        first = jax.tree.leaves(x_enc, is_leaf=lambda l: isinstance(l, CEnc))[0]
+        n_in = (first.ri.shape[0] if isinstance(first, CEnc) else first.shape[0])
+        states = list(self.state) if self._stage_split else [self.state]
+        y = x_enc
+        jax.block_until_ready(jax.tree.leaves((states, y)))
+        for i, stp in enumerate(self._stage_steps):
+            t0 = time.perf_counter()
+            states[i], y = stp(states[i], y)
+            jax.block_until_ready(jax.tree.leaves((states[i], y)))
+            r = self._stage_in_rate[i]
+            self.stage_stats[i].add(time.perf_counter() - t0,
+                                    n_in * r.numerator // r.denominator)
+        self.state = tuple(states) if self._stage_split else states[0]
+        return y
+
+    def profile_report(self) -> str:
+        """Per-stage budget table (Pipeline(profile=True) runs only)."""
+        from ..utils.prof import stage_table
+
+        if not self.stage_stats:
+            return "(profiling disabled — construct Pipeline(profile=True))"
+        return stage_table(self.stage_stats)
 
     def stream(self, source: Iterable[np.ndarray],
-               num_samples: int | None = None) -> Iterator[np.ndarray]:
+               num_samples: int | None = None,
+               flush: bool = False) -> Iterator[np.ndarray]:
         """Generator form of run(): yields trimmed numpy output blocks.  Used
         to chain pipelines host-side (the reference materializes its front-end
-        Pipe the same way via unPipe, Types.hs:109-115)."""
+        Pipe the same way via unPipe, Types.hs:109-115).  ``flush`` defaults
+        OFF here: when pipelines are chained host-side, only the terminal
+        consumer should flush (run() defaults it on)."""
         n = self.block_size
         it: Iterable[np.ndarray] = source
         if num_samples is not None:
             it = take_n(it, num_samples)
+        if flush:
+            nflush = self.block.flush_len()
+            if nflush:
+                it = append_flush(it, nflush)
         rt = self.block.rate_tree()
         for chunk in rechunk(it, n):
             valid = len(chunk)
@@ -233,13 +322,20 @@ class Pipeline:
 
     def run(self, source: Iterable[np.ndarray], sink: Callable[[np.ndarray], None],
             num_samples: int | None = None, progress: Callable | None = None,
-            checkpoint_path: str | None = None, checkpoint_every: int = 0):
+            checkpoint_path: str | None = None, checkpoint_every: int = 0,
+            flush: bool = True):
         """Stream source → graph → sink.  Returns total output samples.
 
         The final short block is zero-padded to the full static block size
         (shapes stay static under jit) and its outputs trimmed to the exact
         rational-rate sample count — this preserves the reference's exact
         sample accounting (README.md:191-192 byte-count invariant).
+
+        ``flush`` (default on): after the source ends, feed the graph's
+        flush allowance (Block.flush_len) of zero samples so blocks that
+        withhold data (Delay, the stereo decoder's group-delay line) emit
+        their final samples — the reference fold's `done` semantics
+        (Trans.hs:86-104).  A no-op (zero allowance) for ordinary graphs.
 
         ``checkpoint_path`` + ``checkpoint_every`` (input samples): write a
         resumable state checkpoint periodically (core/checkpoint.py) — the
@@ -249,6 +345,10 @@ class Pipeline:
         it: Iterable[np.ndarray] = source
         if num_samples is not None:
             it = take_n(it, num_samples)
+        if flush:
+            nflush = self.block.flush_len()
+            if nflush:
+                it = append_flush(it, nflush)
         total_out = 0
         total_in = 0
         last_ckpt = 0

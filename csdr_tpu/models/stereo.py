@@ -107,6 +107,15 @@ class StereoFMDecoder(Block):
             st["decim_r"] = jnp.zeros((Kd - 1,), jnp.float32)
         return st
 
+    def flush_len(self) -> int:
+        # the internal group-delay line withholds gdelay composite samples
+        # from the audio paths; round up to the decimator granule so the
+        # final partial frame is produced too (reference fold `done`,
+        # Trans.hs:86-104 — there the delay's leftover pairs flow through
+        # the remaining folds; here the runtime's zero-fill pushes the
+        # delay_buf through the same internal FIR/de-emph/decim path)
+        return -(-self.gdelay // self.decim) * self.decim
+
     def apply(self, state, c):
         n = int(c.shape[0])
         theta0 = state["phase19"]

@@ -194,7 +194,7 @@ def _hier_group(rows: int) -> int | None:
     return None
 
 
-def _dc_solve_pair_hier(xre, xim, MdT_hi, MdT_lo, S_B, p1, pg, pN,
+def _dc_solve_pair_hier(xre, xim, MdT_hi, MdT_lo, S_B, p1, pg,
                         xp0_re, xp0_im, gin_re, gin_im, g_gain, rows,
                         B, a_row):
     """Row-carry solve in TWO levels instead of one dense matvec.
@@ -351,7 +351,7 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         if hierB:
             ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair_hier(
                 xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:], p64_ref[:],
-                pg_ref[:], pN_ref[:], col_prev_re, col_prev_im,
+                pg_ref[:], col_prev_re, col_prev_im,
                 scal_scr[2], scal_scr[3], g_gain, tileF, hierB, a_row)
         else:
             ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair(
@@ -519,7 +519,10 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
     # dc_hier swaps the dense row-carry matrix for the (B+1, B) group one
     S = jnp.asarray(_row_carry_matrix(a_row, hierB if hierB else tileF))
     p64 = jnp.asarray(_powvec(r, nch))                     # (1, nch): a^(i+1)
-    pN = jnp.asarray(_row_decay_col(a_row, tileF))         # (tileF+1, 1)
+    # the hier solve never reads the dense decay column — ship a (1, 1)
+    # placeholder instead of the (tileF+1, 1) VMEM constant on that path
+    pN = (jnp.zeros((1, 1), jnp.float32) if hierB
+          else jnp.asarray(_row_decay_col(a_row, tileF)))  # (tileF+1, 1)
     phase = state["phase"].reshape(1, 1)
 
     kernel = functools.partial(
@@ -538,7 +541,7 @@ def flagship_fused_step(state, x, *, nch: int, m: int = 7, as_db: float = 80.0,
             const2((2, nch)),
             const2((nch, nch)), const2((nch, nch)),
             const2(tuple(S.shape)),
-            const2((1, nch)), const2((1, nch)), const2((tileF + 1, 1)),
+            const2((1, nch)), const2((1, nch)), const2(tuple(pN.shape)),
             const2((L + 1, nch)),
             const2((nch, nch)), const2((nch, nch)),
             const2((nch, nch)), const2((nch, nch)),

@@ -157,7 +157,7 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
             if hierB and not dc_ablate:
                 ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair_hier(
                     xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:],
-                    p128_ref[:], pg_ref[:], pN_ref[:], col_prev_re,
+                    p128_ref[:], pg_ref[:], col_prev_re,
                     col_prev_im, scal_scr[2], scal_scr[3], g_gain, tileH,
                     hierB, a_row)
             else:
@@ -402,7 +402,9 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
     # dc_hier swaps the dense row-carry matrix for the (B+1, B) group one
     S = jnp.asarray(_row_carry_matrix(a_row, hierB if hierB else tileH))
     p128 = jnp.asarray(_powvec(r, _LANES))
-    pN = jnp.asarray(_row_decay_col(a_row, tileH))
+    # hier solve never reads the dense decay column (see flagship_fused)
+    pN = (jnp.zeros((1, 1), jnp.float32) if hierB
+          else jnp.asarray(_row_decay_col(a_row, tileH)))
     phase = state["phase"].reshape(1, 1)
     h = _histrows(nch, m)
 
@@ -424,7 +426,7 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
             const2((1, _LANES)),
             const2((_LANES, _LANES)), const2((_LANES, _LANES)),
             const2(tuple(S.shape)),
-            const2((1, _LANES)), const2((1, _LANES)), const2((tileH + 1, 1)),
+            const2((1, _LANES)), const2((1, _LANES)), const2(tuple(pN.shape)),
             const2((L + 1, _LANES)),
             const2(tuple(wre_hi.shape)), const2(tuple(wre_lo.shape)),
             const2(tuple(wim_hi.shape)), const2(tuple(wim_lo.shape)),

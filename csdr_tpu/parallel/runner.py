@@ -17,8 +17,8 @@ import numpy as np
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..core.runtime import (CEnc, rechunk, take_n, decode_tree_host,
-                            _trim_tree)
+from ..core.runtime import (CEnc, rechunk, take_n, append_flush,
+                            decode_tree_host, _trim_tree)
 
 __all__ = ["ShardedPipeline"]
 
@@ -61,12 +61,18 @@ class ShardedPipeline:
         self.state = self.sh.init()
 
     def stream(self, source: Iterable[np.ndarray],
-               num_samples: int | None = None) -> Iterator:
+               num_samples: int | None = None,
+               flush: bool = False) -> Iterator:
         """Yield decoded, trimmed output pytrees per block."""
         n = self.block_size
         it: Iterable[np.ndarray] = source
         if num_samples is not None:
             it = take_n(it, num_samples)
+        if flush:
+            blk = getattr(self.sh, "block", None)
+            nflush = blk.flush_len() if blk is not None else 0
+            if nflush:
+                it = append_flush(it, nflush)
         rt = self.rate_tree
         for chunk in rechunk(it, n):
             valid = len(chunk)
@@ -80,9 +86,12 @@ class ShardedPipeline:
             yield out
 
     def run(self, source: Iterable[np.ndarray], sink: Callable,
-            num_samples: int | None = None) -> int:
+            num_samples: int | None = None, flush: bool = True) -> int:
+        """Same end-of-stream flush semantics as the serial Pipeline.run
+        (core/runtime): the graph's zero-fill allowance rides the ordinary
+        sharded step, so mesh and serial outputs stay byte-identical."""
         total = 0
-        for out in self.stream(source, num_samples):
+        for out in self.stream(source, num_samples, flush=flush):
             sink(out)
             first = jax.tree.leaves(out)[0]
             total += first.shape[-1] if first.ndim >= 2 else first.shape[0]

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 import jax
 
-__all__ = ["Meter", "trace", "timed_steps"]
+__all__ = ["Meter", "StageStat", "stage_table", "trace", "timed_steps"]
 
 
 @dataclass
@@ -41,6 +41,52 @@ class Meter:
 
     def report(self) -> str:
         return f"{self.name}: {self.samples} samples in {self.seconds:.3f}s = {self.msps:.2f} MSPS"
+
+
+@dataclass
+class StageStat:
+    """Per-stage on-device time for Pipeline(profile=True).
+
+    The first call per stage is its jit compile — recorded separately and
+    excluded from the steady-state throughput.  ``samples`` counts the
+    stage's INPUT samples (each stage's own rate basis), so per-stage MSPS
+    are directly comparable to the stream meter at that point in the graph.
+    """
+
+    name: str
+    seconds: float = 0.0
+    samples: int = 0
+    calls: int = 0
+    compile_seconds: float = 0.0
+
+    def add(self, dt: float, n_in: int):
+        self.calls += 1
+        if self.calls == 1:
+            self.compile_seconds = dt
+            return
+        self.seconds += dt
+        self.samples += n_in
+
+    @property
+    def msps(self) -> float:
+        return self.samples / self.seconds / 1e6 if self.seconds else 0.0
+
+
+def stage_table(stats: list["StageStat"]) -> str:
+    """Budget table over a profiled run — which stage eats the wall clock.
+    (The reference only prints static block configs, Liquid.chs `_print`;
+    this is the per-block samples/s counter it lacks, SURVEY.md §5.)"""
+    total = sum(s.seconds for s in stats) or 1e-12
+    w = max([len(s.name) for s in stats] + [5])
+    lines = [f"{'stage':<{w}}  {'calls':>5}  {'time_s':>8}  {'MSPS_in':>9}  "
+             f"{'pct':>5}  {'compile_s':>9}"]
+    for s in stats:
+        lines.append(
+            f"{s.name:<{w}}  {s.calls - 1 if s.calls else 0:>5}  "
+            f"{s.seconds:>8.4f}  {s.msps:>9.2f}  {100 * s.seconds / total:>4.1f}%  "
+            f"{s.compile_seconds:>9.3f}")
+    lines.append(f"{'TOTAL':<{w}}  {'':>5}  {total:>8.4f}")
+    return "\n".join(lines)
 
 
 @contextlib.contextmanager

@@ -155,7 +155,13 @@ def test_cli_fms_stereo(tmp_path):
     ])
     assert rc == 0
     audio, sr = wavio.read_wav("stereo.wav")
-    assert audio.shape == (n // 4, 2)
+    # exact accounting WITH the end-of-stream flush (Block.flush_len): the
+    # group-delay line's withheld samples are pushed out as extra frames
+    from csdr_tpu.models.stereo import StereoFMDecoder
+
+    nf = StereoFMDecoder(quad, 4).flush_len()
+    assert nf > 0 and nf % 4 == 0
+    assert audio.shape == ((n + nf) // 4, 2)
     # the WAV must be frame-interleaved (L R L R ...), not block-channel-
     # major: the dominant tone of column 0 is L's 700 Hz, column 1 R's
     # 2200 Hz.  (A raw channel-major write passes the shape check above but
