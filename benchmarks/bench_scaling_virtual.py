@@ -1,9 +1,17 @@
-"""Virtual-device scaling with a MEASURED hardware ceiling (round 3).
+"""Virtual-device scaling with a MEASURED hardware ceiling (rounds 3-4).
 
 Round 2's SCALING_virtual_r02.json oversubscribed 8 virtual devices onto a
 4-core host and compared against an ASSUMED ceiling — confounded, per the
-round-2 verdict.  This redesign makes the ceiling an in-protocol
-measurement:
+round-2 verdict.  Round 3 made the ceiling an in-protocol measurement but
+its RAW efficiency (0.67-0.73) was dominated by per-dispatch launch
+overhead of the in-process virtual-device runtime — the nocomm
+(collective-free) control itself only reached 0.77, i.e. the loss was NOT
+the program's halos/collectives (structural 0.95).  Round 4 adds the
+scan-batched pair as the headline: one dispatch = SCAN_K carried steps on
+a resident chunk — the granularity any real deployment uses — applied
+symmetrically to the single-device ceiling workers AND the sharded
+program, so launch overhead cancels and the raw number passes on its own
+(round-3 verdict, next #2).  The measurement design:
 
   * device counts never exceed physical cores (1 -> 2 -> 4 on this host);
   * every process is CPU-pinned (taskset): the sharded program to cores
@@ -42,9 +50,10 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 RES = os.path.join(HERE, "results")
-ROUND = os.environ.get("CSDR_ROUND", "r03")
+ROUND = os.environ.get("CSDR_ROUND", "r04")
 
 BLOCK_PER_DEV = 1 << 18
+SCAN_K = 16   # blocks per dispatch in the scan-batched pair (round 4)
 
 
 def _env():
@@ -64,8 +73,10 @@ def measure_ceiling(n: int, secs: float, mode: str = "single") -> dict:
     with tempfile.TemporaryDirectory() as sync:
         procs = []
         for k in range(n):
-            cmd = _worker_cmd(str(k), [mode, str(BLOCK_PER_DEV),
-                                       str(secs), sync, str(k)])
+            args = [mode, str(BLOCK_PER_DEV), str(secs), sync, str(k)]
+            if mode == "single_scan":
+                args.append(str(SCAN_K))
+            cmd = _worker_cmd(str(k), args)
             procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                           stderr=subprocess.PIPE,
                                           text=True, env=_env()))
@@ -96,7 +107,10 @@ def measure_program(n: int, secs: float, cores: int,
     ``reps`` runs — single-run scheduling noise on a busy host was observed
     to deflate a point by 3x."""
     pin = f"0-{min(n, cores) - 1}" if min(n, cores) > 1 else "0"
-    cmd = _worker_cmd(pin, [mode, str(n), str(BLOCK_PER_DEV), str(secs)])
+    args = [mode, str(n), str(BLOCK_PER_DEV), str(secs)]
+    if mode == "sharded_scan":
+        args.append(str(SCAN_K))
+    cmd = _worker_cmd(pin, args)
     best = None
     for _ in range(reps):
         p = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
@@ -122,6 +136,15 @@ def main():
         if eff is None:
             print(f"# n={n}: zero ceiling — skipping point", flush=True)
             continue
+        # scan-batched pair (round 4): one dispatch = SCAN_K carried steps
+        # on a resident chunk — the granularity a real deployment uses —
+        # applied SYMMETRICALLY to ceiling and program, so per-dispatch
+        # launch overhead (which dominated the r03 raw number) cancels and
+        # the raw efficiency reflects the program's own structure.
+        ceil_scan = measure_ceiling(n, secs, mode="single_scan")
+        prog_scan = measure_program(n, secs, cores, mode="sharded_scan")
+        eff_scan = (prog_scan["msps"] / ceil_scan["aggregate_msps"]
+                    if ceil_scan["aggregate_msps"] else None)
         # decomposition controls: the SAME protocol on a collective-free
         # elementwise workload isolates the in-process multi-device
         # runtime's overhead (thread scheduling of N virtual devices) from
@@ -136,20 +159,25 @@ def main():
         # structural = what transfers to a real slice: the resident-input
         # program (no host re-scatter) vs the same-runtime nocomm control
         structural = eff_res / eff_nc if eff_nc else None
-        points.append({"devices": n, "ceiling": ceil,
-                       "program_msps": prog["msps"],
-                       "efficiency_vs_measured_ceiling": round(eff, 3),
+        points.append({"devices": n,
+                       "scan_ceiling": ceil_scan,
+                       "scan_program_msps": prog_scan["msps"],
+                       "scan_efficiency": (round(eff_scan, 3)
+                                           if eff_scan else None),
+                       "per_dispatch_ceiling": ceil,
+                       "per_dispatch_program_msps": prog["msps"],
+                       "per_dispatch_efficiency": round(eff, 3),
                        "resident_input_program_msps": prog_res["msps"],
                        "resident_input_efficiency": round(eff_res, 3),
                        "nocomm_ceiling": ceil_nc,
                        "nocomm_program_msps": prog_nc["msps"],
                        "nocomm_efficiency": round(eff_nc, 3),
                        "structural_efficiency": round(structural, 3)})
-        print(f"# n={n}: ceiling {ceil['aggregate_msps']:8.2f} MSPS "
-              f"(per-worker {ceil['per_worker_msps']}), program "
-              f"{prog['msps']:8.2f} MSPS (resident {prog_res['msps']:.2f}), "
-              f"efficiency {eff:.3f} (resident {eff_res:.3f}); nocomm "
-              f"eff {eff_nc:.3f} -> structural {structural:.3f}", flush=True)
+        print(f"# n={n}: scan ceiling {ceil_scan['aggregate_msps']:8.2f} MSPS "
+              f"program {prog_scan['msps']:8.2f} -> RAW eff "
+              f"{eff_scan:.3f}; per-dispatch eff {eff:.3f} (resident "
+              f"{eff_res:.3f}), nocomm {eff_nc:.3f} -> structural "
+              f"{structural:.3f}", flush=True)
 
     # oversubscription note only: 8 virtual devices on `cores` cores measures
     # the host scheduler, not the program
@@ -163,7 +191,7 @@ def main():
                     "note": "oversubscribed — scheduler-bound, excluded from "
                             "efficiency claims",
                     "vs_4dev_program": round(
-                        prog8["msps"] / base["program_msps"], 3)}
+                        prog8["msps"] / base["per_dispatch_program_msps"], 3)}
             print(f"# oversubscription 8-on-{cores}: {prog8['msps']:.2f} MSPS "
                   f"({over['vs_4dev_program']}x the 4-device program)",
                   flush=True)
@@ -171,29 +199,34 @@ def main():
             over = {"devices": 8, "error": str(e)[:200]}
 
     multi = [p for p in points if p["devices"] > 1
-             and p["efficiency_vs_measured_ceiling"] is not None
+             and p["scan_efficiency"] is not None
              and p["structural_efficiency"] is not None]
     if not multi:
         raise SystemExit("no multi-device points measurable on this host "
                          f"({cores} cores) — artifact not written")
-    min_eff = min(p["efficiency_vs_measured_ceiling"] for p in multi)
+    min_eff = min(p["scan_efficiency"] for p in multi)
+    min_pd = min(p["per_dispatch_efficiency"] for p in multi)
     min_struct = min(p["structural_efficiency"] for p in multi)
     rec = {"ts": time.time(), "host_cores": cores,
-           "block_per_device": BLOCK_PER_DEV, "secs_per_point": secs,
+           "block_per_device": BLOCK_PER_DEV, "scan_k": SCAN_K,
+           "secs_per_point": secs,
            "workload": "dc_blocker >> firpfbch(16) >> per-channel FM demod "
                        "(xla backend, CPU)",
            "protocol": "pinned; ceiling = N synchronized independent "
                        "single-device workers; program = ShardedChain on N "
-                       "virtual devices; efficiency = program/ceiling; the "
-                       "nocomm (collective-free elementwise) pair isolates "
-                       "the in-process virtual-device runtime overhead, so "
-                       "structural_efficiency = eff_real/eff_nocomm is the "
-                       "program's own cost (halos+collectives) — the part "
-                       "that transfers to a real multi-chip slice",
+                       "virtual devices; efficiency = program/ceiling.  The "
+                       "HEADLINE pair is scan-batched (one dispatch = scan_k "
+                       "carried steps on a resident chunk, ceiling and "
+                       "program alike) so the raw number measures the "
+                       "program's structure, not per-dispatch launch "
+                       "overhead; the per-dispatch pair and the nocomm "
+                       "(collective-free) control are retained as the r03 "
+                       "decomposition",
            "points": points, "oversubscription_note": over,
            "min_multi_device_efficiency": round(min_eff, 3),
+           "min_per_dispatch_efficiency": round(min_pd, 3),
            "min_structural_efficiency": round(min_struct, 3),
-           "meets_80pct_target": bool(min_struct >= 0.80),
+           "meets_80pct_target": bool(min_eff >= 0.80),
            "caveat": "real ICI scaling still requires a real slice "
                      "(bench_scaling.py); this artifact bounds the sharded "
                      "program's structural overhead on measured same-host "
@@ -203,6 +236,7 @@ def main():
         json.dump(rec, f, indent=1)
     print(json.dumps({"metric": "virtual_scaling_min_efficiency",
                       "value": rec["min_multi_device_efficiency"],
+                      "per_dispatch": rec["min_per_dispatch_efficiency"],
                       "structural": rec["min_structural_efficiency"],
                       "meets_80pct_target": rec["meets_80pct_target"]}))
     print(f"# wrote {out}")

@@ -122,6 +122,100 @@ def run_sharded(n: int, block_per_dev: int, secs: float,
                       "iters": iters, "secs": round(dt, 3)}))
 
 
+def run_single_scan(block: int, secs: float, sync_dir: str | None, idx: int,
+                    k: int = 8):
+    """Ceiling worker, scan-batched: one dispatch = lax.scan over k carried
+    steps on a resident (k, block) input — the granularity a real deployment
+    uses (double-buffered chunk uploads + on-device scan), applied to the
+    SINGLE-device ceiling so the program/ceiling comparison stays symmetric."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    graph = _graph()
+    rng = np.random.default_rng(idx)
+    x = (0.3 * np.exp(2j * np.pi * 0.21 * np.arange(k * block))
+         + 0.02 * rng.normal(size=k * block)).astype(np.complex64)
+    X = jax.device_put(x.reshape(k, block))
+
+    def scan_fn(state, xb):
+        return graph.apply(state, xb)
+
+    @jax.jit
+    def steps(state, X):
+        return jax.lax.scan(scan_fn, state, X)
+
+    state = jax.jit(graph.init)()
+    state, y = steps(state, X)
+    jax.block_until_ready(y)
+    state, y = steps(state, X)
+    jax.block_until_ready(y)
+
+    if sync_dir:
+        open(os.path.join(sync_dir, f"ready_{idx}"), "w").close()
+        go = os.path.join(sync_dir, "go")
+        while not os.path.exists(go):
+            time.sleep(0.01)
+    holder = {"state": state}
+
+    def step():
+        holder["state"], yy = steps(holder["state"], X)
+        jax.block_until_ready(yy)
+
+    iters, dt = _timed_loop(step, secs)
+    print(json.dumps({"msps": round(iters * k * block / dt / 1e6, 2),
+                      "iters": iters, "secs": round(dt, 3)}))
+
+
+def run_sharded_scan(n: int, block_per_dev: int, secs: float, k: int = 8):
+    """Sharded program, scan-batched: the SAME k-step on-device scan, with
+    the per-step collectives (halos, linrec gathers, channel psums) inside
+    the scan body — one dispatch amortizes the multi-device launch overhead
+    that dominated the per-dispatch protocol's raw efficiency."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_num_cpu_devices", n)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from csdr_tpu.parallel.generic import ShardedChain
+    from csdr_tpu.core.runtime import CEnc, encode_tree, decode_tree
+
+    graph = _graph()
+    block = n * block_per_dev
+    mesh = Mesh(np.asarray(jax.devices()[:n]).reshape(n, 1), ("time", "ch"))
+    sh = ShardedChain(graph, mesh, block)  # reuse its validated shard_map
+    rng = np.random.default_rng(0)
+    x = (0.3 * np.exp(2j * np.pi * 0.21 * np.arange(k * block))
+         + 0.02 * rng.normal(size=k * block)).astype(np.complex64)
+    f = np.stack([x.real, x.imag], axis=-1).astype(np.float32).reshape(
+        k, block, 2)
+    X = CEnc(jax.device_put(f, NamedSharding(mesh, P(None, "time", None))))
+
+    def scan_fn(state_enc, xb_enc):
+        s, y = sh._shmap(decode_tree(state_enc), decode_tree(xb_enc))
+        return encode_tree(s), encode_tree(y)
+
+    @jax.jit
+    def steps(state_enc, X_enc):
+        return jax.lax.scan(scan_fn, state_enc, X_enc)
+
+    state = sh.init()
+    state, y = steps(state, X)
+    jax.block_until_ready(y)
+    state, y = steps(state, X)
+    jax.block_until_ready(y)
+    holder = {"state": state}
+
+    def step():
+        holder["state"], yy = steps(holder["state"], X)
+        jax.block_until_ready(yy)
+
+    iters, dt = _timed_loop(step, secs)
+    print(json.dumps({"msps": round(iters * k * block / dt / 1e6, 2),
+                      "iters": iters, "secs": round(dt, 3)}))
+
+
 def _nocomm(x):
     """Collective-free elementwise workload (embarrassingly parallel): the
     control that isolates the in-process multi-device runtime's overhead
@@ -186,13 +280,17 @@ def run_sharded_nocomm(n: int, block_per_dev: int, secs: float):
 
 def main():
     mode = sys.argv[1]
-    if mode in ("single", "single_nocomm"):
+    if mode in ("single", "single_nocomm", "single_scan"):
         block = int(sys.argv[2])
         secs = float(sys.argv[3])
         sync_dir = sys.argv[4] if len(sys.argv) > 4 and sys.argv[4] != "-" else None
         idx = int(sys.argv[5]) if len(sys.argv) > 5 else 0
-        (run_single if mode == "single" else run_single_nocomm)(
-            block, secs, sync_dir, idx)
+        if mode == "single_scan":
+            k = int(sys.argv[6]) if len(sys.argv) > 6 else 8
+            run_single_scan(block, secs, sync_dir, idx, k=k)
+        else:
+            (run_single if mode == "single" else run_single_nocomm)(
+                block, secs, sync_dir, idx)
     elif mode == "sharded":
         run_sharded(int(sys.argv[2]), int(sys.argv[3]), float(sys.argv[4]))
     elif mode == "sharded_resident":
@@ -201,6 +299,10 @@ def main():
     elif mode == "sharded_nocomm":
         run_sharded_nocomm(int(sys.argv[2]), int(sys.argv[3]),
                            float(sys.argv[4]))
+    elif mode == "sharded_scan":
+        k = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+        run_sharded_scan(int(sys.argv[2]), int(sys.argv[3]), float(sys.argv[4]),
+                         k=k)
     else:
         raise SystemExit(f"unknown mode {mode}")
 

@@ -125,6 +125,7 @@ class FMDemod(TailStateBlock):
     State = previous input sample ⇒ a 1-sample halo under sharding."""
 
     tail_len = 1
+    fuse_zero_tail = False  # init is ones (zero phase), not zeros
 
     def __init__(self, kf: float):
         self.kf = float(kf)

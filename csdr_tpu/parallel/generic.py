@@ -91,7 +91,9 @@ class ShardedChain:
             return encode_tree(s2), encode_tree(y)
 
         self._step = jax.jit(_enc_step, donate_argnums=(0,))
-        self._init = jax.jit(lambda: encode_tree(block.init()))
+        # shard_init, not init: Chains collapse fused halo runs into one
+        # raw-input tail per run (core/block.Chain._shard_segments)
+        self._init = jax.jit(lambda: encode_tree(block.shard_init()))
 
     def _make_ctx(self) -> ShardCtx:
         return ShardCtx(self.dt, self.dc, self.time_axis, self.ch_axis, TIME)
