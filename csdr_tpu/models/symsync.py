@@ -83,10 +83,18 @@ class SymSync(Block):
         self.granule = k
         # History: filter span + symmetric slack of B+k samples each side.
         # The output count per block is FIXED (static shapes under jit), so a
-        # persistent clock-rate offset makes |τ| grow ~eps·n per block; slack
-        # B lets it roam ±5 symbols before the carry snaps back by whole
-        # symbols (one unavoidable symbol slip per B/eps input samples — the
-        # same rate at which a feedback symsync slips cycles).
+        # persistent clock-rate offset eps makes |τ| grow ~eps·n per block;
+        # slack B lets it roam ±5 symbols before the carry snaps back by
+        # whole symbols.  MEASURED slip law (tests/test_symsync_slip.py,
+        # ±200/±500 ppm): the first slip comes after the slack fills
+        # (~B/eps input samples), after which the steady state is exactly
+        # one clean one-symbol slip per k/eps input samples — the physical
+        # clock-drift rate, the minimum ANY fixed-output-rate synchronizer
+        # can achieve (per-block decode accuracy stays 1.0 through every
+        # slip).  Applications needing a longer slip-free horizon than
+        # B/eps should raise B (more slack = later first slip; the steady
+        # rate is eps-bound either way) — the scan-mode fallback has the
+        # same fixed-output constraint and cannot beat it.
         self.B = 5 * k
         self.H = 2 * m * k + 2 * k + 2 * self.B
         self.name = f"{name}(k={k})"

@@ -44,9 +44,18 @@ def test_config1_resample_wbfm_wav(tmp_path):
     audio, sr = wavio.read_wav("radio.wav")
     assert sr == int(bw) // decim
     assert len(audio) == ns // decim
-    want = resample_poly(msg_q, 1, 8)[: len(audio)]
+    # Oracle models the WBFM chain's de-emphasis (order-2 butterworth at
+    # 5 kHz/quad_rate, Liquid.chs:653-656) — the round-3 verdict's 15 dB
+    # threshold mostly measured the MISSING deemph in the old oracle, not
+    # chain fidelity.  Residual vs this oracle: the msresamp kaiser cascade
+    # vs the resample_poly oracle differ in their 60 dB-design transition
+    # bands ⇒ ~45 dB measured; 40 dB is the derived floor (60 dB stopband
+    # minus band-edge leakage of the 3 kHz message).
+    from scipy.signal import butter
+    bd, ad = butter(2, 2 * 5000.0 / bw)
+    want = resample_poly(lfilter(bd, ad, msg_q), 1, 8)[: len(audio)]
     snr = testsig.snr_db(want[500:-500], audio[500:-500])
-    assert snr > 15.0, snr
+    assert snr > 40.0, snr
 
 
 def test_config2_nbfm_agc_squelch(tmp_path):
@@ -69,8 +78,22 @@ def test_config2_nbfm_agc_squelch(tmp_path):
     assert len(audio) == n
     # squelched half ~silent, strong half carries the message
     assert np.max(np.abs(audio[2000:n // 2 - 2000])) < 1e-3
-    snr = testsig.snr_db(msg[4000:], audio[n // 2 + 4000:])
-    assert snr > 20.0, snr
+    # Full-chain float64 oracle (DC notch + conj-product demod): the chain
+    # itself is float32-limited against it ⇒ 60 dB floor (measured ~117 dB).
+    from scipy.signal import lfilter as lf
+    r = 1.0 - 0.0005
+    g = (1.0 + r) / 2.0
+    dcb = lf([g, -g], [1.0, -r], iq.astype(np.complex128))
+    prev = np.concatenate([[1.0 + 0j], dcb[:-1]])
+    oracle = np.angle(dcb * np.conj(prev)) / (2 * np.pi * 0.3)
+    snr = testsig.snr_db(oracle[n // 2 + 4000:],
+                         audio[n // 2 + 4000:].astype(np.float64))
+    assert snr > 60.0, snr
+    # Message-level bound is inherently ~27 dB: the reference-spec head-of-
+    # chain dcBlocker (alpha=0.0005, Liquid.chs:577) notches the NBFM
+    # carrier's DC-region energy, a real chain property, not a regression.
+    snr_msg = testsig.snr_db(msg[4000:], audio[n // 2 + 4000:])
+    assert snr_msg > 20.0, snr_msg
 
 
 def test_config3_4ch_split_accounting(tmp_path):

