@@ -97,10 +97,15 @@ class ShardCtx:
         # True while executing inside PerChannel's vmap (collectives are then
         # batched over the local-channel axis)
         self.in_channel_lane = False
+        # True when the runner honors Block.shard_state_spec: "ch"-tagged
+        # state leaves arrive channel-LOCAL (this device's rows only), so
+        # PerChannel skips its slice/all-gather (parallel/generic sets it)
+        self.state_local = False
 
     def clone(self, **kw) -> "ShardCtx":
         c = ShardCtx(self.dt, self.dc, self.time_axis, self.ch_axis, self.layout)
         c.in_channel_lane = self.in_channel_lane
+        c.state_local = self.state_local
         for k, v in kw.items():
             setattr(c, k, v)
         return c

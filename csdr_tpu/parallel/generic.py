@@ -73,15 +73,24 @@ class ShardedChain:
         out_specs = jax.tree.map(self._layout_spec, self.out_layout,
                                  is_leaf=lambda l: isinstance(l, str))
 
+        # per-leaf state placement: "ch"-tagged leaves (PerChannel stacks)
+        # stay sharded over the channel mesh axis instead of replicated —
+        # no O(nch·state) all-gather per step (Block.shard_state_spec)
+        state_tags = block.shard_state_spec(vctx)
+        spec_of = lambda tag: (P(ch_axis) if tag == "ch" and self.dc > 1
+                               else P())
+        state_specs = jax.tree.map(spec_of, state_tags)
+
         def local_step(state, x):
             ctx = self._make_ctx()
+            ctx.state_local = True
             return block.shard_apply(state, x, ctx)
 
         self._shmap = jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(), P(time_axis)),
-            out_specs=(P(), out_specs),
+            in_specs=(state_specs, P(time_axis)),
+            out_specs=(state_specs, out_specs),
             check_vma=False,
         )
 
@@ -92,8 +101,17 @@ class ShardedChain:
 
         self._step = jax.jit(_enc_step, donate_argnums=(0,))
         # shard_init, not init: Chains collapse fused halo runs into one
-        # raw-input tail per run (core/block.Chain._shard_segments)
-        self._init = jax.jit(lambda: encode_tree(block.shard_init()))
+        # raw-input tail per run (core/block.Chain._shard_segments); the
+        # encoded init output is PLACED per state_specs (CEnc wraps complex
+        # leaves as (…, 2) float planes — leading-axis specs survive that)
+        enc_template = jax.eval_shape(lambda: block.shard_init())
+        enc_shardings = jax.tree.map(
+            lambda leaf, tag: (CEnc(NamedSharding(mesh, spec_of(tag)))
+                               if jnp.issubdtype(leaf.dtype, jnp.complexfloating)
+                               else NamedSharding(mesh, spec_of(tag))),
+            enc_template, state_tags)
+        self._init = jax.jit(lambda: encode_tree(block.shard_init()),
+                             out_shardings=enc_shardings)
 
     def _make_ctx(self) -> ShardCtx:
         return ShardCtx(self.dt, self.dc, self.time_axis, self.ch_axis, TIME)

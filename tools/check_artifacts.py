@@ -21,8 +21,16 @@ RES = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
     "benchmarks", "results")
 
 # name -> (health key or None (presence = ok), required fields)
-# Round-3 artifacts (this round's capture TODOs: capture_r03_artifacts.py)
 SPEC = {
+    # Round-4 artifacts
+    "SCALING_r04.json": ("meets_80pct_target", ["points"]),
+    "VPU_ROOFLINE_r04.json": ("healthy", ["vpu", "mxu_bf16_Tflops",
+                                          "flagship_wide_pct_of_serial_light"]),
+    "KERNEL_KARA_r04.json": ("healthy", ["pairs"]),
+    "STREAMING_SWEEP_r04.json": (None, ["sweep", "best_msps"]),
+    "HONEST_r04.json": (None, ["scan", "hostloop", "copy", "verdict"]),
+    "ABLATION_r04.json": ("healthy", ["ladder", "stages"]),
+    # Round-3 artifacts (capture: capture_r03_artifacts.py)
     "HONEST_r03.json": (None, ["scan", "hostloop", "copy", "verdict"]),
     "ROOFLINE_r03.json": ("healthy", ["hbm_copy_GBps", "device_kind"]),
     "KERNEL_OPTS_r03.json": ("healthy", ["pairs"]),
