@@ -71,43 +71,77 @@ def _wide_tap_panel(nch: int, m: int, as_db: float) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _wide_dft_kara(nch: int):
+def _lane_phase(nch: int) -> np.ndarray:
+    """(128,) complex128 e^{−jω·ℓ} — the NCO mix factor at lane ℓ (the
+    kernel rotates by e^{−jθ}: sre = re·cosθ + im·sinθ, sim = im·cosθ −
+    re·sinθ).
+
+    The flagship NCO's phase at sample index s is ω·s with
+    ω = −π(nch−1)/nch (pfb_offset); its period 2·nch divides 128 for every
+    nch | 64, so with the wide packing (s = 128·row + ℓ) the phase depends
+    on the LANE alone: θ(row, ℓ) = ω·ℓ (mod 2π).  That makes the whole NCO
+    stage a per-lane constant rotation — foldable into the kernel's other
+    constants (opts=("nco_fold",), see _wide_dft/_wide_tap_panel_fold)."""
+    omega = pfb_offset(nch)
+    ell = np.arange(_LANES, dtype=np.float64)
+    return np.exp(-1j * np.mod(omega * ell, 2.0 * np.pi))
+
+
+@functools.lru_cache(maxsize=None)
+def _wide_tap_panel_fold(nch: int, m: int, as_db: float) -> np.ndarray:
+    """Tap panel with the NCO fold's per-tap correction (opts=("nco_fold",)).
+
+    With the NCO folded out of the sample stream, the FIR runs on x̂ (pre-
+    rotation) instead of ŝ = x̂·e^{jωs}; a tap J frames back carries the
+    residual e^{−jω·J·nch} = (−1)^{(nch−1)·J} — REAL, so the FIR stays two
+    real fma chains.  The remaining per-lane factor e^{jωℓ} commutes with
+    the whole (real-tapped) FIR and is folded into the DFT matrix."""
+    That = _wide_tap_panel(nch, m, as_db).copy()
+    J = np.arange(That.shape[0])
+    sign = np.where((((nch - 1) * J) % 2) == 0, 1.0, -1.0).astype(np.float32)
+    return That * sign[:, None]
+
+
+@functools.lru_cache(maxsize=None)
+def _wide_dft_blockdiag(nch: int, fold: bool) -> np.ndarray:
+    """(128, 128) complex128 block-diagonal diag(Ŵ, ..., Ŵ); with
+    ``fold`` each row ℓ additionally carries the NCO lane phase e^{jωℓ}
+    (see _lane_phase — constant, so the rotation costs zero kernel ops)."""
+    W = pfb_dft_matrix(nch).astype(np.complex128)
+    q = np.arange(nch)
+    Whet = W[(nch - q) % nch, :]  # (nch, nch)
+    R = _LANES // nch
+    blk = np.zeros((_LANES, _LANES), dtype=np.complex128)
+    for a in range(R):
+        blk[a * nch:(a + 1) * nch, a * nch:(a + 1) * nch] = Whet
+    if fold:
+        blk *= _lane_phase(nch)[:, None]
+    return blk
+
+
+@functools.lru_cache(maxsize=None)
+def _wide_dft_kara(nch: int, fold: bool = False):
     """Karatsuba combination planes for cdot3_kara, packed lane-wise:
     (128, 384) hi and lo panels [Wre | Wim−Wre | Wre+Wim] (block-diagonal
     like _wide_dft)."""
-    W = pfb_dft_matrix(nch)
-    q = np.arange(nch)
-    Whet = W[(nch - q) % nch, :]
-    R = _LANES // nch
-    combos = (Whet.real, Whet.imag - Whet.real, Whet.real + Whet.imag)
+    blk = _wide_dft_blockdiag(nch, fold)
+    combos = (blk.real, blk.imag - blk.real, blk.real + blk.imag)
     his, los = [], []
     for comp in combos:
-        blk = np.zeros((_LANES, _LANES), dtype=np.float32)
-        for a in range(R):
-            blk[a * nch:(a + 1) * nch, a * nch:(a + 1) * nch] = comp
-        hi, lo = split_bf16_np(blk)
+        hi, lo = split_bf16_np(np.ascontiguousarray(comp, dtype=np.float32))
         his.append(hi)
         los.append(lo)
     return np.concatenate(his, axis=1), np.concatenate(los, axis=1)
 
 
 @functools.lru_cache(maxsize=None)
-def _wide_dft(nch: int):
+def _wide_dft(nch: int, fold: bool = False):
     """Block-diagonal diag(Ŵ, ..., Ŵ) (128x128), split into bf16 hi+lo
     planes per real/imag component (the 3-multiply scheme of
     flagship_fused._permuted_dft)."""
-    W = pfb_dft_matrix(nch)
-    q = np.arange(nch)
-    Whet = W[(nch - q) % nch, :]  # (nch, nch)
-    R = _LANES // nch
-
-    out = []
-    for comp in (Whet.real, Whet.imag):
-        blk = np.zeros((_LANES, _LANES), dtype=np.float32)
-        for a in range(R):
-            blk[a * nch:(a + 1) * nch, a * nch:(a + 1) * nch] = comp
-        out.append(split_bf16_np(blk))
-    return out
+    blk = _wide_dft_blockdiag(nch, fold)
+    return [split_bf16_np(np.ascontiguousarray(comp, dtype=np.float32))
+            for comp in (blk.real, blk.imag)]
 
 
 def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
@@ -194,7 +228,7 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         x_last_re = X[tileH - 1, _LANES - 1]
         x_last_im = X[2 * tileH - 1, _LANES - 1]
 
-    if "nco" not in skip:
+    if "nco" not in skip and "nco_fold" not in opts:
         # ---- NCO pre-shift: one constant ramp row (nch | 64 ⇒ period | 128)
         theta = ramp_ref[:] + phase_ref[0, 0]  # (1, 128), broadcast over rows
         cth = jnp.cos(theta)
@@ -202,6 +236,11 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         sre = ydc_re * cth + ydc_im * sth
         sim = ydc_im * cth - ydc_re * sth
     else:
+        # nco_fold: the stage is compiled out entirely — the per-lane phase
+        # e^{jωℓ} lives in the DFT constant (_wide_dft(fold=True)), the
+        # per-tap residual (−1)^{(nch−1)J} in the tap panel
+        # (_wide_tap_panel_fold), and the carried global phase cancels in
+        # the demod's conjugate product.  Saves 4 VPU passes/sample.
         sre, sim = ydc_re, ydc_im
 
     # ---- PFB branch FIR over packed frame panels ----
@@ -214,80 +253,104 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
     # shifted[s][k] = ŝ_ext shifted by s frame slots, valid for rows k ≥ 1:
     #   lanes < s·nch take the lane-rolled previous row, others the current.
     base = histrows - 1
-    if "fir" not in skip:
-        shifts = sorted({J % R for J in range(L + 1)})
-        nrows = ext_re.shape[0]
-        shifted = {0: (ext_re, ext_im)}
-        for s in shifts:
-            if s:
-                r_re = pltpu.roll(ext_re, s * nch, axis=1)
-                r_im = pltpu.roll(ext_im, s * nch, axis=1)
-                wrap = jax.lax.broadcasted_iota(
-                    jnp.int32, (nrows - 1, _LANES), 1) < s * nch
-                shifted[s] = (jnp.where(wrap, r_re[:-1], r_re[1:]),
-                              jnp.where(wrap, r_im[:-1], r_im[1:]))
 
-        That = That_ref[:]
-        # output rows j in [0, tileH]: ext row k = histrows-1+j (row 0 is the
-        # pre-row carrying the previous frame for the demod seed)
-        ure = uim = None
-        for J in range(L + 1):
-            s = J % R
-            rb = J // R
-            tj = That[J][None, :]
-            Pre, Pim = shifted[s]
-            # shifted[s] rows are offset by one (entry k-1 holds shifted row k)
-            off = base - rb - (1 if s else 0)
-            seg_re = Pre[off: off + tileH + 1] * tj
-            seg_im = Pim[off: off + tileH + 1] * tj
-            ure = seg_re if ure is None else ure + seg_re
-            uim = seg_im if uim is None else uim + seg_im
-    else:
-        ure = ext_re[base: base + tileH + 1]
-        uim = ext_im[base: base + tileH + 1]
+    def fir_dft_demod(ext_re, ext_im, outrows):
+        """FIR → DFT → FM demod over ``ext`` rows → (outrows, 128) audio.
 
-    if "dft" not in skip:
-        # ---- block-diagonal DFT, bf16_3x ----
-        ure_p = split_bf16(ure)
-        uim_p = split_bf16(uim)
-        if "dft_kara" in opts:
-            # 3-multiply complex: wre refs carry the packed (128, 384)
-            # combination planes [Wre | Wim-Wre | Wre+Wim]; wim refs are
-            # dummies (see the step function)
-            usum_p = split_bf16(ure + uim)
-            Whi, Wlo = wre_hi_ref[:], wre_lo_ref[:]
-            dre, dim = cdot3_kara(
-                ure_p, uim_p, usum_p,
-                (Whi[:, 0:_LANES], Wlo[:, 0:_LANES]),
-                (Whi[:, _LANES:2 * _LANES], Wlo[:, _LANES:2 * _LANES]),
-                (Whi[:, 2 * _LANES:3 * _LANES], Wlo[:, 2 * _LANES:3 * _LANES]))
+        ``ext`` must hold ``histrows + outrows`` rows (history prefix then
+        fresh samples); output row j covers ext row base + j, with row j=0's
+        demod seed coming from the pre-row.  Factored so opts=("split2",)
+        can run two INDEPENDENT half-tile chains (see below) — the
+        production single call traces bit-identically to the inlined form."""
+        if "fir" not in skip:
+            shifts = sorted({J % R for J in range(L + 1)})
+            nrows = ext_re.shape[0]
+            shifted = {0: (ext_re, ext_im)}
+            for s in shifts:
+                if s:
+                    r_re = pltpu.roll(ext_re, s * nch, axis=1)
+                    r_im = pltpu.roll(ext_im, s * nch, axis=1)
+                    wrap = jax.lax.broadcasted_iota(
+                        jnp.int32, (nrows - 1, _LANES), 1) < s * nch
+                    shifted[s] = (jnp.where(wrap, r_re[:-1], r_re[1:]),
+                                  jnp.where(wrap, r_im[:-1], r_im[1:]))
+
+            That = That_ref[:]
+            # output rows j in [0, outrows]: ext row k = histrows-1+j (row 0
+            # is the pre-row carrying the previous frame for the demod seed)
+            ure = uim = None
+            for J in range(L + 1):
+                s = J % R
+                rb = J // R
+                tj = That[J][None, :]
+                Pre, Pim = shifted[s]
+                # shifted[s] rows are offset by one (entry k-1 holds row k)
+                off = base - rb - (1 if s else 0)
+                seg_re = Pre[off: off + outrows + 1] * tj
+                seg_im = Pim[off: off + outrows + 1] * tj
+                ure = seg_re if ure is None else ure + seg_re
+                uim = seg_im if uim is None else uim + seg_im
         else:
-            dre, dim = cdot3(ure_p, uim_p, wre_hi_ref[:], wre_lo_ref[:],
-                             wim_hi_ref[:], wim_lo_ref[:])
-    else:
-        dre, dim = ure, uim
+            ure = ext_re[base: base + outrows + 1]
+            uim = ext_im[base: base + outrows + 1]
 
-    if "demod" not in skip:
-        # ---- FM demod: previous frame = lane roll by nch, slot 0 wraps to
-        # the previous row ----
-        dre_roll = pltpu.roll(dre, nch, axis=1)
-        dim_roll = pltpu.roll(dim, nch, axis=1)
-        wrap1 = jax.lax.broadcasted_iota(jnp.int32, (tileH, _LANES), 1) < nch
-        pre_re = jnp.where(wrap1, dre_roll[:-1], dre_roll[1:])
-        pre_im = jnp.where(wrap1, dim_roll[:-1], dim_roll[1:])
-        cur_re = dre[1:]
-        cur_im = dim[1:]
-        cre = cur_re * pre_re + cur_im * pre_im
-        cim = cur_im * pre_re - cur_re * pre_im
-        if "atan2" not in skip:
-            at_ablate = tuple(s[5:] for s in skip if s.startswith("atan_"))
-            audio_ref[0] = (_atan2(cim, cre, fast_recip="fast_atan" in opts,
-                                   ablate=at_ablate)
-                            * jnp.float32(inv_kf))
+        if "dft" not in skip:
+            # ---- block-diagonal DFT, bf16_3x ----
+            ure_p = split_bf16(ure)
+            uim_p = split_bf16(uim)
+            if "dft_kara" in opts:
+                # 3-multiply complex: wre refs carry the packed (128, 384)
+                # combination planes [Wre | Wim-Wre | Wre+Wim]; wim refs are
+                # dummies (see the step function)
+                usum_p = split_bf16(ure + uim)
+                Whi, Wlo = wre_hi_ref[:], wre_lo_ref[:]
+                dre, dim = cdot3_kara(
+                    ure_p, uim_p, usum_p,
+                    (Whi[:, 0:_LANES], Wlo[:, 0:_LANES]),
+                    (Whi[:, _LANES:2 * _LANES], Wlo[:, _LANES:2 * _LANES]),
+                    (Whi[:, 2 * _LANES:3 * _LANES],
+                     Wlo[:, 2 * _LANES:3 * _LANES]))
+            else:
+                dre, dim = cdot3(ure_p, uim_p, wre_hi_ref[:], wre_lo_ref[:],
+                                 wim_hi_ref[:], wim_lo_ref[:])
         else:
-            audio_ref[0] = (cre + cim) * jnp.float32(inv_kf)
+            dre, dim = ure, uim
+
+        if "demod" not in skip:
+            # ---- FM demod: previous frame = lane roll by nch, slot 0 wraps
+            # to the previous row ----
+            dre_roll = pltpu.roll(dre, nch, axis=1)
+            dim_roll = pltpu.roll(dim, nch, axis=1)
+            wrap1 = jax.lax.broadcasted_iota(
+                jnp.int32, (outrows, _LANES), 1) < nch
+            pre_re = jnp.where(wrap1, dre_roll[:-1], dre_roll[1:])
+            pre_im = jnp.where(wrap1, dim_roll[:-1], dim_roll[1:])
+            cur_re = dre[1:]
+            cur_im = dim[1:]
+            cre = cur_re * pre_re + cur_im * pre_im
+            cim = cur_im * pre_re - cur_re * pre_im
+            if "atan2" not in skip:
+                at_ablate = tuple(s[5:] for s in skip if s.startswith("atan_"))
+                return (_atan2(cim, cre, fast_recip="fast_atan" in opts,
+                               ablate=at_ablate)
+                        * jnp.float32(inv_kf))
+            return (cre + cim) * jnp.float32(inv_kf)
+        return dre[1:] + dim[1:]
+
+    if "split2" in opts and tileH % 2 == 0 and tileH // 2 >= histrows:
+        # two INDEPENDENT half-tile chains: FIR(h1) has no data dependence
+        # on DFT/demod(h0), so Mosaic's scheduler is free to overlap h1's
+        # VPU passes with h0's MXU matmuls (the single-chain body is one
+        # strict dependency chain, which is why measured throughput tracks
+        # the SERIAL roofline — docs/PERF.md §2c).  Same total op count.
+        halfH = tileH // 2
+        for h in range(2):
+            lo = h * halfH
+            audio_ref[0, lo:lo + halfH] = fir_dft_demod(
+                ext_re[lo:lo + histrows + halfH],
+                ext_im[lo:lo + histrows + halfH], halfH)
     else:
-        audio_ref[0] = dre[1:] + dim[1:]
+        audio_ref[0] = fir_dft_demod(ext_re, ext_im, tileH)
 
     # ---- carry updates ----
     hist_re_scr[:] = ext_re[tileH:]
@@ -373,15 +436,17 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
     omega = pfb_offset(nch)
     ramp = jnp.asarray(phase_ramp(float(omega), _LANES).reshape(1, _LANES))
 
-    That = jnp.asarray(_wide_tap_panel(nch, m, as_db))
+    fold = "nco_fold" in opts
+    That = jnp.asarray(_wide_tap_panel_fold(nch, m, as_db) if fold
+                       else _wide_tap_panel(nch, m, as_db))
     if "dft_kara" in opts:
-        kara_hi_np, kara_lo_np = _wide_dft_kara(nch)
+        kara_hi_np, kara_lo_np = _wide_dft_kara(nch, fold)
         wre_hi = jnp.asarray(kara_hi_np, dtype=jnp.bfloat16)
         wre_lo = jnp.asarray(kara_lo_np, dtype=jnp.bfloat16)
         wim_hi = jnp.zeros((1, 1), jnp.bfloat16)   # unused dummies
         wim_lo = jnp.zeros((1, 1), jnp.bfloat16)
     else:
-        (wre_hi_np, wre_lo_np), (wim_hi_np, wim_lo_np) = _wide_dft(nch)
+        (wre_hi_np, wre_lo_np), (wim_hi_np, wim_lo_np) = _wide_dft(nch, fold)
         wre_hi = jnp.asarray(wre_hi_np, dtype=jnp.bfloat16)
         wre_lo = jnp.asarray(wre_lo_np, dtype=jnp.bfloat16)
         wim_hi = jnp.asarray(wim_hi_np, dtype=jnp.bfloat16)

@@ -260,3 +260,75 @@ def test_dft_kara_matches_production():
     assert float(np.quantile(d, 0.99)) < 3e-4, float(np.quantile(d, 0.99))
     for k in ("hist_re", "hist_im"):
         assert np.allclose(np.asarray(sa[k]), np.asarray(sb[k]), atol=1e-6)
+
+
+@pytest.mark.parametrize("nch", [16, 64])
+def test_nco_fold_matches_production(nch):
+    """opts=("nco_fold",) compiles the NCO stage out entirely — the lane
+    phase e^{jωℓ} folds into the DFT constant, the per-tap residual
+    (−1)^{(nch−1)J} into the tap panel, and the carried global phase
+    cancels in the demod conjugate product.  Audio must match production
+    within the bf16x3 DFT floor ACROSS block boundaries (the fold changes
+    what hist carries — pre-rotation rows — so streaming continuity is the
+    thing to verify)."""
+    tileF = 64 if nch == 16 else 128
+    iq = _signal(nch, tileF, blocks=2, seed=11)
+    half = len(iq) // 2
+    for extra in ((), ("dft_kara",)):
+        sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
+        ya_all, yb_all = [], []
+        for i in range(2):
+            blk = jnp.asarray(iq[i * half:(i + 1) * half])
+            sa, ya = flagship_fused_wide_step(sa, blk, nch=nch, tileF=tileF,
+                                              interpret=True, opts=extra)
+            sb, yb = flagship_fused_wide_step(
+                sb, blk, nch=nch, tileF=tileF, interpret=True,
+                opts=extra + ("nco_fold",))
+            ya_all.append(np.asarray(ya))
+            yb_all.append(np.asarray(yb))
+        d = np.abs(np.concatenate(ya_all, axis=1)
+                   - np.concatenate(yb_all, axis=1))
+        # same floor class as the dft_kara gate: atan2 branch flips on
+        # noise-only channels aside, audio sits within the bf16x3 floors
+        assert float(np.mean(d > 0.01)) < 0.005, (extra, float(np.mean(d > 0.01)))
+        assert float(np.quantile(d, 0.99)) < 3e-4, (extra, float(np.quantile(d, 0.99)))
+
+
+def test_nco_fold_u8_matches_production_u8():
+    """The fold under cu8 input (the exact production streaming config)."""
+    nch, tileF = 64, 128
+    iq = _signal(nch, tileF, blocks=1, seed=12)
+    pairs = np.stack([np.clip(np.round((iq.real + 1) * 127.5), 0, 255),
+                      np.clip(np.round((iq.imag + 1) * 127.5), 0, 255)],
+                     axis=1).astype(np.uint8).reshape(-1)
+    u8 = jnp.asarray(pairs)
+    sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
+    sa, ya = flagship_fused_wide_step(sa, u8, nch=nch, tileF=tileF,
+                                      interpret=True)
+    sb, yb = flagship_fused_wide_step(sb, u8, nch=nch, tileF=tileF,
+                                      interpret=True, opts=("nco_fold",))
+    d = np.abs(np.asarray(ya) - np.asarray(yb))
+    assert float(np.mean(d > 0.01)) < 0.005, float(np.mean(d > 0.01))
+    assert float(np.quantile(d, 0.99)) < 3e-4, float(np.quantile(d, 0.99))
+
+
+def test_split2_bit_identical_to_production():
+    """opts=("split2",) re-orders nothing semantically — two half-tile
+    FIR→DFT→demod chains compute the exact same per-row arithmetic, so the
+    audio must be BIT-identical to production (and composable with the
+    other gates)."""
+    nch, tileF = 64, 256   # tileH = 128, halfH = 64 >= histrows = 9
+    iq = _signal(nch, tileF, blocks=2, seed=13)
+    half = len(iq) // 2
+    for extra in ((), ("nco_fold", "dft_kara")):
+        sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
+        for i in range(2):
+            blk = jnp.asarray(iq[i * half:(i + 1) * half])
+            sa, ya = flagship_fused_wide_step(sa, blk, nch=nch, tileF=tileF,
+                                              interpret=True, opts=extra)
+            sb, yb = flagship_fused_wide_step(
+                sb, blk, nch=nch, tileF=tileF, interpret=True,
+                opts=extra + ("split2",))
+            assert np.array_equal(np.asarray(ya), np.asarray(yb)), extra
+        for k in ("hist_re", "hist_im", "scal"):
+            assert np.array_equal(np.asarray(sa[k]), np.asarray(sb[k])), k
