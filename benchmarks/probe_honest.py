@@ -137,6 +137,106 @@ def probe_hostloop(nch=64, block=1 << 22, ns=(8, 32, 128), reps=3,
             "msps": round(block / b / 1e6, 1) if b > 0 else None}
 
 
+def probe_scan_u8(nch=64, block=1 << 22, inners=(64, 256, 1024), reps=3,
+                  opts=()):
+    """Same slope protocol on the cu8-wide kernel — the fastest production
+    ingest path (uint8 IQ converted in-kernel; bench.py backend cu8_wide).
+    Kernel-direct rather than via the Pipeline: the u8 pair input is what a
+    native reader ships, and the state chain + download give the same
+    honesty guarantees as probe_scan."""
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.ops.pallas.flagship_fused_wide import (
+        flagship_fused_wide_init, flagship_fused_wide_step)
+    from csdr_tpu.utils import autotune
+
+    tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
+    fill = jax.jit(lambda a, b: (jnp.full((block,), a, jnp.uint8),
+                                 jnp.full((block,), b, jnp.uint8)))
+    ctr = [0]
+
+    def fresh():
+        ctr[0] += 1
+        return fill(jnp.uint8(100 + ctr[0] % 97),
+                    jnp.uint8(90 + (3 * ctr[0]) % 89))
+
+    def chunk(state, probe, x, inner):
+        def body(carry, _):
+            st, pr = carry
+            st2, y = flagship_fused_wide_step(st, x, nch=nch, tileF=tileF,
+                                              opts=opts)
+            return (st2, y.reshape(-1)[0] + 0.0 * pr), None
+        return jax.lax.scan(body, (state, probe), None, length=inner)[0]
+
+    steps = {inner: jax.jit(lambda s, p, x, i=inner: chunk(s, p, x, i))
+             for inner in inners}
+    for inner in inners:
+        st, pr = steps[inner](flagship_fused_wide_init(nch),
+                              jnp.float32(0.0), fresh())
+        float(jax.device_get(pr))
+    times = {}
+    for inner in inners:
+        best = float("inf")
+        for _ in range(reps):
+            st, pr, x = (flagship_fused_wide_init(nch),
+                         jnp.float32(ctr[0] % 251), fresh())
+            t0 = time.perf_counter()
+            st, pr = steps[inner](st, pr, x)
+            float(jax.device_get(pr))
+            best = min(best, time.perf_counter() - t0)
+        times[inner] = best
+        print(f"# scan_u8 inner={inner}: {best:.4f} s", flush=True)
+    a, b = _fit(list(times), list(times.values()))
+    return {"times_s": {str(k): round(v, 4) for k, v in times.items()},
+            "intercept_s": round(a, 4), "per_step_s": round(b, 6),
+            "tileF": tileF, "opts": list(opts),
+            "msps": round(block / b / 1e6, 1) if b > 0 else None}
+
+
+def probe_hostloop_u8(nch=64, block=1 << 22, ns=(8, 32, 128), reps=3,
+                      opts=()):
+    """Host-dispatch-loop cross-check of probe_scan_u8 (state chained across
+    dispatches, one terminal download)."""
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.ops.pallas.flagship_fused_wide import (
+        flagship_fused_wide_init, flagship_fused_wide_step)
+    from csdr_tpu.utils import autotune
+
+    tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
+    fill = jax.jit(lambda a, b: (jnp.full((block,), a, jnp.uint8),
+                                 jnp.full((block,), b, jnp.uint8)))
+    ctr = [0]
+
+    def fresh():
+        ctr[0] += 1
+        return fill(jnp.uint8(100 + ctr[0] % 97),
+                    jnp.uint8(90 + (3 * ctr[0]) % 89))
+
+    step = lambda st, x: flagship_fused_wide_step(st, x, nch=nch,
+                                                  tileF=tileF, opts=opts)
+    st, y = step(flagship_fused_wide_init(nch), fresh())
+    float(jax.device_get(y.reshape(-1)[0]))
+    times = {}
+    for n in ns:
+        best = float("inf")
+        for _ in range(reps):
+            st = flagship_fused_wide_init(nch)
+            x = fresh()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                st, y = step(st, x)
+            float(jax.device_get(y.reshape(-1)[0]))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+        print(f"# hostloop_u8 n={n}: {best:.4f} s", flush=True)
+    a, b = _fit(list(times), list(times.values()))
+    return {"times_s": {str(k): round(v, 4) for k, v in times.items()},
+            "intercept_s": round(a, 4), "per_dispatch_s": round(b, 6),
+            "tileF": tileF, "opts": list(opts),
+            "msps": round(block / b / 1e6, 1) if b > 0 else None}
+
+
 def probe_copy(nbytes=1 << 26, ks=(8, 32, 128), reps=3):
     import jax
     import jax.numpy as jnp
@@ -186,6 +286,7 @@ def probe_copy(nbytes=1 << 26, ks=(8, 32, 128), reps=3):
 
 def main():
     res = {"scan": probe_scan(), "hostloop": probe_hostloop(),
+           "scan_u8": probe_scan_u8(), "hostloop_u8": probe_hostloop_u8(),
            "copy": probe_copy()}
     # sanity verdicts the judge can read directly.  Anti-fabrication gating
     # (advisor round 2): the gate stays at the LABELED part's spec — the
@@ -209,6 +310,14 @@ def main():
         "scan_vs_hostloop_ratio": (
             round(res["hostloop"]["msps"] / res["scan"]["msps"], 2)
             if res["scan"]["msps"] and res["hostloop"]["msps"] else None),
+        "scan_vs_hostloop_ratio_u8": (
+            round(res["hostloop_u8"]["msps"] / res["scan_u8"]["msps"], 2)
+            if res["scan_u8"]["msps"] and res["hostloop_u8"]["msps"]
+            else None),
+        "flagship_best_msps": max(
+            v["msps"] or 0.0
+            for v in (res["scan"], res["hostloop"],
+                      res["scan_u8"], res["hostloop_u8"])),
     }
     out = os.path.join(HERE, "results", f"HONEST_{ROUND}.json")
     with open(out, "w") as f:

@@ -19,7 +19,12 @@ algebra survives the packing:
     packed rows preserve — the same two-matmul solve with a 128-wide decay
     matrix (lanes) and an r^128 row-carry matrix.
   * NCO: omega = -pi(nch-1)/nch has period 2*nch samples; nch | 64 makes
-    128 an exact multiple, so the phase ramp is ONE constant 128-lane row.
+    128 an exact multiple, so the phase depends on the LANE alone — and
+    since round 4 the stage is FOLDED OUT entirely (production default):
+    the per-lane mix factor e^{-j*omega*l} lives in the DFT constant, the
+    per-tap residual (-1)^((nch-1)J) in the tap panel, and the carried
+    global phase cancels in the demod conjugate product (opts=("nco_ramp",)
+    restores the explicit rotation).
   * PFB FIR (permuted taps, flagship_fused._permuted_tap_panel): a shift of
     J frames = a lane roll by (J%R)*nch plus a row shift by J//R, with the
     wrapped lanes taking one extra row of history — one `pltpu.roll` per
@@ -228,19 +233,24 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         x_last_re = X[tileH - 1, _LANES - 1]
         x_last_im = X[2 * tileH - 1, _LANES - 1]
 
-    if "nco" not in skip and "nco_fold" not in opts:
-        # ---- NCO pre-shift: one constant ramp row (nch | 64 ⇒ period | 128)
+    if "nco_ramp" in opts and "nco" not in skip:
+        # legacy explicit NCO pre-shift: one constant ramp row (nch | 64 ⇒
+        # period | 128) — reachable via opts=("nco_ramp",) for A/B
+        # reproduction (KERNEL_NCOFOLD_r04 / KERNEL_SPLIT2FOLD_r04)
         theta = ramp_ref[:] + phase_ref[0, 0]  # (1, 128), broadcast over rows
         cth = jnp.cos(theta)
         sth = jnp.sin(theta)
         sre = ydc_re * cth + ydc_im * sth
         sim = ydc_im * cth - ydc_re * sth
     else:
-        # nco_fold: the stage is compiled out entirely — the per-lane phase
-        # e^{jωℓ} lives in the DFT constant (_wide_dft(fold=True)), the
-        # per-tap residual (−1)^{(nch−1)J} in the tap panel
-        # (_wide_tap_panel_fold), and the carried global phase cancels in
-        # the demod's conjugate product.  Saves 4 VPU passes/sample.
+        # PRODUCTION DEFAULT since round 4 (the NCO fold): the stage is
+        # compiled out entirely — the per-lane mix factor e^{−jωℓ} lives in
+        # the DFT constant (_wide_dft(fold=True)), the per-tap residual
+        # (−1)^{(nch−1)J} in the tap panel (_wide_tap_panel_fold), and the
+        # carried global phase cancels in the demod's conjugate product.
+        # Saves 4 VPU passes/sample; measured +8.4% median END-TO-END
+        # together with split2 (KERNEL_SPLIT2FOLD_r04, 10 scan-paired
+        # rounds; fold alone was within window noise, KERNEL_NCOFOLD_r04).
         sre, sim = ydc_re, ydc_im
 
     # ---- PFB branch FIR over packed frame panels ----
@@ -337,12 +347,16 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
             return (cre + cim) * jnp.float32(inv_kf)
         return dre[1:] + dim[1:]
 
-    if "split2" in opts and tileH % 2 == 0 and tileH // 2 >= histrows:
-        # two INDEPENDENT half-tile chains: FIR(h1) has no data dependence
-        # on DFT/demod(h0), so Mosaic's scheduler is free to overlap h1's
-        # VPU passes with h0's MXU matmuls (the single-chain body is one
-        # strict dependency chain, which is why measured throughput tracks
-        # the SERIAL roofline — docs/PERF.md §2c).  Same total op count.
+    if "split1" not in opts and tileH % 2 == 0 and tileH // 2 >= histrows:
+        # PRODUCTION DEFAULT since round 4: two INDEPENDENT half-tile
+        # chains — FIR(h1) has no data dependence on DFT/demod(h0), so
+        # Mosaic's scheduler is free to overlap h1's VPU passes with h0's
+        # MXU matmuls (the single-chain body is one strict dependency
+        # chain, which is why measured throughput tracked the SERIAL
+        # roofline — docs/PERF.md §2c).  Same total op count, audio
+        # bit-identical (tests); +8.4% median end-to-end with the NCO fold
+        # (KERNEL_SPLIT2FOLD_r04).  Single-chain stays reachable via
+        # opts=("split1",); tiles too small to split fall through to it.
         halfH = tileH // 2
         for h in range(2):
             lo = h * halfH
@@ -436,7 +450,10 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
     omega = pfb_offset(nch)
     ramp = jnp.asarray(phase_ramp(float(omega), _LANES).reshape(1, _LANES))
 
-    fold = "nco_fold" in opts
+    # NCO fold is the production default (round 4); opts=("nco_ramp",)
+    # restores the explicit in-kernel rotation ("nco_fold" is accepted as a
+    # redundant alias so recorded A/B command lines stay reproducible)
+    fold = "nco_ramp" not in opts
     That = jnp.asarray(_wide_tap_panel_fold(nch, m, as_db) if fold
                        else _wide_tap_panel(nch, m, as_db))
     if "dft_kara" in opts:

@@ -263,14 +263,15 @@ def test_dft_kara_matches_production():
 
 
 @pytest.mark.parametrize("nch", [16, 64])
-def test_nco_fold_matches_production(nch):
-    """opts=("nco_fold",) compiles the NCO stage out entirely — the lane
-    phase e^{jωℓ} folds into the DFT constant, the per-tap residual
-    (−1)^{(nch−1)J} into the tap panel, and the carried global phase
-    cancels in the demod conjugate product.  Audio must match production
-    within the bf16x3 DFT floor ACROSS block boundaries (the fold changes
-    what hist carries — pre-rotation rows — so streaming continuity is the
-    thing to verify)."""
+def test_nco_fold_matches_legacy_ramp(nch):
+    """The NCO fold (production default since round 4) compiles the NCO
+    stage out entirely — the lane phase e^{−jωℓ} folds into the DFT
+    constant, the per-tap residual (−1)^{(nch−1)J} into the tap panel, and
+    the carried global phase cancels in the demod conjugate product.  Audio
+    must match the legacy explicit-ramp path (opts=("nco_ramp",)) within
+    the bf16x3 DFT floor ACROSS block boundaries (the fold changes what
+    hist carries — pre-rotation rows — so streaming continuity is the thing
+    to verify)."""
     tileF = 64 if nch == 16 else 128
     iq = _signal(nch, tileF, blocks=2, seed=11)
     half = len(iq) // 2
@@ -279,11 +280,11 @@ def test_nco_fold_matches_production(nch):
         ya_all, yb_all = [], []
         for i in range(2):
             blk = jnp.asarray(iq[i * half:(i + 1) * half])
-            sa, ya = flagship_fused_wide_step(sa, blk, nch=nch, tileF=tileF,
-                                              interpret=True, opts=extra)
+            sa, ya = flagship_fused_wide_step(
+                sa, blk, nch=nch, tileF=tileF, interpret=True,
+                opts=extra + ("nco_ramp",))
             sb, yb = flagship_fused_wide_step(
-                sb, blk, nch=nch, tileF=tileF, interpret=True,
-                opts=extra + ("nco_fold",))
+                sb, blk, nch=nch, tileF=tileF, interpret=True, opts=extra)
             ya_all.append(np.asarray(ya))
             yb_all.append(np.asarray(yb))
         d = np.abs(np.concatenate(ya_all, axis=1)
@@ -294,7 +295,7 @@ def test_nco_fold_matches_production(nch):
         assert float(np.quantile(d, 0.99)) < 3e-4, (extra, float(np.quantile(d, 0.99)))
 
 
-def test_nco_fold_u8_matches_production_u8():
+def test_nco_fold_u8_matches_legacy_u8():
     """The fold under cu8 input (the exact production streaming config)."""
     nch, tileF = 64, 128
     iq = _signal(nch, tileF, blocks=1, seed=12)
@@ -304,31 +305,31 @@ def test_nco_fold_u8_matches_production_u8():
     u8 = jnp.asarray(pairs)
     sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
     sa, ya = flagship_fused_wide_step(sa, u8, nch=nch, tileF=tileF,
-                                      interpret=True)
+                                      interpret=True, opts=("nco_ramp",))
     sb, yb = flagship_fused_wide_step(sb, u8, nch=nch, tileF=tileF,
-                                      interpret=True, opts=("nco_fold",))
+                                      interpret=True)
     d = np.abs(np.asarray(ya) - np.asarray(yb))
     assert float(np.mean(d > 0.01)) < 0.005, float(np.mean(d > 0.01))
     assert float(np.quantile(d, 0.99)) < 3e-4, float(np.quantile(d, 0.99))
 
 
-def test_split2_bit_identical_to_production():
-    """opts=("split2",) re-orders nothing semantically — two half-tile
-    FIR→DFT→demod chains compute the exact same per-row arithmetic, so the
-    audio must be BIT-identical to production (and composable with the
-    other gates)."""
+def test_split2_bit_identical_to_single_chain():
+    """The split2 default (two half-tile FIR→DFT→demod chains, production
+    since round 4) re-orders nothing semantically — it computes the exact
+    same per-row arithmetic as the single chain (opts=("split1",)), so the
+    audio must be BIT-identical (and composable with the other gates)."""
     nch, tileF = 64, 256   # tileH = 128, halfH = 64 >= histrows = 9
     iq = _signal(nch, tileF, blocks=2, seed=13)
     half = len(iq) // 2
-    for extra in ((), ("nco_fold", "dft_kara")):
+    for extra in ((), ("nco_ramp", "dft_kara")):
         sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
         for i in range(2):
             blk = jnp.asarray(iq[i * half:(i + 1) * half])
-            sa, ya = flagship_fused_wide_step(sa, blk, nch=nch, tileF=tileF,
-                                              interpret=True, opts=extra)
+            sa, ya = flagship_fused_wide_step(
+                sa, blk, nch=nch, tileF=tileF, interpret=True,
+                opts=extra + ("split1",))
             sb, yb = flagship_fused_wide_step(
-                sb, blk, nch=nch, tileF=tileF, interpret=True,
-                opts=extra + ("split2",))
+                sb, blk, nch=nch, tileF=tileF, interpret=True, opts=extra)
             assert np.array_equal(np.asarray(ya), np.asarray(yb)), extra
         for k in ("hist_re", "hist_im", "scal"):
             assert np.array_equal(np.asarray(sa[k]), np.asarray(sb[k])), k

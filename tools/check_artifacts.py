@@ -27,6 +27,9 @@ SPEC = {
     "VPU_ROOFLINE_r04.json": ("healthy", ["vpu", "mxu_bf16_Tflops",
                                           "flagship_wide_pct_of_serial_light"]),
     "KERNEL_KARA_r04.json": ("healthy", ["pairs"]),
+    "KERNEL_NCOFOLD_r04.json": ("healthy", ["pairs"]),
+    "KERNEL_SPLIT2_r04.json": ("healthy", ["pairs"]),
+    "KERNEL_SPLIT2FOLD_r04.json": ("healthy", ["pairs"]),
     "STREAMING_SWEEP_r04.json": (None, ["sweep", "best_msps"]),
     "HONEST_r04.json": (None, ["scan", "hostloop", "copy", "verdict"]),
     "ABLATION_r04.json": ("healthy", ["ladder", "stages"]),
