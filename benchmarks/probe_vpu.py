@@ -57,15 +57,19 @@ sys.path.insert(0, os.path.dirname(HERE))
 # passes (2·128 per sample-pass — block-diagonal zeros included, the MXU
 # cannot skip them); hbm_bytes is the §1 model.
 OPS_MODEL = {
+    # round 4 production: NCO folded into constants (−4 VPU ops vs r04's
+    # pre-flip 111/117 — KERNEL_SPLIT2FOLD_r04); split2 leaves op counts
+    # unchanged (it only exposes MXU/VPU overlap to the scheduler, which
+    # moves the measured point BETWEEN the serial and overlap lights).
     "flagship_wide": {
-        "vpu_ops": 111.0,   # DC 18 + NCO 4 + FIR 34 + DFT 16 + demod 9
-                            # + atan2 26 + kf 1 + misc 3
+        "vpu_ops": 107.0,   # DC 18 + FIR 34 + DFT 16 + demod 9
+                            # + atan2 26 + kf 1 + misc 3  (NCO folded)
         "mxu_passes": 18,   # DC dot3 3x2 + DFT cdot3 12
         "mxu_flops": 18 * 2 * 128,
         "hbm_bytes": 12.0,
     },
     "flagship_wide_u8": {
-        "vpu_ops": 117.0,   # + in-kernel u8→i32→f32 convert+scale (3 x 2)
+        "vpu_ops": 113.0,   # + in-kernel u8→i32→f32 convert+scale (3 x 2)
         "mxu_passes": 18,
         "mxu_flops": 18 * 2 * 128,
         "hbm_bytes": 6.0,
