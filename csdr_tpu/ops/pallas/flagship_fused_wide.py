@@ -347,8 +347,9 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
             return (cre + cim) * jnp.float32(inv_kf)
         return dre[1:] + dim[1:]
 
-    if "split1" not in opts and tileH % 2 == 0 and tileH // 2 >= histrows:
-        # PRODUCTION DEFAULT since round 4: two INDEPENDENT half-tile
+    parts = 1 if "split1" in opts else (4 if "split4" in opts else 2)
+    if parts > 1 and tileH % parts == 0 and tileH // parts >= histrows:
+        # PRODUCTION DEFAULT since round 4 (parts=2): INDEPENDENT sub-tile
         # chains — FIR(h1) has no data dependence on DFT/demod(h0), so
         # Mosaic's scheduler is free to overlap h1's VPU passes with h0's
         # MXU matmuls (the single-chain body is one strict dependency
@@ -356,13 +357,14 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         # roofline — docs/PERF.md §2c).  Same total op count, audio
         # bit-identical (tests); +8.4% median end-to-end with the NCO fold
         # (KERNEL_SPLIT2FOLD_r04).  Single-chain stays reachable via
-        # opts=("split1",); tiles too small to split fall through to it.
-        halfH = tileH // 2
-        for h in range(2):
-            lo = h * halfH
-            audio_ref[0, lo:lo + halfH] = fir_dft_demod(
-                ext_re[lo:lo + histrows + halfH],
-                ext_im[lo:lo + histrows + halfH], halfH)
+        # opts=("split1",); tiles too small to split fall through to it;
+        # opts=("split4",) deepens the pipeline to 4 chains (A/B gate).
+        partH = tileH // parts
+        for h in range(parts):
+            lo = h * partH
+            audio_ref[0, lo:lo + partH] = fir_dft_demod(
+                ext_re[lo:lo + histrows + partH],
+                ext_im[lo:lo + histrows + partH], partH)
     else:
         audio_ref[0] = fir_dft_demod(ext_re, ext_im, tileH)
 

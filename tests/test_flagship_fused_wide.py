@@ -333,3 +333,19 @@ def test_split2_bit_identical_to_single_chain():
             assert np.array_equal(np.asarray(ya), np.asarray(yb)), extra
         for k in ("hist_re", "hist_im", "scal"):
             assert np.array_equal(np.asarray(sa[k]), np.asarray(sb[k])), k
+
+
+def test_split4_bit_identical():
+    """opts=("split4",) — the deeper 4-chain pipeline gate — is bit-identical
+    to production (2 chains) and to the single chain."""
+    nch, tileF = 64, 256   # tileH = 128, partH = 32 >= histrows = 9
+    iq = _signal(nch, tileF, blocks=1, seed=14)
+    outs = []
+    for opts in (("split1",), (), ("split4",)):
+        s = flagship_fused_wide_init(nch)
+        s, y = flagship_fused_wide_step(s, jnp.asarray(iq), nch=nch,
+                                        tileF=tileF, interpret=True,
+                                        opts=opts)
+        outs.append(np.asarray(y))
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[1], outs[2])
