@@ -17,11 +17,18 @@ swept systematically.  This probe:
        * the same with one-deep upload PREFETCH (device_put of chunk i+1
          issued before the kernel on chunk i is forced);
   3. fits the byte-metering model
-         t_step(block) ≈ max(base_latency, 2·block / meter_MBps)
+         t_step(block) ≈ max(base_latency, 2 · 2·block / meter_MBps)
      and reports each measured point as a fraction of its own modelled
      ceiling — "the framework saturates the relay" is then a number, not
      a shrug.  In a healthy window the model collapses (meter_MBps is
      huge) and the best point should clear 50 MSPS outright.
+
+     The factor 2 on the dispatched bytes is MEASURED, not assumed: the
+     r04 sweep found every variant flat at meter/4 B-per-sample (e.g.
+     20.7-21.3 MSPS at an 82 MB/s meter) with the FUSED variant (outputs
+     = scalar) equal to the unfused one (outputs = 4 B/sample audio) —
+     so each ingest byte is charged twice (once by the device_put upload,
+     once as dispatch-arg bytes) and program OUTPUTS are not metered.
 
 Writes benchmarks/results/STREAMING_SWEEP_<round>.json (keep-best rule on
 the headline best_msps).
@@ -200,8 +207,12 @@ def main():
              if big else None)
     if meter:
         out["meter_MBps"] = round(float(meter), 1)
+        out["meter_model"] = ("t = max(base, 2*dispatch_bytes/meter): each "
+                              "ingest byte is metered at upload AND as "
+                              "dispatch-arg bytes; outputs unmetered "
+                              "(fused == unfused, r04 sweep)")
         for r in rows:
-            t_model = max(base_s, r["dispatch_bytes"] / (meter * 1e6))
+            t_model = max(base_s, 2 * r["dispatch_bytes"] / (meter * 1e6))
             ceil = r["block_samples"] / t_model / 1e6
             r["ceiling_msps"] = round(ceil, 2)
             best = max(r["ingest_msps"], r["ingest_prefetch_msps"],
