@@ -142,6 +142,104 @@ def measure(iters: int = 12, tileF: int | None = None, ladder=None):
     return rows, tileF, drift
 
 
+def measure_scanpaired(rounds: int = 3, inner: int = 256, ladder=None,
+                       tileF: int | None = None):
+    """Drift-immune ladder: each variant is measured as ADJACENT
+    (full, variant) scan dispatches — one dispatch = ``inner`` state-chained
+    kernel steps in lax.scan, download-terminated, distinct content per run
+    (the probe_kernel_opts.scan_paired instrument, which settled the
+    <10% kernel A/Bs) — and its cost is the MEDIAN of the per-pair time
+    ratios t_variant/t_full.  The host-loop ladder normalizes by bracketing
+    fulls, which cannot track windows that swing >1.8x within minutes (two
+    r04 captures refused themselves at drift 3.43 and 2.50); adjacent scan
+    pairs are seconds apart, so the ratio cancels all but intra-pair
+    drift."""
+    import jax
+    import jax.numpy as jnp
+    from csdr_tpu.ops.pallas.flagship_fused_wide import (
+        flagship_fused_wide_init, flagship_fused_wide_step)
+    from csdr_tpu.utils import autotune
+
+    nch = 64
+    block = bench._BLOCK
+    if tileF is None:
+        tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
+
+    seed = [0]
+    fill = jax.jit(lambda a, b: (jnp.full((block,), a, jnp.uint8),
+                                 jnp.full((block,), b, jnp.uint8)))
+
+    def fresh_u8():
+        seed[0] += 1
+        v = seed[0]
+        return fill(jnp.uint8(100 + v % 97), jnp.uint8(90 + (3 * v) % 89))
+
+    def runner(skip, opts):
+        def chunk(state, probe, x):
+            def body(carry, _):
+                st, pr = carry
+                st2, y = flagship_fused_wide_step(
+                    st, x, nch=nch, tileF=tileF, skip=skip, opts=opts)
+                return (st2, y.reshape(-1)[0] + 0.0 * pr), None
+            return jax.lax.scan(body, (state, probe), None, length=inner)[0]
+        step = jax.jit(chunk, donate_argnums=(0,))
+        st, pr = step(flagship_fused_wide_init(nch),
+                      jnp.float32(seed[0] % 251), fresh_u8())
+        float(jax.device_get(pr))  # warm + force
+
+        def run():
+            s = flagship_fused_wide_init(nch)
+            p, x = jnp.float32(seed[0] % 251), fresh_u8()
+            t0 = time.perf_counter()
+            s, p = step(s, p, x)
+            float(jax.device_get(p))
+            return inner * block / (time.perf_counter() - t0) / 1e6
+        return run
+
+    items = [(e + ((),))[:3] for e in (ladder or LADDER)]
+    assert items[0][0] == "full"
+    full_run = runner((), ())
+    fulls = []
+    rows = []
+    for name, skip, opts in items[1:]:
+        var_run = runner(tuple(skip), tuple(opts))
+        ratios, pair_rows = [], []
+        for _ in range(rounds):
+            f = full_run()
+            v = var_run()
+            fulls.append(f)
+            ratios.append(f / v)          # = t_variant / t_full
+            pair_rows.append({"full_msps": round(f, 1),
+                              "variant_msps": round(v, 1),
+                              "t_ratio": round(f / v, 4)})
+        ratios.sort()
+        med = ratios[len(ratios) // 2]
+        rows.append({"variant": name, "skip": list(skip),
+                     "opts": list(opts), "pairs": pair_rows,
+                     "t_ratio_median": round(med, 4)})
+        fulls_str = ", ".join("%.0f" % p["full_msps"] for p in pair_rows)
+        print(f"# {name:12s} t_variant/t_full median {med:.4f}  "
+              f"(fulls {fulls_str})", flush=True)
+    full_msps_med = sorted(fulls)[len(fulls) // 2]
+    full_ns = 1e3 / full_msps_med
+    drift = (max(fulls) / min(fulls)) if min(fulls) > 0 else float("inf")
+    # rows -> ladder schema: cumulative t_k = ratio_k * t_full
+    out_rows = [{"variant": "full", "skip": [],
+                 "msps": round(full_msps_med, 1),
+                 "ns_per_sample": round(full_ns, 4)}]
+    for r in rows:
+        t = r["t_ratio_median"] * full_ns
+        out_rows.append({"variant": r["variant"], "skip": r["skip"],
+                         "pairs": r["pairs"],
+                         "t_ratio_median": r["t_ratio_median"],
+                         "msps": round(1e3 / t, 1),
+                         "ns_per_sample": round(t, 4)})
+    print(f"# full median {full_msps_med:.1f} MSPS; "
+          f"cross-ladder drift {drift:.3f} (ratios are pair-local)",
+          flush=True)
+    return out_rows, tileF, drift
+
+
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     if len(sys.argv) > 2 and sys.argv[2] == "sub":
@@ -179,7 +277,13 @@ def main():
                           "value": rows[0]["msps"], "healthy": healthy}))
         print(f"# wrote {out}")
         return
-    rows, tileF, drift = measure(iters)
+    mode = sys.argv[2] if len(sys.argv) > 2 else "scanpaired"
+    if mode == "hostloop":
+        rows, tileF, drift = measure(iters)
+    else:
+        # DEFAULT since round 4: adjacent scan pairs per variant — the
+        # bracketed host-loop ladder refused itself twice at drift 2.5-3.4
+        rows, tileF, drift = measure_scanpaired(rounds=max(3, iters // 4))
     full_ns = rows[0]["ns_per_sample"]
     stages = []
     for prev, cur in zip(rows, rows[1:]):
@@ -191,13 +295,21 @@ def main():
     stages.append({"stage": "io_layout_floor",
                    "ns_per_sample": round(floor, 4),
                    "pct_of_full": round(100.0 * floor / full_ns, 1)})
-    # upper sanity bound: the honest cross-checked record is ~12 GSPS; a
+    # upper sanity bound: the honest cross-checked record is ~14 GSPS; a
     # "full" at 75 GSPS (observed once, with a NEGATIVE slope elsewhere in
     # the same ladder) is the relay faking chained timings
-    healthy = (bench.HEALTHY_MSPS <= rows[0]["msps"] <= 25000.0
-               and 1.0 <= drift < 1.8)
+    if mode == "hostloop":
+        healthy = (bench.HEALTHY_MSPS <= rows[0]["msps"] <= 25000.0
+                   and 1.0 <= drift < 1.8)
+    else:
+        # ratios are pair-local, so cross-ladder drift does not gate —
+        # instead require sane medians (every skip removes work: t_ratio
+        # in (0, 1.05]) and a physical full
+        healthy = (bench.HEALTHY_MSPS <= rows[0]["msps"] <= 25000.0
+                   and all(0.0 < r.get("t_ratio_median", 1.0) <= 1.05
+                           for r in rows[1:]))
     rec = {"healthy": healthy, "ts": time.time(), "tileF": tileF,
-           "block": bench._BLOCK, "input": "u8_wide",
+           "block": bench._BLOCK, "input": "u8_wide", "mode": mode,
            "window_drift": round(drift, 3),
            "ladder": rows, "stages": stages}
     out = os.path.join(HERE, "results", f"ABLATION_{ROUND}.json")
