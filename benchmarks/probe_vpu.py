@@ -77,7 +77,7 @@ OPS_MODEL = {
 }
 
 
-def probe_vpu_fma(iters: int = 8):
+def probe_vpu_fma(iters: int = 8, ilp: int = 1):
     """Sustained VPU f32 throughput in fma-equivalent lane-ops/s.
 
     One dispatch = fori_loop(M) over an unrolled K-step fma block
@@ -88,36 +88,53 @@ def probe_vpu_fma(iters: int = 8):
     the guards' drift cancels in sign pairs, and a per-block clip bounds
     the tail).  Arithmetic intensity = M·(K+…)/8 bytes ≈ 2,900 ops/byte —
     three orders past any HBM/VPU crossover, so the loop is pure VPU.
+
+    ``ilp``: number of INDEPENDENT per-element chains advanced in lockstep
+    (y_1..y_P each get the step-k fma before any gets k+1, combined only
+    at the end).  A single dependent chain measures fma LATENCY-bound
+    issue; the true throughput ceiling is the max over an ilp sweep —
+    main() records both so the roofline pegs to the machine, not to one
+    chain's latency.
     """
     import jax
     import jax.numpy as jnp
 
     S = (4096, 128)            # 2 MB f32: one XLA fusion, HBM touched once
     K = 128                    # unrolled fma steps per fori iteration
-    M = 160                    # fori iterations per dispatch
+    M = 160 // ilp or 1        # fori iterations per dispatch (work ~const)
     GUARD = 16
     A = [np.float32(1.0 + (1e-4 if k % 2 else -1e-4)) for k in range(K)]
     B = [np.float32((1e-3 if k % 2 else -1e-3) * (1.0 + k / K))
          for k in range(K)]
 
-    def kblock(y):
+    def kblock(ys):
         for k in range(K):
-            y = y * A[k] + B[k]
+            ys = [y * A[k] + B[k] for y in ys]
             if k % GUARD == GUARD - 1:
                 eps = jnp.float32(1e-6 if (k // GUARD) % 2 else -1e-6)
-                y = y + y * y * eps
-        return jnp.clip(y, -32.0, 32.0)
+                ys = [y + y * y * eps for y in ys]
+        return [jnp.clip(y, -32.0, 32.0) for y in ys]
 
     @jax.jit
     def step(y):
-        return jax.lax.fori_loop(0, M, lambda i, y: kblock(y), y)
+        # P independent chains seeded from distinct affine views of y,
+        # folded back with a non-affine mix so none is dead
+        ys = [y * jnp.float32(1.0 + 0.01 * p) + jnp.float32(0.001 * p)
+              for p in range(ilp)]
+        def body(i, ys):
+            return kblock(ys)
+        ys = jax.lax.fori_loop(0, M, body, ys)
+        out = ys[0]
+        for y in ys[1:]:
+            out = out + y * jnp.float32(1e-3)
+        return out
 
     # value-distinct start (golden-ratio lattice — no two elements equal)
     y0 = jax.jit(lambda: jnp.mod(
         jnp.arange(S[0] * S[1], dtype=jnp.float32) * jnp.float32(0.6180339887),
         jnp.float32(7.0)).reshape(S) - 3.0)()
 
-    ops_per_elem = M * (K + 2 * (K // GUARD) + 2)   # fma + guards + clip
+    ops_per_elem = ilp * M * (K + 2 * (K // GUARD) + 2)  # fma+guards+clip
     y = step(y0)
     probe = float(jax.device_get(y.reshape(-1)[0]))
     if not math.isfinite(probe):
@@ -138,6 +155,7 @@ def probe_vpu_fma(iters: int = 8):
     dt = times[1] - times[0]
     total_ops = 3 * iters * ops_per_elem * S[0] * S[1]
     return {"vpu_f32_Gops": round(total_ops / dt / 1e9, 1),
+            "ilp": ilp,
             "ops_per_dispatch": ops_per_elem * S[0] * S[1],
             "per_dispatch_ms": round(dt / (3 * iters) * 1e3, 3),
             "shape": list(S), "unroll_k": K, "fori_m": M}
@@ -169,7 +187,16 @@ def main():
                        "download-terminated; flagship + MXU + HBM probed in "
                        "the SAME window; model table docs/PERF.md §2c"}
 
-    out["vpu"] = probe_vpu_fma(iters)
+    # ILP sweep: a single dependent chain measures fma latency-bound issue;
+    # the CEILING is the max over independent-chain counts (the roofline
+    # must peg to the machine's throughput, not one chain's latency)
+    sweep = []
+    for p in (1, 2, 4, 8):
+        r = probe_vpu_fma(iters, ilp=p)
+        sweep.append(r)
+        print(f"# vpu ilp={p}: {r['vpu_f32_Gops']:.1f} Gops", flush=True)
+    out["vpu_ilp_sweep"] = sweep
+    out["vpu"] = max(sweep, key=lambda r: r["vpu_f32_Gops"])
     vpu_gops = out["vpu"]["vpu_f32_Gops"]
     out["mxu_bf16_Tflops"] = probe_mxu(max(12, iters))
     cres = probe_honest.probe_copy()

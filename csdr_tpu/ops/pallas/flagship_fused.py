@@ -400,29 +400,53 @@ def _kernel(xre_ref, xim_ref, ramp2_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
     ext_re = jnp.concatenate([hist_re_scr[:], sre], axis=0)  # (tileF + L + 1, nch)
     ext_im = jnp.concatenate([hist_im_scr[:], sim], axis=0)
     That = That_ref[:]
-    ure = None
-    uim = None
-    for J in range(L + 1):
-        tj = That[J][None, :]
-        # û_t = Σ_J T̂[J]·ŝ_ext[t + L − J],  t ∈ [0, tileF+1)
-        seg_re = ext_re[L - J: L - J + tileF + 1] * tj
-        seg_im = ext_im[L - J: L - J + tileF + 1] * tj
-        ure = seg_re if ure is None else ure + seg_re
-        uim = seg_im if uim is None else uim + seg_im
 
-    # DFT matmuls via the bf16_3x split (see _permuted_dft): full-f32
-    # HIGHEST costs 2.15× end-to-end on this kernel; default bf16 has a
-    # −52 dB error floor; 3x lands at −96 dB for ~half of HIGHEST's passes
-    ure_p = split_bf16(ure)
-    uim_p = split_bf16(uim)
-    dre, dim = cdot3(ure_p, uim_p, wre_hi_ref[:], wre_lo_ref[:],
-                     wim_hi_ref[:], wim_lo_ref[:])
+    def fir_dft_demod(pre, pim, outrows):
+        """FIR → DFT → FM demod over ``L + 1 + outrows`` ext rows →
+        (outrows, nch) audio.  Factored so the splitN default can run
+        independent sub-tile chains (see below)."""
+        ure = None
+        uim = None
+        for J in range(L + 1):
+            tj = That[J][None, :]
+            # û_t = Σ_J T̂[J]·ŝ_ext[t + L − J],  t ∈ [0, outrows+1)
+            seg_re = pre[L - J: L - J + outrows + 1] * tj
+            seg_im = pim[L - J: L - J + outrows + 1] * tj
+            ure = seg_re if ure is None else ure + seg_re
+            uim = seg_im if uim is None else uim + seg_im
 
-    # ---- FM demod ----
-    cre = dre[1:] * dre[:-1] + dim[1:] * dim[:-1]
-    cim = dim[1:] * dre[:-1] - dre[1:] * dim[:-1]
-    audio_ref[0] = (_atan2(cim, cre, fast_recip="fast_atan" in opts)
-                    * jnp.float32(inv_kf))
+        # DFT matmuls via the bf16_3x split (see _permuted_dft): full-f32
+        # HIGHEST costs 2.15× end-to-end on this kernel; default bf16 has a
+        # −52 dB error floor; 3x lands at −96 dB for ~half of HIGHEST's
+        # passes
+        ure_p = split_bf16(ure)
+        uim_p = split_bf16(uim)
+        dre, dim = cdot3(ure_p, uim_p, wre_hi_ref[:], wre_lo_ref[:],
+                         wim_hi_ref[:], wim_lo_ref[:])
+
+        # ---- FM demod ----
+        cre = dre[1:] * dre[:-1] + dim[1:] * dim[:-1]
+        cim = dim[1:] * dre[:-1] - dre[1:] * dim[:-1]
+        return (_atan2(cim, cre, fast_recip="fast_atan" in opts)
+                * jnp.float32(inv_kf))
+
+    parts = 1 if "split1" in opts else (4 if "split4" in opts else 2)
+    if parts > 1 and tileF % parts == 0 and tileF // parts >= L + 1:
+        # splitN (round 4, mirrors flagship_fused_wide): independent
+        # sub-tile FIR→DFT→demod chains give Mosaic's scheduler MXU/VPU
+        # overlap across chains; same ops, bit-identical audio (tests).
+        # The wide-kernel A/B measured +8.4% median with the NCO fold
+        # (KERNEL_SPLIT2FOLD_r04); the narrow layout keeps its explicit
+        # NCO (its phase alternates per ROW — not foldable into a
+        # constant), so only the split applies here.
+        partH = tileF // parts
+        for h in range(parts):
+            lo = h * partH
+            audio_ref[0, lo:lo + partH] = fir_dft_demod(
+                ext_re[lo: lo + L + 1 + partH],
+                ext_im[lo: lo + L + 1 + partH], partH)
+    else:
+        audio_ref[0] = fir_dft_demod(ext_re, ext_im, tileF)
 
     # ---- carry updates ----
     hist_re_scr[:] = ext_re[tileF:]

@@ -83,3 +83,30 @@ def test_flagship_fused_u8_planes_matches_interleaved():
         st_b, (jnp.asarray(u8[0::2]), jnp.asarray(u8[1::2])),
         nch=nch, tileF=tileF, interpret=True)
     assert np.array_equal(np.asarray(ya), np.asarray(yb))
+
+
+def test_narrow_splitn_bit_identical():
+    """The narrow kernel's splitN default (round 4, mirrors the wide
+    kernel) computes the exact same per-row arithmetic as the single
+    chain — audio and state bit-identical across split1/default/split4."""
+    import numpy as np
+    import jax.numpy as jnp
+    nch, tileF = 20, 64   # nch does NOT divide 64: the narrow-only case
+    rng = np.random.default_rng(15)
+    n = nch * tileF * 4
+    t = np.arange(n)
+    iq = (0.3 * np.exp(2j * np.pi * np.mod(0.213 * t, 1.0))
+          + 0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+          ).astype(np.complex64)
+    outs, states = [], []
+    for opts in (("split1",), (), ("split4",)):
+        s = flagship_fused_init(nch)
+        s, y = flagship_fused_step(s, jnp.asarray(iq), nch=nch, tileF=tileF,
+                                   interpret=True, opts=opts)
+        outs.append(np.asarray(y))
+        states.append(s)
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[1], outs[2])
+    for k in ("hist_re", "hist_im", "scal"):
+        assert np.array_equal(np.asarray(states[0][k]),
+                              np.asarray(states[1][k])), k
