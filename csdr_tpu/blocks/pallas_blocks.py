@@ -74,7 +74,13 @@ class FlagshipFused(Block):
             dc_alpha=dc_alpha, interpret=interpret)
         self.rate = Fraction(1, nch)
         self.granule = nch * tileF
-        self.name = f"flagship_fused({nch})"
+        # /v2: round 4's NCO fold changed what the WIDE kernel's hist state
+        # carries (pre-rotation rows instead of post-NCO rows) — the
+        # checkpoint signature must refuse a pre-fold checkpoint rather
+        # than silently resume with a rotated-basis history (the structural
+        # leaf check cannot tell them apart)
+        ver = "/v2" if layout == "wide" else ""
+        self.name = f"flagship_fused({nch}){ver}"
 
     def init(self):
         return self._init()

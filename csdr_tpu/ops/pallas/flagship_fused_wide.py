@@ -450,12 +450,14 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
         xim = jnp.imag(x).reshape(T, tileH, _LANES)
 
     omega = pfb_offset(nch)
-    ramp = jnp.asarray(phase_ramp(float(omega), _LANES).reshape(1, _LANES))
 
     # NCO fold is the production default (round 4); opts=("nco_ramp",)
     # restores the explicit in-kernel rotation ("nco_fold" is accepted as a
     # redundant alias so recorded A/B command lines stay reproducible)
     fold = "nco_ramp" not in opts
+    # folded kernels never read the ramp: ship a (1, 1) dummy, not 512 B
+    ramp = (jnp.zeros((1, 1), jnp.float32) if fold else
+            jnp.asarray(phase_ramp(float(omega), _LANES).reshape(1, _LANES)))
     That = jnp.asarray(_wide_tap_panel_fold(nch, m, as_db) if fold
                        else _wide_tap_panel(nch, m, as_db))
     if "dft_kara" in opts:
@@ -507,7 +509,7 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tileH, _LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            const2((1, _LANES)),
+            const2(tuple(ramp.shape)),
             const2((_LANES, _LANES)), const2((_LANES, _LANES)),
             const2(tuple(S.shape)),
             const2((1, _LANES)), const2((1, _LANES)), const2(tuple(pN.shape)),

@@ -30,6 +30,8 @@ SPEC = {
     "KERNEL_NCOFOLD_r04.json": ("healthy", ["pairs"]),
     "KERNEL_SPLIT2_r04.json": ("healthy", ["pairs"]),
     "KERNEL_SPLIT2FOLD_r04.json": ("healthy", ["pairs"]),
+    "KERNEL_SPLIT4_r04.json": ("healthy", ["pairs"]),
+    "KERNEL_FASTATAN_r04.json": ("healthy", ["pairs"]),
     "STREAMING_SWEEP_r04.json": (None, ["sweep", "best_msps"]),
     "HONEST_r04.json": (None, ["scan", "hostloop", "copy", "verdict"]),
     "ABLATION_r04.json": ("healthy", ["ladder", "stages"]),
