@@ -162,6 +162,7 @@ def scan_paired(rounds: int = 3, inner: int = 512, tileF: int | None = None):
     production/experiment alternated.  Each run feeds a DISTINCT input block
     and probe seed so no two timed dispatches are ever byte-identical."""
     import jax
+    import jax.numpy as jnp
     from csdr_tpu.ops.pallas.flagship_fused_wide import (
         flagship_fused_wide_init, flagship_fused_wide_step)
     from csdr_tpu.utils import autotune
@@ -171,14 +172,22 @@ def scan_paired(rounds: int = 3, inner: int = 512, tileF: int | None = None):
     if tileF is None:
         tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
 
+    # CSDR_TILEF_INPUT=f32 measures the f32-wide path instead of cu8: the
+    # input ships as two f32 planes (complex-free boundary, CLAUDE.md rule
+    # 2) and lax.complex assembles the kernel input INSIDE the program
+    f32_input = os.environ.get("CSDR_TILEF_INPUT", "u8") == "f32"
+
     def chunk_for(opts, tf=None):
         tf = tileF if tf is None else tf
 
         def chunk(state, probe, x):
+            if f32_input:
+                xc = jax.lax.complex(x[0].astype(jnp.float32) * (1 / 255.0),
+                                     x[1].astype(jnp.float32) * (1 / 255.0))
             def body(carry, _):
                 st, pr = carry
-                st2, y = flagship_fused_wide_step(st, x, nch=nch, tileF=tf,
-                                                  opts=opts)
+                st2, y = flagship_fused_wide_step(
+                    st, xc if f32_input else x, nch=nch, tileF=tf, opts=opts)
                 pr2 = y.reshape(-1)[0] + 0.0 * pr
                 return (st2, pr2), None
             return jax.lax.scan(body, (state, probe), None, length=inner)[0]
@@ -258,7 +267,8 @@ def main():
     if TILEF_AB:
         rec["tilef_ab"] = TILEF_AB
         rec["experiment_opts"] = f"tileF {TILEF_AB} (production opts)"
-        out = os.path.join(HERE, "results", f"KERNEL_TILEF_{ROUND}.json")
+        out = os.path.join(HERE, "results", os.environ.get(
+            "CSDR_OPTS_OUT", f"KERNEL_TILEF_{ROUND}.json"))
     else:
         out = os.path.join(HERE, "results", os.environ.get(
             "CSDR_OPTS_OUT", f"KERNEL_OPTS_{ROUND}.json"))
