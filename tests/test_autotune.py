@@ -63,7 +63,7 @@ def test_packaged_cache_ships_tpu_sweeps(cache):
     # the committed package cache carries the real-chip sweep results and is
     # consulted for keys the user cache lacks (exact winners change when the
     # cache is re-swept on chip — assert shape, not values)
-    tiles = (128, 256, 512, 1024, 2048)
+    tiles = (128, 256, 512, 1024, 2048, 4096)
     assert autotune.has_entry("flagship_fused_wide", 64, platform="tpu")
     assert autotune.lookup("flagship_fused_wide", 64, platform="tpu") in tiles
     assert autotune.lookup("flagship_fused", 64, variant="u8",
