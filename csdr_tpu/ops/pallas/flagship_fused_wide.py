@@ -85,8 +85,9 @@ def _lane_phase(nch: int) -> np.ndarray:
     ω = −π(nch−1)/nch (pfb_offset); its period 2·nch divides 128 for every
     nch | 64, so with the wide packing (s = 128·row + ℓ) the phase depends
     on the LANE alone: θ(row, ℓ) = ω·ℓ (mod 2π).  That makes the whole NCO
-    stage a per-lane constant rotation — foldable into the kernel's other
-    constants (opts=("nco_fold",), see _wide_dft/_wide_tap_panel_fold)."""
+    stage a per-lane constant rotation — folded into the kernel's other
+    constants (the PRODUCTION default since round 4; opts=("nco_ramp",)
+    restores the explicit rotation — see _wide_dft/_wide_tap_panel_fold)."""
     omega = pfb_offset(nch)
     ell = np.arange(_LANES, dtype=np.float64)
     return np.exp(-1j * np.mod(omega * ell, 2.0 * np.pi))
@@ -94,7 +95,8 @@ def _lane_phase(nch: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _wide_tap_panel_fold(nch: int, m: int, as_db: float) -> np.ndarray:
-    """Tap panel with the NCO fold's per-tap correction (opts=("nco_fold",)).
+    """Tap panel with the NCO fold's per-tap correction (the production
+    default; the explicit-ramp path uses the unfolded panel).
 
     With the NCO folded out of the sample stream, the FIR runs on x̂ (pre-
     rotation) instead of ŝ = x̂·e^{jωs}; a tap J frames back carries the
@@ -269,9 +271,10 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
 
         ``ext`` must hold ``histrows + outrows`` rows (history prefix then
         fresh samples); output row j covers ext row base + j, with row j=0's
-        demod seed coming from the pre-row.  Factored so opts=("split2",)
-        can run two INDEPENDENT half-tile chains (see below) — the
-        production single call traces bit-identically to the inlined form."""
+        demod seed coming from the pre-row.  Factored so the splitN default
+        can run INDEPENDENT sub-tile chains (see below); a single full-tile
+        call (opts=("split1",)) traces bit-identically to the old inlined
+        form."""
         if "fir" not in skip:
             shifts = sorted({J % R for J in range(L + 1)})
             nrows = ext_re.shape[0]

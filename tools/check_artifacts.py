@@ -32,6 +32,10 @@ SPEC = {
     "KERNEL_SPLIT2FOLD_r04.json": ("healthy", ["pairs"]),
     "KERNEL_SPLIT4_r04.json": ("healthy", ["pairs"]),
     "KERNEL_FASTATAN_r04.json": ("healthy", ["pairs"]),
+    "KERNEL_TILEF_r04.json": ("healthy", ["pairs"]),
+    "KERNEL_TILEF_F32_r04.json": ("healthy", ["pairs"]),
+    "KERNEL_TILEF8K_r04.json": ("healthy", ["pairs"]),
+    "RECEIVERS_r04.json": ("all_ok", ["rows"]),
     "STREAMING_SWEEP_r04.json": (None, ["sweep", "best_msps"]),
     "HONEST_r04.json": (None, ["scan", "hostloop", "copy", "verdict"]),
     "ABLATION_r04.json": ("healthy", ["ladder", "stages"]),
