@@ -266,15 +266,7 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
     #   lanes < s·nch take the lane-rolled previous row, others the current.
     base = histrows - 1
 
-    def fir_dft_demod(ext_re, ext_im, outrows):
-        """FIR → DFT → FM demod over ``ext`` rows → (outrows, 128) audio.
-
-        ``ext`` must hold ``histrows + outrows`` rows (history prefix then
-        fresh samples); output row j covers ext row base + j, with row j=0's
-        demod seed coming from the pre-row.  Factored so the splitN default
-        can run INDEPENDENT sub-tile chains (see below); a single full-tile
-        call (opts=("split1",)) traces bit-identically to the old inlined
-        form."""
+    def fir_part(ext_re, ext_im, outrows):
         if "fir" not in skip:
             shifts = sorted({J % R for J in range(L + 1)})
             nrows = ext_re.shape[0]
@@ -306,7 +298,9 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         else:
             ure = ext_re[base: base + outrows + 1]
             uim = ext_im[base: base + outrows + 1]
+        return ure, uim
 
+    def dft_part(ure, uim):
         if "dft" not in skip:
             # ---- block-diagonal DFT, bf16_3x ----
             ure_p = split_bf16(ure)
@@ -328,7 +322,9 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
                                  wim_hi_ref[:], wim_lo_ref[:])
         else:
             dre, dim = ure, uim
+        return dre, dim
 
+    def demod_part(dre, dim, outrows):
         if "demod" not in skip:
             # ---- FM demod: previous frame = lane roll by nch, slot 0 wraps
             # to the previous row ----
@@ -350,6 +346,20 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
             return (cre + cim) * jnp.float32(inv_kf)
         return dre[1:] + dim[1:]
 
+    def fir_dft_demod(ext_re, ext_im, outrows):
+        """FIR → DFT → FM demod over ``ext`` rows → (outrows, 128) audio.
+
+        ``ext`` must hold ``histrows + outrows`` rows (history prefix then
+        fresh samples); output row j covers ext row base + j, with row j=0's
+        demod seed coming from the pre-row.  Staged (fir/dft/demod parts)
+        so the splitN default can run INDEPENDENT sub-tile chains and the
+        interleave gate can emit them stage-major; a single full-tile call
+        (opts=("split1",)) traces bit-identically to the old inlined
+        form."""
+        ure, uim = fir_part(ext_re, ext_im, outrows)
+        dre, dim = dft_part(ure, uim)
+        return demod_part(dre, dim, outrows)
+
     parts = 1 if "split1" in opts else (4 if "split4" in opts else 2)
     if parts > 1 and tileH % parts == 0 and tileH // parts >= histrows:
         # PRODUCTION DEFAULT since round 4 (parts=2): INDEPENDENT sub-tile
@@ -363,11 +373,25 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         # opts=("split1",); tiles too small to split fall through to it;
         # opts=("split4",) deepens the pipeline to 4 chains (A/B gate).
         partH = tileH // parts
-        for h in range(parts):
-            lo = h * partH
-            audio_ref[0, lo:lo + partH] = fir_dft_demod(
-                ext_re[lo:lo + histrows + partH],
-                ext_im[lo:lo + histrows + partH], partH)
+        if "interleave" in opts:
+            # stage-major emission (A/B gate): FIR of every chain first,
+            # then every DFT, then every demod — identical dataflow and
+            # bit-identical audio, but if Mosaic list-schedules in emission
+            # order this hands it the MXU/VPU overlap directly instead of
+            # requiring a global reorder
+            us = [fir_part(ext_re[h * partH: h * partH + histrows + partH],
+                           ext_im[h * partH: h * partH + histrows + partH],
+                           partH) for h in range(parts)]
+            ds = [dft_part(*u) for u in us]
+            for h in range(parts):
+                audio_ref[0, h * partH:(h + 1) * partH] = demod_part(
+                    *ds[h], partH)
+        else:
+            for h in range(parts):
+                lo = h * partH
+                audio_ref[0, lo:lo + partH] = fir_dft_demod(
+                    ext_re[lo:lo + histrows + partH],
+                    ext_im[lo:lo + histrows + partH], partH)
     else:
         audio_ref[0] = fir_dft_demod(ext_re, ext_im, tileH)
 

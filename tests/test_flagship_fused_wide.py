@@ -349,3 +349,17 @@ def test_split4_bit_identical():
         outs.append(np.asarray(y))
     assert np.array_equal(outs[0], outs[1])
     assert np.array_equal(outs[1], outs[2])
+
+
+def test_interleave_bit_identical():
+    """opts=("interleave",) — stage-major emission across the split chains —
+    is pure re-ordering of an identical dataflow: bit-identical audio."""
+    nch, tileF = 64, 256
+    iq = _signal(nch, tileF, blocks=1, seed=16)
+    sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
+    sa, ya = flagship_fused_wide_step(sa, jnp.asarray(iq), nch=nch,
+                                      tileF=tileF, interpret=True)
+    sb, yb = flagship_fused_wide_step(sb, jnp.asarray(iq), nch=nch,
+                                      tileF=tileF, interpret=True,
+                                      opts=("interleave",))
+    assert np.array_equal(np.asarray(ya), np.asarray(yb))
