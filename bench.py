@@ -38,6 +38,38 @@ def _probe_scalar(y):
     return float(jax.device_get(arr.reshape(-1)[0]))
 
 
+_fresh = {"fn": None, "block": None, "ctr": 0}
+
+
+def fresh_u8_pair(block: int):
+    """(re, im) uint8 planes with CALL-DISTINCT content — the relay dedups/
+    replays byte-identical dispatches (docs/TPU_BACKEND_NOTES.md), so every
+    timed run must feed fresh values.  One compiled fill program, fresh fill
+    values per call.  The single shared implementation of the anti-dedup
+    input invariant (probe_kernel_opts / probe_ablation / probe_honest all
+    use this — keep it in one place so a fix to the cycling scheme cannot
+    miss a copy)."""
+    import jax
+    import jax.numpy as jnp
+
+    if _fresh["fn"] is None or _fresh["block"] != block:
+        _fresh["fn"] = jax.jit(
+            lambda a, b: (jnp.full((block,), a, jnp.uint8),
+                          jnp.full((block,), b, jnp.uint8)))
+        _fresh["block"] = block
+    _fresh["ctr"] += 1
+    v = _fresh["ctr"]
+    return _fresh["fn"](jnp.uint8(100 + v % 97), jnp.uint8(90 + (3 * v) % 89))
+
+
+def fresh_seed():
+    """A call-distinct f32 probe seed (same counter as fresh_u8_pair)."""
+    import jax.numpy as jnp
+
+    _fresh["ctr"] += 1
+    return jnp.float32(_fresh["ctr"] % 251)
+
+
 def _slope_msps(step, make_state, x, block, iters, reps=2):
     """Honest throughput via a two-point slope: time state-chained loops of
     N and 4N dispatches, each download-terminated; (t4N − tN)/(3N) is the

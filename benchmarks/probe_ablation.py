@@ -80,8 +80,7 @@ def measure(iters: int = 12, tileF: int | None = None, ladder=None):
     recorded a NEGATIVE atan2 share and a 2x-too-fast full during a window
     collapse).  ``window_drift`` = max/min of the full measurements; the
     caller marks the run unhealthy above 1.3."""
-    import jax
-    import jax.numpy as jnp
+    import jax  # noqa: F401  (kernel dispatch)
     from csdr_tpu.ops.pallas.flagship_fused_wide import (
         flagship_fused_wide_init, flagship_fused_wide_step)
     from csdr_tpu.utils import autotune
@@ -91,17 +90,9 @@ def measure(iters: int = 12, tileF: int | None = None, ladder=None):
     if tileF is None:
         tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
 
-    seed = [0]
-
-    def fresh_u8():
-        # distinct content per run: byte-identical dispatches are
-        # relay-replayable (docs/TPU_BACKEND_NOTES.md)
-        seed[0] += 1
-        v = seed[0]
-        return (jax.jit(lambda a: jnp.full((block,), a, jnp.uint8))(
-                    jnp.uint8(100 + v % 97)),
-                jax.jit(lambda a: jnp.full((block,), a, jnp.uint8))(
-                    jnp.uint8(90 + (3 * v) % 89)))
+    # distinct content per run: byte-identical dispatches are
+    # relay-replayable (docs/TPU_BACKEND_NOTES.md) — shared implementation
+    fresh_u8 = lambda: bench.fresh_u8_pair(block)
 
     def slope_of(skip, opts=()):
         step = lambda st, x: flagship_fused_wide_step(
@@ -145,17 +136,18 @@ def measure(iters: int = 12, tileF: int | None = None, ladder=None):
 def measure_scanpaired(rounds: int = 3, inner: int = 256, ladder=None,
                        tileF: int | None = None):
     """Drift-immune ladder: each variant is measured as ADJACENT
-    (full, variant) scan dispatches — one dispatch = ``inner`` state-chained
-    kernel steps in lax.scan, download-terminated, distinct content per run
-    (the probe_kernel_opts.scan_paired instrument, which settled the
-    <10% kernel A/Bs) — and its cost is the MEDIAN of the per-pair time
-    ratios t_variant/t_full.  The host-loop ladder normalizes by bracketing
-    fulls, which cannot track windows that swing >1.8x within minutes (two
-    r04 captures refused themselves at drift 3.43 and 2.50); adjacent scan
-    pairs are seconds apart, so the ratio cancels all but intra-pair
-    drift."""
+    (full, variant) measurements — each measurement a TWO-POINT SLOPE over
+    scan dispatches of ``inner`` and ``4*inner`` state-chained kernel steps
+    (download-terminated, distinct content per run), so the dispatch/RTT
+    intercept cancels exactly (CLAUDE.md rule 6c: HONEST_r04 measured a
+    26-29 ms intercept, which a single-dispatch ratio would fold into both
+    numerator and denominator and compress every stage share toward zero).
+    The variant's cost is the MEDIAN of the per-pair slope-time ratios
+    t_variant/t_full.  The host-loop ladder normalizes by bracketing fulls,
+    which cannot track windows that swing >1.8x within minutes (two r04
+    captures refused themselves at drift 3.43 and 2.50); adjacent pairs are
+    seconds apart, so the ratio cancels all but intra-pair drift."""
     import jax
-    import jax.numpy as jnp
     from csdr_tpu.ops.pallas.flagship_fused_wide import (
         flagship_fused_wide_init, flagship_fused_wide_step)
     from csdr_tpu.utils import autotune
@@ -165,35 +157,38 @@ def measure_scanpaired(rounds: int = 3, inner: int = 256, ladder=None,
     if tileF is None:
         tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
 
-    seed = [0]
-    fill = jax.jit(lambda a, b: (jnp.full((block,), a, jnp.uint8),
-                                 jnp.full((block,), b, jnp.uint8)))
-
-    def fresh_u8():
-        seed[0] += 1
-        v = seed[0]
-        return fill(jnp.uint8(100 + v % 97), jnp.uint8(90 + (3 * v) % 89))
+    fresh_u8 = lambda: bench.fresh_u8_pair(block)
 
     def runner(skip, opts):
-        def chunk(state, probe, x):
-            def body(carry, _):
-                st, pr = carry
-                st2, y = flagship_fused_wide_step(
-                    st, x, nch=nch, tileF=tileF, skip=skip, opts=opts)
-                return (st2, y.reshape(-1)[0] + 0.0 * pr), None
-            return jax.lax.scan(body, (state, probe), None, length=inner)[0]
-        step = jax.jit(chunk, donate_argnums=(0,))
-        st, pr = step(flagship_fused_wide_init(nch),
-                      jnp.float32(seed[0] % 251), fresh_u8())
-        float(jax.device_get(pr))  # warm + force
+        def chunk_of(n):
+            def chunk(state, probe, x):
+                def body(carry, _):
+                    st, pr = carry
+                    st2, y = flagship_fused_wide_step(
+                        st, x, nch=nch, tileF=tileF, skip=skip, opts=opts)
+                    return (st2, y.reshape(-1)[0] + 0.0 * pr), None
+                return jax.lax.scan(body, (state, probe), None, length=n)[0]
+            step = jax.jit(chunk, donate_argnums=(0,))
+            st, pr = step(flagship_fused_wide_init(nch),
+                          bench.fresh_seed(), fresh_u8())
+            float(jax.device_get(pr))  # warm + force
+            return step
+
+        steps = {n: chunk_of(n) for n in (inner, 4 * inner)}
 
         def run():
-            s = flagship_fused_wide_init(nch)
-            p, x = jnp.float32(seed[0] % 251), fresh_u8()
-            t0 = time.perf_counter()
-            s, p = step(s, p, x)
-            float(jax.device_get(p))
-            return inner * block / (time.perf_counter() - t0) / 1e6
+            # two-point slope: the (dispatch + RTT) intercept cancels in
+            # t(4N) - t(N); returns the slope-honest MSPS
+            ts = {}
+            for n, step in steps.items():
+                s = flagship_fused_wide_init(nch)
+                p, x = bench.fresh_seed(), fresh_u8()
+                t0 = time.perf_counter()
+                s, p = step(s, p, x)
+                float(jax.device_get(p))
+                ts[n] = time.perf_counter() - t0
+            dt = ts[4 * inner] - ts[inner]
+            return 3 * inner * block / dt / 1e6 if dt > 0 else float("nan")
         return run
 
     items = [(e + ((),))[:3] for e in (ladder or LADDER)]
@@ -308,9 +303,24 @@ def main():
         healthy = (bench.HEALTHY_MSPS <= rows[0]["msps"] <= 25000.0
                    and all(0.0 < r.get("t_ratio_median", 1.0) <= 1.05
                            for r in rows[1:]))
+    # cumulative-ladder monotonicity: each successive skip removes a strict
+    # superset of work, so t_ratio SHOULD be non-increasing.  Inversions are
+    # recorded, not gated on: they reproduce across instruments and rounds
+    # (demod_rest measured -1.5% in the r03 host-loop ladder and -6.8% in
+    # the r04 scan-paired one) — on a compiled-and-scheduled kernel,
+    # removing ops can legitimately slow the schedule (layout changes,
+    # overlap shadow: docs/PERF.md §2c), and hiding that behind a refusal
+    # would misreport the machine.
+    ratios = [r.get("t_ratio_median") for r in rows[1:]
+              if r.get("t_ratio_median") is not None]
+    inversions = [rows[1 + i + 1]["variant"]
+                  for i, (a, b) in enumerate(zip(ratios, ratios[1:]))
+                  if b > a + 0.02]
     rec = {"healthy": healthy, "ts": time.time(), "tileF": tileF,
            "block": bench._BLOCK, "input": "u8_wide", "mode": mode,
            "window_drift": round(drift, 3),
+           "ladder_monotone": not inversions,
+           "ladder_inversions": inversions,
            "ladder": rows, "stages": stages}
     out = os.path.join(HERE, "results", f"ABLATION_{ROUND}.json")
     with open(out, "w") as f:

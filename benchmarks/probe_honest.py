@@ -150,15 +150,10 @@ def probe_scan_u8(nch=64, block=1 << 22, inners=(64, 256, 1024), reps=3,
         flagship_fused_wide_init, flagship_fused_wide_step)
     from csdr_tpu.utils import autotune
 
-    tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
-    fill = jax.jit(lambda a, b: (jnp.full((block,), a, jnp.uint8),
-                                 jnp.full((block,), b, jnp.uint8)))
-    ctr = [0]
+    import bench
 
-    def fresh():
-        ctr[0] += 1
-        return fill(jnp.uint8(100 + ctr[0] % 97),
-                    jnp.uint8(90 + (3 * ctr[0]) % 89))
+    tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
+    fresh = lambda: bench.fresh_u8_pair(block)
 
     def chunk(state, probe, x, inner):
         def body(carry, _):
@@ -179,7 +174,7 @@ def probe_scan_u8(nch=64, block=1 << 22, inners=(64, 256, 1024), reps=3,
         best = float("inf")
         for _ in range(reps):
             st, pr, x = (flagship_fused_wide_init(nch),
-                         jnp.float32(ctr[0] % 251), fresh())
+                         bench.fresh_seed(), fresh())
             t0 = time.perf_counter()
             st, pr = steps[inner](st, pr, x)
             float(jax.device_get(pr))
@@ -203,15 +198,10 @@ def probe_hostloop_u8(nch=64, block=1 << 22, ns=(8, 32, 128), reps=3,
         flagship_fused_wide_init, flagship_fused_wide_step)
     from csdr_tpu.utils import autotune
 
-    tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
-    fill = jax.jit(lambda a, b: (jnp.full((block,), a, jnp.uint8),
-                                 jnp.full((block,), b, jnp.uint8)))
-    ctr = [0]
+    import bench
 
-    def fresh():
-        ctr[0] += 1
-        return fill(jnp.uint8(100 + ctr[0] % 97),
-                    jnp.uint8(90 + (3 * ctr[0]) % 89))
+    tileF = autotune.lookup("flagship_fused_wide", nch, variant="u8")
+    fresh = lambda: bench.fresh_u8_pair(block)
 
     step = lambda st, x: flagship_fused_wide_step(st, x, nch=nch,
                                                   tileF=tileF, opts=opts)

@@ -58,28 +58,10 @@ VARIANTS = [
 # Distinct dispatch content per measurement run: the relay dedups/replays
 # byte-identical dispatches (docs/TPU_BACKEND_NOTES.md), and a probe that
 # re-creates content-identical inputs and state each round re-issues exactly
-# such dispatches.  One compiled fill program, a fresh fill VALUE per call.
-_seed_counter = [0]
-_fill_fn = [None]
-
-
-def _fresh_u8(block):
-    import jax
-    import jax.numpy as jnp
-
-    if _fill_fn[0] is None:
-        _fill_fn[0] = jax.jit(lambda a, b: (jnp.full((block,), a, jnp.uint8),
-                                            jnp.full((block,), b, jnp.uint8)))
-    _seed_counter[0] += 1
-    v = _seed_counter[0]
-    return _fill_fn[0](jnp.uint8(100 + v % 97), jnp.uint8(90 + (3 * v) % 89))
-
-
-def _fresh_probe_seed():
-    import jax.numpy as jnp
-
-    _seed_counter[0] += 1
-    return jnp.float32(_seed_counter[0] % 251)
+# such dispatches.  The anti-dedup input invariant lives in ONE place —
+# bench.fresh_u8_pair / bench.fresh_seed — shared by every probe.
+_fresh_u8 = bench.fresh_u8_pair
+_fresh_probe_seed = bench.fresh_seed
 
 
 def survey(iters: int = 12, tileF: int | None = None):

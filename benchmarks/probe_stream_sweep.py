@@ -84,12 +84,11 @@ def _ingest_msps(block: int, total: int, prefetch: bool, fused: bool = False):
 
     ``fused``: accumulate the audio checksum INSIDE each step's dispatch so
     the program's outputs are (state, scalar) instead of the (nch, n/nch)
-    audio panel.  The relay meters DISPATCH BUFFER BYTES (args + outputs —
-    docs/TPU_BACKEND_NOTES.md round-3 findings), and the audio output alone
-    is 4 B/sample = 2x the u8 input; in metered windows the fused variant
-    therefore measures the true INGEST ceiling (a production consumer that
-    reduces on device — per-channel energies, squelch, decimated audio —
-    has exactly this shape)."""
+    audio panel — the shape of a production consumer that reduces on device
+    (per-channel energies, squelch, decimated audio).  MEASURED OUTCOME
+    (r04 sweep): fused == unfused, which established that the relay meters
+    ARG bytes but NOT output buffers; the variant stays in the sweep as the
+    control that keeps that finding pinned."""
     import jax
     import jax.numpy as jnp
     from csdr_tpu.ops.pallas.flagship_fused_wide import (
@@ -178,7 +177,9 @@ def main():
     out = {"ts": time.time(), "round": ROUND, "total_samples": total,
            "protocol": "nodl chained-checksum ingest (STREAMING_r03 design) "
                        "swept across block sizes; byte-metering ceiling "
-                       "model t=max(base, bytes/meter)"}
+                       "model t=max(base, 2*dispatch_bytes/meter) - each "
+                       "ingest byte metered at upload AND as dispatch-arg "
+                       "bytes, outputs free (measured: fused == unfused)"}
     out["base_latency_ms"] = round(_base_latency_ms(), 2)
 
     rows = []

@@ -99,10 +99,11 @@ def _wide_tap_panel_fold(nch: int, m: int, as_db: float) -> np.ndarray:
     default; the explicit-ramp path uses the unfolded panel).
 
     With the NCO folded out of the sample stream, the FIR runs on x̂ (pre-
-    rotation) instead of ŝ = x̂·e^{jωs}; a tap J frames back carries the
-    residual e^{−jω·J·nch} = (−1)^{(nch−1)·J} — REAL, so the FIR stays two
-    real fma chains.  The remaining per-lane factor e^{jωℓ} commutes with
-    the whole (real-tapped) FIR and is folded into the DFT matrix."""
+    rotation) instead of ŝ = x̂·e^{−jωs} (the kernel mixes DOWN by e^{−jθ});
+    a tap J frames back carries the residual e^{+jω·J·nch} =
+    (−1)^{(nch−1)·J} — REAL, so the FIR stays two real fma chains.  The
+    remaining per-lane factor e^{−jωℓ} commutes with the whole
+    (real-tapped) FIR and is folded into the DFT matrix."""
     That = _wide_tap_panel(nch, m, as_db).copy()
     J = np.arange(That.shape[0])
     sign = np.where((((nch - 1) * J) % 2) == 0, 1.0, -1.0).astype(np.float32)
@@ -112,8 +113,9 @@ def _wide_tap_panel_fold(nch: int, m: int, as_db: float) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def _wide_dft_blockdiag(nch: int, fold: bool) -> np.ndarray:
     """(128, 128) complex128 block-diagonal diag(Ŵ, ..., Ŵ); with
-    ``fold`` each row ℓ additionally carries the NCO lane phase e^{jωℓ}
-    (see _lane_phase — constant, so the rotation costs zero kernel ops)."""
+    ``fold`` each row ℓ additionally carries the NCO lane mix factor
+    e^{−jωℓ} (see _lane_phase — constant, so the rotation costs zero
+    kernel ops)."""
     W = pfb_dft_matrix(nch).astype(np.complex128)
     q = np.arange(nch)
     Whet = W[(nch - q) % nch, :]  # (nch, nch)
