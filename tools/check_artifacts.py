@@ -37,6 +37,7 @@ SPEC = {
     "KERNEL_TILEF8K_r04.json": ("healthy", ["pairs"]),
     "RECEIVERS_r04.json": ("all_ok", ["rows"]),
     "BACKENDS_r04.json": ("healthy", ["msps_per_backend"]),
+    "KERNEL_INTERLEAVE_r04.json": ("healthy", ["pairs"]),
     "STREAMING_SWEEP_r04.json": (None, ["sweep", "best_msps"]),
     "HONEST_r04.json": (None, ["scan", "hostloop", "copy", "verdict"]),
     "ABLATION_r04.json": ("healthy", ["ladder", "stages"]),
