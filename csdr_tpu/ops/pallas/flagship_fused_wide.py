@@ -197,7 +197,32 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
             col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
 
             dc_ablate = tuple(s[3:] for s in skip if s.startswith("dc_"))
-            if hierB and not dc_ablate:
+            hierB2 = _hier_group(tileH // 2) if tileH % 2 == 0 else None
+            if ("dc_split" in opts and hierB and hierB2 and not dc_ablate):
+                # dc_split (A/B gate): solve the DC recurrence per HALF with
+                # the carry threaded between halves.  The full-tile solve
+                # finishes before any FIR starts, serializing an ~18% stage
+                # (ABLATION_r04); per-half, DC(h1)'s x-only matmuls carry no
+                # dependence on h0 (only the thin g-carry does), so the
+                # scheduler can overlap them with FIR(h0)'s VPU passes.
+                # Same algebra, different blocking — ~1e-6-class diffs,
+                # like hier-vs-dense (tolerance test).
+                H2 = tileH // 2
+                g_re, g_im = scal_scr[2], scal_scr[3]
+                halves = []
+                for h in range(2):
+                    cp_re = col_prev_re[h * H2:(h + 1) * H2]
+                    cp_im = col_prev_im[h * H2:(h + 1) * H2]
+                    yh_re, yh_im, g_re, g_im = _dc_solve_pair_hier(
+                        xre[h * H2:(h + 1) * H2], xim[h * H2:(h + 1) * H2],
+                        mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:],
+                        p128_ref[:], pg_ref[:], cp_re, cp_im,
+                        g_re, g_im, g_gain, H2, hierB2, a_row)
+                    halves.append((yh_re, yh_im))
+                ydc_re = jnp.concatenate([halves[0][0], halves[1][0]], axis=0)
+                ydc_im = jnp.concatenate([halves[0][1], halves[1][1]], axis=0)
+                glast_re, glast_im = g_re, g_im
+            elif hierB and not dc_ablate:
                 ydc_re, ydc_im, glast_re, glast_im = _dc_solve_pair_hier(
                     xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:],
                     p128_ref[:], pg_ref[:], col_prev_re,

@@ -363,3 +363,38 @@ def test_interleave_bit_identical():
                                       tileF=tileF, interpret=True,
                                       opts=("interleave",))
     assert np.array_equal(np.asarray(ya), np.asarray(yb))
+
+
+def test_dc_split_matches_production():
+    """opts=("dc_split",) — per-half DC solve with threaded carry — same
+    recurrence, different blocking: ~1e-6-class diffs like hier-vs-dense.
+    DC-only check (later stages skipped) plus full-kernel audio check,
+    multi-block for the carry hand-off."""
+    nch, tileF = 64, 512          # tileH = 256, halves of 128 -> hierB2=128
+    iq = _signal(nch, tileF, blocks=2, seed=17)
+    half = len(iq) // 2
+    skip = ("demod", "dft", "fir", "nco")
+    sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
+    for i in range(2):
+        blk = jnp.asarray(iq[i * half:(i + 1) * half])
+        sa, ya = flagship_fused_wide_step(sa, blk, nch=nch, tileF=tileF,
+                                          interpret=True, skip=skip)
+        sb, yb = flagship_fused_wide_step(sb, blk, nch=nch, tileF=tileF,
+                                          interpret=True, skip=skip,
+                                          opts=("dc_split",))
+        err = np.max(np.abs(np.asarray(ya) - np.asarray(yb)))
+        assert err < 2e-5, (i, err)
+    for k in ("hist_re", "hist_im", "scal"):
+        err = np.max(np.abs(np.asarray(sa[k]) - np.asarray(sb[k])))
+        assert err < 2e-5, (k, err)
+
+    sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
+    for i in range(2):
+        blk = jnp.asarray(iq[i * half:(i + 1) * half])
+        sa, ya = flagship_fused_wide_step(sa, blk, nch=nch, tileF=tileF,
+                                          interpret=True)
+        sb, yb = flagship_fused_wide_step(sb, blk, nch=nch, tileF=tileF,
+                                          interpret=True, opts=("dc_split",))
+        d = np.abs(np.asarray(ya) - np.asarray(yb))
+        assert float(np.mean(d > 0.01)) < 0.005, float(np.mean(d > 0.01))
+        assert float(np.quantile(d, 0.99)) < 1e-4, float(np.quantile(d, 0.99))
