@@ -38,6 +38,7 @@ SPEC = {
     "RECEIVERS_r04.json": ("all_ok", ["rows"]),
     "BACKENDS_r04.json": ("healthy", ["msps_per_backend"]),
     "KERNEL_INTERLEAVE_r04.json": ("healthy", ["pairs"]),
+    "KERNEL_DCSPLIT_r04.json": ("healthy", ["pairs"]),
     "STREAMING_SWEEP_r04.json": (None, ["sweep", "best_msps"]),
     "HONEST_r04.json": (None, ["scan", "hostloop", "copy", "verdict"]),
     "ABLATION_r04.json": ("healthy", ["ladder", "stages"]),
