@@ -297,11 +297,18 @@ def main():
         healthy = (bench.HEALTHY_MSPS <= rows[0]["msps"] <= 25000.0
                    and 1.0 <= drift < 1.8)
     else:
-        # ratios are pair-local, so cross-ladder drift does not gate —
-        # instead require sane medians (every skip removes work: t_ratio
-        # in (0, 1.05]) and a physical full
+        # ratios are pair-local, so cross-ladder drift does not gate.  A
+        # skip variant CAN legitimately run slower than full (overlap
+        # shadow / schedule change — demod_rest reproducibly measured
+        # −1.5% to −6.8% across rounds and instruments), so over-unity
+        # medians are RECORDED (see over_unity below), not refused — a
+        # 1.05 ceiling here would contradict the record-don't-gate policy
+        # stated at the inversion handling.  The gate keeps only physical
+        # sanity: a skip variant at >1.5× the full kernel is instrument
+        # failure (no observed shadow exceeds 7%), and full must sit in
+        # the honest healthy band.
         healthy = (bench.HEALTHY_MSPS <= rows[0]["msps"] <= 25000.0
-                   and all(0.0 < r.get("t_ratio_median", 1.0) <= 1.05
+                   and all(0.0 < r.get("t_ratio_median", 1.0) <= 1.5
                            for r in rows[1:]))
     # cumulative-ladder monotonicity: each successive skip removes a strict
     # superset of work, so t_ratio SHOULD be non-increasing.  Inversions are
@@ -316,11 +323,19 @@ def main():
     inversions = [rows[1 + i + 1]["variant"]
                   for i, (a, b) in enumerate(zip(ratios, ratios[1:]))
                   if b > a + 0.02]
+    # skip variants whose median exceeds the FULL kernel (t_ratio > 1):
+    # the strongest form of inversion — recorded with the same
+    # record-don't-gate policy as ladder_inversions
+    over_unity = [{"variant": r["variant"],
+                   "t_ratio_median": r["t_ratio_median"]}
+                  for r in rows[1:]
+                  if r.get("t_ratio_median", 1.0) > 1.0]
     rec = {"healthy": healthy, "ts": time.time(), "tileF": tileF,
            "block": bench._BLOCK, "input": "u8_wide", "mode": mode,
            "window_drift": round(drift, 3),
            "ladder_monotone": not inversions,
            "ladder_inversions": inversions,
+           "over_unity": over_unity,
            "ladder": rows, "stages": stages}
     out = os.path.join(HERE, "results", f"ABLATION_{ROUND}.json")
     with open(out, "w") as f:

@@ -67,6 +67,12 @@ __all__ = ["flagship_fused_wide_init", "flagship_fused_wide_step"]
 _TWO_PI = 2.0 * np.pi
 _LANES = 128
 
+# Trace-time markers for opt-gate activation (tests/probes read this to
+# assert a requested variant path actually compiled — jit caching means a
+# marker appears only when the config traces, so clear() before the call
+# under test).  Today: "dc_split_active" / "dc_split_inactive".
+_trace_log: set = set()
+
 
 @functools.lru_cache(maxsize=None)
 def _wide_tap_panel(nch: int, m: int, as_db: float) -> np.ndarray:
@@ -198,6 +204,15 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
 
             dc_ablate = tuple(s[3:] for s in skip if s.startswith("dc_"))
             hierB2 = _hier_group(tileH // 2) if tileH % 2 == 0 else None
+            if "dc_split" in opts:
+                # dc_split needs a hier group for the HALF tile: tileH/2 must
+                # be a multiple of 128 with >= 2 groups, i.e. tileH >= 512
+                # (tileF >= 1024 at nch=64).  Below that the gate silently
+                # measured production-vs-production — record activation at
+                # trace time so A/B harnesses and tests can assert it fired.
+                _trace_log.add("dc_split_active"
+                               if (hierB and hierB2 and not dc_ablate)
+                               else "dc_split_inactive")
             if ("dc_split" in opts and hierB and hierB2 and not dc_ablate):
                 # dc_split (A/B gate): solve the DC recurrence per HALF with
                 # the carry threaded between halves.  The full-tile solve
@@ -539,6 +554,15 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
     use_hier = "dc_dense" not in opts and "dc_stack" not in opts and \
         not any(s.startswith("dc_") for s in skip)   # dc_* sub-ablation
     hierB = _hier_group(tileH) if use_hier else None  # measures the dense parts
+    if "dc_split" in opts and not (
+            hierB and tileH % 2 == 0 and _hier_group(tileH // 2)):
+        # requested variant would silently no-op (see the kernel's gate) —
+        # an A/B at this tile measures production vs production
+        import warnings
+        warnings.warn(
+            f"dc_split requested but INACTIVE at tileH={tileH}: the per-half "
+            f"solve needs _hier_group(tileH//2), i.e. tileH >= 512 "
+            f"(tileF >= {512 * (_LANES // nch)} at nch={nch})", stacklevel=2)
     # dc_hier swaps the dense row-carry matrix for the (B+1, B) group one
     S = jnp.asarray(_row_carry_matrix(a_row, hierB if hierB else tileH))
     p128 = jnp.asarray(_powvec(r, _LANES))

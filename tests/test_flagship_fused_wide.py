@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import csdr_tpu as cs
 from csdr_tpu.ops.pallas.flagship_fused import (flagship_fused_init,
                                                 flagship_fused_step)
+from csdr_tpu.ops.pallas import flagship_fused_wide as ffw
 from csdr_tpu.ops.pallas.flagship_fused_wide import (flagship_fused_wide_init,
                                                      flagship_fused_wide_step)
 
@@ -370,10 +371,15 @@ def test_dc_split_matches_production():
     recurrence, different blocking: ~1e-6-class diffs like hier-vs-dense.
     DC-only check (later stages skipped) plus full-kernel audio check,
     multi-block for the carry hand-off."""
-    nch, tileF = 64, 512          # tileH = 256, halves of 128 -> hierB2=128
+    # tileH = 512, halves of 256 -> hierB2 = 128: the smallest tile where the
+    # dc_split branch actually compiles (tileF=512 gave halves of 128, whose
+    # _hier_group is None — the gate silently fell through to production and
+    # this test compared production against itself)
+    nch, tileF = 64, 1024
     iq = _signal(nch, tileF, blocks=2, seed=17)
     half = len(iq) // 2
     skip = ("demod", "dft", "fir", "nco")
+    ffw._trace_log.clear()
     sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
     for i in range(2):
         blk = jnp.asarray(iq[i * half:(i + 1) * half])
@@ -387,6 +393,10 @@ def test_dc_split_matches_production():
     for k in ("hist_re", "hist_im", "scal"):
         err = np.max(np.abs(np.asarray(sa[k]) - np.asarray(sb[k])))
         assert err < 2e-5, (k, err)
+    # the variant path must have actually compiled (trace-time marker) —
+    # guards against the gate silently degrading to the production solve
+    assert "dc_split_active" in ffw._trace_log, ffw._trace_log
+    assert "dc_split_inactive" not in ffw._trace_log, ffw._trace_log
 
     sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
     for i in range(2):
