@@ -203,6 +203,13 @@ def run_scan(backend: str, outer: int, inner: int, tileF: int | None = None):
 
         def one(s, x):
             return k_step(s, x, nch=nch, tileF=tileF, interpret=interp)
+        def chunk(state, probe, x):
+            def body(carry, _):
+                st, pr = carry
+                st2, y = one(st, x)
+                pr2 = y.reshape(-1)[0].astype(jnp.float32) + 0.0 * pr
+                return (st2, pr2), None
+            return jax.lax.scan(body, (state, probe), None, length=inner)[0]
     else:
         from csdr_tpu.models.receivers import channelized_fm_receiver
 
@@ -211,19 +218,24 @@ def run_scan(backend: str, outer: int, inner: int, tileF: int | None = None):
         x_in = CEnc(jax.jit(lambda: jnp.full((block, 2), 0.5, jnp.float32))())
         state0 = jax.jit(lambda: encode_tree(graph.init()))()
 
-        def one(s_enc, x_enc):
-            s2, y = graph.apply(decode_tree(s_enc), decode_tree(x_enc))
-            return encode_tree(s2), encode_tree(y)
-
-    def chunk(state, probe, x):
-        def body(carry, _):
-            st, pr = carry
-            st2, y = one(st, x)
-            leaf = jax.tree.leaves(y)[0]
-            arr = leaf.ri if isinstance(leaf, CEnc) else leaf
-            pr2 = arr.reshape(-1)[0].astype(jnp.float32) + 0.0 * pr
-            return (st2, pr2), None
-        return jax.lax.scan(body, (state, probe), None, length=inner)[0]
+        def chunk(state_enc, probe, x_enc):
+            # the jit BOUNDARY stays complex-free (CEnc), but inside the
+            # program state and input are decoded ONCE per dispatch, not per
+            # scan iteration: the old per-iteration decode_tree(x) re-sliced
+            # the (block, 2) input planes every step — a full extra HBM pass
+            # per iteration that cost the wide graph path ~20% vs the raw
+            # kernel scan (PERF.md §2c, round-4 weak #2)
+            x = decode_tree(x_enc)
+            def body(carry, _):
+                st, pr = carry
+                st2, y = graph.apply(st, x)
+                leaf = jax.tree.leaves(y)[0]
+                arr = jnp.real(leaf) if jnp.iscomplexobj(leaf) else leaf
+                pr2 = arr.reshape(-1)[0].astype(jnp.float32) + 0.0 * pr
+                return (st2, pr2), None
+            (st2, pr2), _ = jax.lax.scan(
+                body, (decode_tree(state_enc), probe), None, length=inner)
+            return encode_tree(st2), pr2
 
     step = jax.jit(chunk, donate_argnums=(0,))
     state, probe = state0, jnp.float32(0.0)
@@ -309,11 +321,15 @@ def main():
         # latter, so it leads the chain; host-loop modes back it up in case
         # a kernel regression breaks the scan compile.  Keep the best healthy
         # measurement across attempts rather than reporting a sick window.
-        # pallas_wide leads: it is the production-best backend since the
-        # round-3 hier flip + tile re-pin (BACKENDS_r03: wide 12,248 vs
-        # narrow 5,089; HONEST_r03 cross-checks the wide graph at 10.4 GSPS)
+        # cu8_wide:scan leads (round 5): it is the production-best path
+        # (HONEST_r04 15,535 MSPS) and interleaved cu8 bytes are the NATIVE
+        # rtl-sdr wire format — leading with it records the honest headline
+        # instead of trailing it by ~25% (round-4 weak #2: BENCH_r04 wrote
+        # 11.6 GSPS because the old chain never tried cu8_wide).  The f32
+        # graph scans back it up, then host-loop modes in case a kernel
+        # regression breaks the scan compile.
         attempts_plan = (
-            [("scan", be) for be in ("pallas_wide", "pallas_full")]
+            [("scan", be) for be in ("cu8_wide", "pallas_wide", "pallas_full")]
             + [("loop", be) for be in ("pallas_wide", "pallas_full",
                                        "pallas", "xla")])
         msps = None
