@@ -159,12 +159,13 @@ def _wide_dft(nch: int, fold: bool = False):
             for comp in (blk.real, blk.imag)]
 
 
-def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
+def _kernel(xre_ref, xim_ref, xnre_ref, xnim_ref, ramp_ref,
+            mdT_hi_ref, mdT_lo_ref, S_ref,
             p128_ref, pg_ref, pN_ref, That_ref,
             wre_hi_ref, wre_lo_ref, wim_hi_ref, wim_lo_ref,
             phase_ref, hist_in_re_ref, hist_in_im_ref, scal_in_ref,
             audio_ref, hist_out_re_ref, hist_out_im_ref, scal_out_ref,
-            hist_re_scr, hist_im_scr, scal_scr,
+            hist_re_scr, hist_im_scr, ydc_re_scr, ydc_im_scr, scal_scr,
             *, nch, L, tileH, histrows, g_gain, a_row, hierB, inv_kf,
             u8_input=False, skip=(), opts=()):
     # ``skip`` is a static tuple of stage names compiled OUT of the kernel —
@@ -182,7 +183,61 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         for idx in range(4):
             scal_scr[idx] = scal_in_ref[idx]
 
-    if "dc_stack" not in opts:
+    if "dc_pipe" in opts:
+        # A/B gate (round 5): CROSS-GRID-STEP DC pipelining.  The DC solve is
+        # a strict serial prefix of each tile's FIR→DFT→demod chain (~18% of
+        # the kernel, ABLATION_r04) that split2 cannot overlap.  Here step i
+        # instead (a) processes tile i from the ydc scratch its predecessor
+        # filled, and (b) solves DC for tile i+1 (second input ref, index
+        # i+1) — work with NO data dependence on (a)'s chains, so Mosaic's
+        # scheduler may overlap DC's MXU/VPU passes with the demod chains.
+        # Step 0 additionally fills the pipeline with DC(0).  Identical
+        # algebra and solve order → audio bit-identical to production
+        # (tests/test_flagship_fused_wide.py).
+        assert not skip and not any(
+            o in opts for o in ("dc_stack", "dc_split", "nco_ramp", "dc_dense"))
+
+        def conv(ref):
+            if u8_input:
+                return ref[0].astype(jnp.int32).astype(jnp.float32) \
+                    * jnp.float32(1.0 / 127.5) - 1.0
+            return ref[0]
+
+        def dc_of(xre, xim):
+            col_prev_re = pltpu.roll(xre[:, _LANES - 1:_LANES], 1, axis=0)
+            col_prev_im = pltpu.roll(xim[:, _LANES - 1:_LANES], 1, axis=0)
+            row = jax.lax.broadcasted_iota(jnp.int32, (tileH, 1), 0)
+            col_prev_re = jnp.where(row == 0, scal_scr[0], col_prev_re)
+            col_prev_im = jnp.where(row == 0, scal_scr[1], col_prev_im)
+            if hierB:
+                yre, yim, g_re, g_im = _dc_solve_pair_hier(
+                    xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:],
+                    p128_ref[:], pg_ref[:], col_prev_re, col_prev_im,
+                    scal_scr[2], scal_scr[3], g_gain, tileH, hierB, a_row)
+            else:
+                yre, yim, g_re, g_im = _dc_solve_pair(
+                    xre, xim, mdT_hi_ref[:], mdT_lo_ref[:], S_ref[:],
+                    p128_ref[:], pg_ref[:], pN_ref[:], col_prev_re,
+                    col_prev_im, scal_scr[2], scal_scr[3], g_gain, tileH)
+            ydc_re_scr[:] = yre
+            ydc_im_scr[:] = yim
+            scal_scr[0] = xre[tileH - 1, _LANES - 1]
+            scal_scr[1] = xim[tileH - 1, _LANES - 1]
+            scal_scr[2] = g_re
+            scal_scr[3] = g_im
+
+        @pl.when(i == 0)
+        def _():
+            dc_of(conv(xre_ref), conv(xim_ref))   # pipeline fill: DC(0)
+
+        # current tile's DC output (filled by the previous step / the fill)
+        sre = ydc_re_scr[:]
+        sim = ydc_im_scr[:]
+
+        @pl.when(i < T - 1)
+        def _():
+            dc_of(conv(xnre_ref), conv(xnim_ref))  # DC(i+1), overlappable
+    elif "dc_stack" not in opts:
         # production per-component conversion + DC solve (difference-folded
         # decay matmul, identical algebra to flagship_fused._dc_solve_pair,
         # 128 wide); the stacked experiment below measured ~9% slower
@@ -277,7 +332,9 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
         x_last_re = X[tileH - 1, _LANES - 1]
         x_last_im = X[2 * tileH - 1, _LANES - 1]
 
-    if "nco_ramp" in opts and "nco" not in skip:
+    if "dc_pipe" in opts:
+        pass  # sre/sim already loaded from the pipelined ydc scratch
+    elif "nco_ramp" in opts and "nco" not in skip:
         # legacy explicit NCO pre-shift: one constant ramp row (nch | 64 ⇒
         # period | 128) — reachable via opts=("nco_ramp",) for A/B
         # reproduction (KERNEL_NCOFOLD_r04 / KERNEL_SPLIT2FOLD_r04)
@@ -440,10 +497,11 @@ def _kernel(xre_ref, xim_ref, ramp_ref, mdT_hi_ref, mdT_lo_ref, S_ref,
     # ---- carry updates ----
     hist_re_scr[:] = ext_re[tileH:]
     hist_im_scr[:] = ext_im[tileH:]
-    scal_scr[0] = x_last_re
-    scal_scr[1] = x_last_im
-    scal_scr[2] = glast_re
-    scal_scr[3] = glast_im
+    if "dc_pipe" not in opts:  # dc_pipe updates scal inside dc_of
+        scal_scr[0] = x_last_re
+        scal_scr[1] = x_last_im
+        scal_scr[2] = glast_re
+        scal_scr[3] = glast_im
 
     @pl.when(i == T - 1)
     def _():
@@ -494,8 +552,11 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
     tileH = tileF // R
 
     if isinstance(x, (tuple, list)):
-        u8_input = True
+        # plane pair (re, im): uint8 planes take the in-kernel-conversion
+        # path; float32 planes feed the kernel directly (the sharded runner
+        # and plane-native callers — no complex round-trip at all)
         xre_1d, xim_1d = x
+        u8_input = xre_1d.dtype == jnp.uint8
         n = xre_1d.shape[0]
     else:
         u8_input = x.dtype == jnp.uint8
@@ -579,6 +640,19 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
 
     const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                         memory_space=pltpu.VMEM)
+    if "dc_pipe" in opts:
+        # second view of the input planes at grid index i+1 (clamped): the
+        # pipelined DC solve reads the NEXT tile while this tile demods
+        xn_re, xn_im = xre, xim
+        nxt = lambda i: (jnp.minimum(i + 1, T - 1), 0, 0)
+        xn_spec = [pl.BlockSpec((1, tileH, _LANES), nxt,
+                                memory_space=pltpu.VMEM)] * 2
+        ydc_scr = [pltpu.VMEM((tileH, _LANES), jnp.float32)] * 2
+    else:
+        xn_re = xn_im = jnp.zeros((1, 1, 1),
+                                  jnp.uint8 if u8_input else jnp.float32)
+        xn_spec = [const2((1, 1, 1))] * 2
+        ydc_scr = [pltpu.VMEM((1, 1), jnp.float32)] * 2
     audio, hist_re, hist_im, scal = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -587,6 +661,7 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tileH, _LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            *xn_spec,
             const2(tuple(ramp.shape)),
             const2((_LANES, _LANES)), const2((_LANES, _LANES)),
             const2(tuple(S.shape)),
@@ -613,10 +688,11 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
         scratch_shapes=[
             pltpu.VMEM((h, _LANES), jnp.float32),
             pltpu.VMEM((h, _LANES), jnp.float32),
+            *ydc_scr,
             pltpu.SMEM((4,), jnp.float32),
         ],
         interpret=interpret,
-    )(xre, xim, ramp, mdT_hi, mdT_lo, S, p128, pg, pN, That,
+    )(xre, xim, xn_re, xn_im, ramp, mdT_hi, mdT_lo, S, p128, pg, pN, That,
       wre_hi, wre_lo, wim_hi, wim_lo, phase,
       state["hist_re"], state["hist_im"], state["scal"])
 

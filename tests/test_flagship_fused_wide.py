@@ -366,6 +366,34 @@ def test_interleave_bit_identical():
     assert np.array_equal(np.asarray(ya), np.asarray(yb))
 
 
+def test_dc_pipe_bit_identical():
+    """opts=("dc_pipe",) — cross-grid-step DC pipelining — computes the SAME
+    solves in the same order, just one grid step early: audio and carried
+    state are bit-identical to production.  Multi-tile (T=4) so the pipeline
+    actually pipelines, multi-block for the scal/hist hand-off, f32 and u8."""
+    nch, tileF = 64, 256
+    iq = _signal(nch, tileF, blocks=4, seed=19)   # 2 blocks x T=4 tiles
+    half = len(iq) // 2
+    re = np.clip(np.round(iq.real * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    im = np.clip(np.round(iq.imag * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    for u8 in (False, True):
+        sa, sb = flagship_fused_wide_init(nch), flagship_fused_wide_init(nch)
+        for i in range(2):
+            if u8:
+                blk = (jnp.asarray(re[i * half:(i + 1) * half]),
+                       jnp.asarray(im[i * half:(i + 1) * half]))
+            else:
+                blk = jnp.asarray(iq[i * half:(i + 1) * half])
+            sa, ya = flagship_fused_wide_step(sa, blk, nch=nch, tileF=tileF,
+                                              interpret=True)
+            sb, yb = flagship_fused_wide_step(sb, blk, nch=nch, tileF=tileF,
+                                              interpret=True,
+                                              opts=("dc_pipe",))
+            assert np.array_equal(np.asarray(ya), np.asarray(yb)), (u8, i)
+        for k in ("hist_re", "hist_im", "scal"):
+            assert np.array_equal(np.asarray(sa[k]), np.asarray(sb[k])), (u8, k)
+
+
 def test_dc_split_matches_production():
     """opts=("dc_split",) — per-half DC solve with threaded carry — same
     recurrence, different blocking: ~1e-6-class diffs like hier-vs-dense.
