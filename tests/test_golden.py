@@ -61,3 +61,34 @@ def test_golden_nbfm_agc_chain(gold):
     g = cs.chain(cs.dc_blocker(), cs.automatic_gain_control(None),
                  cs.fm_demodulator(0.3))
     _check(_run(g, gold["in_fm"]), gold["nbfm_audio"], "nbfm")
+
+
+def test_golden_stereo_rds_composite(gold):
+    """The deepest production graph (CLI DeFMS --rds shape): one Tee of the
+    stereo decoder and the RDS receiver on a pilot-locked MPX.  Audio is
+    pinned at the usual relative tolerance; the RDS bit stream must be
+    BYTE-EXACT (a slicer flip means a numerical change upstream moved a
+    zero crossing — exactly what this anchor exists to catch)."""
+    from csdr_tpu.models.stereo import stereo_fm_decoder
+    from csdr_tpu.models import rds
+    from csdr_tpu.core.block import Tee
+
+    quad = 192000.0
+    g = Tee(stereo_fm_decoder(quad, 4), rds.rds_receiver(quad))
+    stereo_y, bits = _run(g, gold["in_mpx"],
+                          g.granule * max(1, (1 << 16) // g.granule))
+    _check(np.asarray(stereo_y, np.float32), gold["stereo_audio"], "stereo")
+    assert np.array_equal(np.asarray(bits), gold["rds_bits"])
+    dec = rds.decode_groups(np.asarray(bits))
+    assert dec["ps"] == "CSDR-TPU" and dec["pi"] == 0x52D4, dec
+
+
+def test_golden_ais_chain(gold):
+    """Extension receiver end-to-end: GMSK bursts → ais_receiver levels
+    byte-exact, and the protocol layer still decodes both reports."""
+    from csdr_tpu.models import ais
+
+    lv = _run(ais.ais_receiver(48000.0), gold["in_ais_iq"], 4096 * 5)
+    assert np.array_equal(np.asarray(lv), gold["ais_levels"])
+    msgs = ais.decode_bits(np.asarray(lv))
+    assert [m["mmsi"] for m in msgs] == [257123456, 366998410], msgs
