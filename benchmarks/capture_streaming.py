@@ -95,7 +95,96 @@ def bench(variant=None):
     return _json_line(out) if out else None
 
 
+def watch(max_minutes: float, target_msps: float = 50.0):
+    """Standing unmetered-window watcher (round-5 verdict item 5).
+
+    STREAMING_SWEEP_r04 derived the metered-window ceiling model: the relay
+    charges each ingest byte TWICE (device_put + dispatch-arg), so a cu8
+    stream (2 B/sample) tops out at sustained_up/4 MSPS.  ≥50 MSPS therefore
+    needs sustained_up ≥ 200 MB/s — an UNMETERED window.  This mode probes
+    the wire on a slow cadence, evaluates the model per probe, runs the nodl
+    cu8 ingest only when the model says the target is reachable, and ALWAYS
+    writes the attempt log to STREAMING_WATCH_<round>.json — converting the
+    ≥50 MSPS item from "retried opportunistically" into a mechanism whose
+    last attempt is on record.  A success also rewrites the main STREAMING
+    artifact via the ordinary best-keeping path."""
+    need_up = 4.0 * target_msps  # MB/s, double-metering model
+    out = os.path.join(HERE, "results", f"STREAMING_WATCH_{ROUND}.json")
+    attempts = []
+    best = None
+    deadline = time.time() + 60 * max_minutes
+
+    def write(found):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump({
+                "target_msps": target_msps,
+                "model": "ceiling_msps = sustained_up_MBps / 4 (relay "
+                         "double-meters ingest bytes; outputs free — "
+                         "STREAMING_SWEEP_r04)",
+                "required_up_MBps": need_up,
+                "window_found": found,
+                "best": best,
+                "attempts": attempts,
+            }, f, indent=1)
+
+    while time.time() < deadline:
+        p = probe()
+        rec = {"ts": round(time.time(), 1)}
+        if p is None:
+            rec.update(probe="timeout", action="sleep")
+            attempts.append(rec)
+            write(False)
+            time.sleep(600)
+            continue
+        ceiling = p["up_MBps"] / 4.0
+        rec.update(probe=p, ceiling_msps_model=round(ceiling, 1),
+                   unmetered=p["up_MBps"] >= need_up)
+        if ceiling >= target_msps:
+            rec["action"] = "bench cu8 nodl"
+            attempts.append(rec)
+            r = bench("cu8 nodl")
+            if r is not None:
+                r["probe_before"] = p
+                attempts.append({"ts": round(time.time(), 1), "bench": r})
+                if best is None or r["value"] > best["value"]:
+                    best = r
+                # fold into the main STREAMING artifact so check_artifacts
+                # sees the improved number through its ordinary gate
+                try:
+                    with open(OUT) as f:
+                        main_art = json.load(f)
+                except (OSError, ValueError):
+                    main_art = {"best": None, "history": []}
+                if (main_art.get("best") is None
+                        or r["value"] > main_art["best"]["value"]):
+                    main_art["best"] = r
+                main_art.setdefault("history", []).append(
+                    {"ts": round(time.time(), 1), "bench": r,
+                     "via": "watch"})
+                with open(OUT, "w") as f:
+                    json.dump(main_art, f, indent=1)
+            write(best is not None and best["value"] >= target_msps)
+            if best is not None and best["value"] >= target_msps:
+                print(f"# target reached: {json.dumps(best)}", flush=True)
+                return
+            time.sleep(120)
+        else:
+            rec["action"] = (f"skip (model ceiling {ceiling:.1f} < "
+                             f"{target_msps} MSPS — metered window)")
+            attempts.append(rec)
+            write(False)
+            print(f"# {rec['action']}", flush=True)
+            time.sleep(300)
+    write(best is not None and best["value"] >= target_msps)
+    print(f"# watch done; best: {json.dumps(best)}", flush=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "watch":
+        watch(float(sys.argv[2]) if len(sys.argv) > 2 else 60.0,
+              float(sys.argv[3]) if len(sys.argv) > 3 else 50.0)
+        return
     max_minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
     min_up = float(sys.argv[2]) if len(sys.argv) > 2 else 80.0
     min_down = float(sys.argv[3]) if len(sys.argv) > 3 else 20.0
