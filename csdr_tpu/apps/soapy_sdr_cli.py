@@ -646,11 +646,31 @@ def _run_sharded(opts, demod, stream, out_bw, agc_t) -> int:
     if dt * dc > len(devs):
         print(f"mesh {opts.mesh} needs {dt*dc} devices, have {len(devs)}")
         return 1
-    mesh = Mesh(np.asarray(devs[:dt * dc]).reshape(dt, dc), ("time", "ch"))
     nch = opts.channels
-    block = max(opts.blocksize // (dt * nch), 64) * dt * nch
-    sh = ShardedChannelizedFM(mesh=mesh, nch=nch, block_size=block, kf=kf,
-                              agc_threshold_db=agc_t)
+    if dc == 1 and agc_t is None and 64 % nch == 0:
+        # PRODUCTION path (round 5): pure time-sharding of the fused wide
+        # flagship kernel — the single-chip headline kernel per device
+        # (parallel/flagship.ShardedFlagship).  The channel-axis /
+        # AGC-bearing flows stay on ShardedChannelizedFM below.
+        from ..parallel.flagship import ShardedFlagship
+        from ..blocks.pallas_blocks import _interp_default
+        from ..utils import autotune
+
+        mesh = Mesh(np.asarray(devs[:dt]), ("time",))
+        # largest autotuned-or-smaller tile whose mesh granule fits the
+        # requested block size (halve down, floor 128)
+        tileF = autotune.lookup("flagship_fused_wide", nch)
+        while tileF > 128 and dt * nch * tileF > opts.blocksize:
+            tileF //= 2
+        gran = dt * nch * tileF
+        block = max(opts.blocksize // gran, 1) * gran
+        sh = ShardedFlagship(mesh, nch=nch, block_size=block, kf=kf,
+                             tileF=tileF, interpret=_interp_default(False))
+    else:
+        mesh = Mesh(np.asarray(devs[:dt * dc]).reshape(dt, dc), ("time", "ch"))
+        block = max(opts.blocksize // (dt * nch), 64) * dt * nch
+        sh = ShardedChannelizedFM(mesh=mesh, nch=nch, block_size=block, kf=kf,
+                                  agc_threshold_db=agc_t)
     sink = S.ChannelFileSinks(
         lambda i: S.AudioFileSink(f"{opts.output}_ch{i + 1}",
                                   int(round(out_bw)) // nch, 1, fmt.lower()),

@@ -142,6 +142,8 @@ class ShardedFlagship:
         self.r = 1.0 - self.dc_alpha
         self.g = (1.0 + self.r) / 2.0
         self.W = min(self.nloc, _DC_WINDOW)
+        from fractions import Fraction
+        self.rate = Fraction(1, self.nch)   # ShardedPipeline contract
 
         self._shmap = jax.shard_map(
             self._local_step,

@@ -201,6 +201,38 @@ def test_cli_cu8_capture(tmp_path):
     assert np.max(np.abs(got - want)) < 1e-5
 
 
+def test_cli_mesh_flagship_production_kernel(tmp_path, monkeypatch):
+    """--mesh Nx1 on the plain channelized-FM flow (no AGC, nch | 64) rides
+    the PRODUCTION wide-kernel path (parallel/flagship.ShardedFlagship,
+    round 5) — outputs must match the single-device CLI run."""
+    import jax
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 devices")
+    monkeypatch.setenv("CSDR_PALLAS_INTERPRET", "1")
+    os.chdir(tmp_path)
+    nch = 8
+    n = 1 << 17
+    rng = np.random.default_rng(23)
+    iq = (0.2 * (rng.normal(size=n) + 1j * rng.normal(size=n))).astype(np.complex64)
+    iq.tofile("wf.cf32")
+    rc = cli_main(["--filename", "wf.cf32", "-n", str(n), "-c", str(nch),
+                   "--demod", "DeNBFM 0.6 WAV", "-o", "fsingle",
+                   "--blocksize", str(1 << 15)])
+    assert rc == 0
+    rc = cli_main(["--filename", "wf.cf32", "-n", str(n), "-c", str(nch),
+                   "--demod", "DeNBFM 0.6 WAV", "-o", "fmeshed",
+                   "--mesh", "4x1", "--blocksize", str(1 << 15)])
+    assert rc == 0
+    for chn in (1, nch // 2, nch):
+        a, _ = wavio.read_wav(f"fsingle_ch{chn}.wav")
+        b, _ = wavio.read_wav(f"fmeshed_ch{chn}.wav")
+        assert len(a) == len(b) == n // nch
+        # serial path = XLA graph; meshed = fused wide kernel (bf16x3 DFT):
+        # same tolerance class as the kernel's own XLA-reference tests
+        assert np.max(np.abs(a[1:] - b[1:])) < 2e-3, chn
+
+
 def test_cli_mesh_channelized(tmp_path):
     """--mesh 4x2 runs the sharded multi-device path; outputs must match the
     single-device CLI run."""
