@@ -87,6 +87,27 @@ def probe():
     return _json_line(out) if out else None
 
 
+SUSTAINED_PROBE = r"""
+import time, json, numpy as np, jax
+# sustained uplink: 4 back-to-back 32 MB puts of DISTINCT content (relay
+# dedups identical transfers), report the median rep — a single burst can
+# read 5x the sustained rate (observed 333 burst vs 65 sustained in r05)
+rates = []
+for k in range(4):
+    a = np.full(1 << 23, np.float32(k + 1))
+    t0 = time.perf_counter(); d = jax.device_put(a); jax.block_until_ready(d)
+    rates.append((1 << 25) / (time.perf_counter() - t0) / 1e6)
+rates.sort()
+print(json.dumps({"up_MBps": round(rates[len(rates)//2], 1),
+                  "up_reps_MBps": [round(r, 1) for r in rates]}))
+"""
+
+
+def probe_sustained():
+    out = _run_capped([sys.executable, "-c", SUSTAINED_PROBE], 600)
+    return _json_line(out) if out else None
+
+
 def bench(variant=None):
     cmd = [sys.executable, os.path.join(HERE, "bench_streaming.py")]
     if variant:  # "cu8" or "decim8" (or both, space-joined)
@@ -129,7 +150,7 @@ def watch(max_minutes: float, target_msps: float = 50.0):
             }, f, indent=1)
 
     while time.time() < deadline:
-        p = probe()
+        p = probe_sustained()
         rec = {"ts": round(time.time(), 1)}
         if p is None:
             rec.update(probe="timeout", action="sleep")
