@@ -89,12 +89,17 @@ def probe():
 
 SUSTAINED_PROBE = r"""
 import time, json, numpy as np, jax
-# sustained uplink: 4 back-to-back 32 MB puts of DISTINCT content (relay
-# dedups identical transfers), report the median rep — a single burst can
-# read 5x the sustained rate (observed 333 burst vs 65 sustained in r05)
+# sustained uplink: 4 back-to-back 32 MB puts of DISTINCT INCOMPRESSIBLE
+# content, median rep.  Two instrument holes this closes (both observed in
+# r05): (a) a single burst can read 5x the sustained rate (333 vs 65 MB/s);
+# (b) constant-fill buffers measured 1.49 GB/s where the real cu8 stream
+# sustained 54 MB/s in the SAME minute — the relay wire compresses, so only
+# random bytes measure the rate a real IQ stream gets.  Generation happens
+# outside the timed region.
+bufs = [np.random.default_rng(k).integers(0, 256, 1 << 25, np.uint8)
+        for k in range(4)]
 rates = []
-for k in range(4):
-    a = np.full(1 << 23, np.float32(k + 1))
+for a in bufs:
     t0 = time.perf_counter(); d = jax.device_put(a); jax.block_until_ready(d)
     rates.append((1 << 25) / (time.perf_counter() - t0) / 1e6)
 rates.sort()
