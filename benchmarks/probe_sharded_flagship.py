@@ -106,11 +106,18 @@ def main():
         results[name] = {"pairs": pairs, "ratio_median": round(med, 4),
                          "within_10pct": med >= 0.90}
 
+    raw_best = max(p["raw_msps"] for v in results.values()
+                   for p in v["pairs"])
     rec = {"ts": time.time(), "tileF": tileF, "block": bench._BLOCK,
            "inner": inner, "input": "u8_wide",
            "protocol": "adjacent scan pairs (raw, sharded) per round; "
                        "fresh input content + probe seed per dispatch; "
                        "download-terminated",
+           # top-level gates for tools/check_artifacts.py: the wrapped
+           # (production dt=1) path is the done-criterion; `healthy` pins
+           # the window quality of the raw side it is measured against
+           "within_10pct": results["wrapped"]["within_10pct"],
+           "healthy": raw_best >= bench.HEALTHY_MSPS,
            "variants": results}
     out = os.path.join(HERE, "results", f"SHARDED_FLAGSHIP_{ROUND}.json")
     with open(out, "w") as f:

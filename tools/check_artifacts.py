@@ -22,6 +22,15 @@ RES = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
 
 # name -> (health key or None (presence = ok), required fields)
 SPEC = {
+    # Round-5 artifacts
+    "SHARDED_FLAGSHIP_r05.json": ("within_10pct", ["variants"]),
+    "GRAPH_WRAP_r05.json": ("meets_95pct", ["pairs", "ratio_median"]),
+    "KERNEL_DCPIPE_r05.json": ("healthy", ["pairs"]),
+    "HONEST_r05.json": (None, ["scan", "hostloop", "copy", "verdict"]),
+    "BACKENDS_r05.json": ("healthy", ["msps_per_backend"]),
+    # standing watcher log: window_found=False is an expected state (the
+    # ≥50 MSPS ask is relay-metered; the watcher records every attempt)
+    "STREAMING_WATCH_r05.json": (None, ["attempts", "model"]),
     # Round-4 artifacts
     "SCALING_r04.json": ("meets_80pct_target", ["points"]),
     "VPU_ROOFLINE_r04.json": ("healthy", ["vpu", "mxu_bf16_Tflops",
