@@ -136,6 +136,14 @@ def paired(iters: int = 10, rounds: int = 4, tileF: int | None = None):
 TILEF_AB = os.environ.get("CSDR_TILEF_AB", "")  # "256,1024": A/B two tileFs
                                                  # with PRODUCTION opts
 
+# Override the autotuned tileF for BOTH sides of the A/B (fair comparison at
+# a non-default tile).  Needed when the experiment variant cannot compile at
+# the production tile: dc_pipe's second input stream + ydc scratch exceed the
+# 16 MB scoped-vmem limit at tileF=4096 (measured r05), so its A/B runs at
+# the largest tile both variants fit.
+_TILEF_ENV = os.environ.get("CSDR_OPTS_TILEF", "")
+TILEF_OVERRIDE = int(_TILEF_ENV) if _TILEF_ENV else None
+
 
 def scan_paired(rounds: int = 3, inner: int = 512, tileF: int | None = None):
     """Strongest instrument for a <10% delta: one dispatch = ``inner``
@@ -235,10 +243,11 @@ def main():
         print(f"# wrote {out}")
         return
     if mode == "paired":
-        pairs, med, tileF = paired(iters)
+        pairs, med, tileF = paired(iters, tileF=TILEF_OVERRIDE)
         mode_name = "paired"
     else:
-        pairs, med, tileF = scan_paired(rounds=max(3, iters // 4))
+        pairs, med, tileF = scan_paired(rounds=max(3, iters // 4),
+                                        tileF=TILEF_OVERRIDE)
         mode_name = "scan_paired"
     best = max(p["production_msps"] for p in pairs)
     rec = {"healthy": best >= bench.HEALTHY_MSPS, "ts": time.time(),

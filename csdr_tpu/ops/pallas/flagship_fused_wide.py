@@ -653,9 +653,19 @@ def flagship_fused_wide_step(state, x, *, nch: int, m: int = 7,
                                   jnp.uint8 if u8_input else jnp.float32)
         xn_spec = [const2((1, 1, 1))] * 2
         ydc_scr = [pltpu.VMEM((1, 1), jnp.float32)] * 2
+    if "dc_pipe" in opts and not interpret:
+        # the second input window (double-buffered) + two f32 ydc scratches
+        # push the kernel ~1.7 MB past Mosaic's 16 MB default scoped-vmem
+        # limit at the production tileF=4096 (measured r05); v5e has 128 MB
+        # of VMEM, so raise the guardrail for this variant only
+        extra = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)}
+    else:
+        extra = {}
     audio, hist_re, hist_im, scal = pl.pallas_call(
         kernel,
         grid=(T,),
+        **extra,
         in_specs=[
             pl.BlockSpec((1, tileH, _LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
