@@ -177,14 +177,28 @@ def register_sdr_driver(name: str, factory: Callable[..., SdrSource]):
     _DRIVERS[name] = factory
 
 
+def _load_soapy_shim():
+    """Import the gated SoapySDR shim (io/soapy.py), which registers its
+    drivers on import when the SoapySDR module exists.  Deferred to call
+    time: soapy.py imports from this module, and SoapySDR hardware is the
+    exception, not the rule, on TPU hosts."""
+    try:
+        from . import soapy  # noqa: F401  (import side effect = registration)
+    except Exception:
+        pass
+
+
 def enumerate_devices() -> list[dict]:
     """List available 'devices' (reference CS.enumerate, Source.chs:109-121)."""
+    _load_soapy_shim()
     devs = [{"driver": name} for name in _DRIVERS]
     return devs
 
 
 def open_sdr(devname: str, sample_rate: float, frequency: float, gain: float,
              **kw) -> SdrSource:
+    if devname not in _DRIVERS:
+        _load_soapy_shim()
     if devname not in _DRIVERS:
         raise KeyError(f"SDR driver {devname!r} not found; have {list(_DRIVERS)}")
     return _DRIVERS[devname](sample_rate=sample_rate, frequency=frequency, gain=gain, **kw)
