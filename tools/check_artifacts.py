@@ -28,6 +28,8 @@ SPEC = {
     "KERNEL_DCPIPE_r05.json": ("healthy", ["pairs"]),
     "HONEST_r05.json": (None, ["scan", "hostloop", "copy", "verdict"]),
     "BACKENDS_r05.json": ("healthy", ["msps_per_backend"]),
+    "RECEIVERS_r05.json": ("all_ok", ["rows"]),
+    "KERNEL_DCPIPE4K_r05.json": ("healthy", ["pairs"]),
     # standing watcher log: window_found=False is an expected state (the
     # ≥50 MSPS ask is relay-metered; the watcher records every attempt)
     "STREAMING_WATCH_r05.json": (None, ["attempts", "model"]),
