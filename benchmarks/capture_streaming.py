@@ -136,8 +136,16 @@ def watch(max_minutes: float, target_msps: float = 50.0):
     artifact via the ordinary best-keeping path."""
     need_up = 4.0 * target_msps  # MB/s, double-metering model
     out = os.path.join(HERE, "results", f"STREAMING_WATCH_{ROUND}.json")
-    attempts = []
-    best = None
+    # the standing log ACCUMULATES across watcher invocations — each session
+    # adds its attempts to the same artifact instead of resetting it
+    try:
+        with open(out) as f:
+            prev = json.load(f)
+        attempts = list(prev.get("attempts", []))
+        best = prev.get("best")
+    except (OSError, ValueError):
+        attempts = []
+        best = None
     deadline = time.time() + 60 * max_minutes
 
     def write(found):
