@@ -166,6 +166,16 @@ def run_scan(backend: str, outer: int, inner: int, tileF: int | None = None):
         is why scan mode only accepts the fused backends;
       * across outer dispatches the carried state differs, so dispatches are
         never byte-identical.
+
+    MAINTENANCE INVARIANT: this scan-chunk protocol (probe scalar rides the
+    scan carry; the timed region ends with a 4-byte device_get; dispatch
+    content is never byte-identical across timed runs) is deliberately
+    replicated — with per-instrument input handling — in
+    benchmarks/probe_kernel_opts.scan_paired, benchmarks/probe_graph_wrap,
+    and benchmarks/probe_sharded_flagship.  A fix to the honesty protocol
+    must be applied to all four, or the instruments silently diverge
+    (they are kept separate because each captured artifact documents the
+    exact harness that produced it).
     """
     if backend not in ("pallas_full", "pallas_wide", "pallas",
                        "cu8", "cu8_wide"):

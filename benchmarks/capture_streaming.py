@@ -6,7 +6,8 @@ This environment's host<->device wire degrades unpredictably (observed 582 ->
 the relay's mood, not the framework.  This orchestrator probes the wire with a
 real 32 MB up / 8 MB down transfer, runs the full streaming benchmark only in
 windows above the health thresholds, and keeps the best result (with the full
-attempt/probe history) in ``benchmarks/results/STREAMING_r02.json``.
+attempt/probe history) in ``benchmarks/results/STREAMING_r03.json``
+(the standing record registered in tools/check_artifacts.py).
 
 Each probe/bench runs in its own short-lived subprocess that exits cleanly —
 the relay is single-tenant and wedges on killed-mid-claim clients, so nothing
@@ -29,8 +30,13 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-ROUND = os.environ.get("CSDR_ROUND", "r03")
-OUT = os.path.join(HERE, "results", f"STREAMING_{ROUND}.json")
+ROUND = os.environ.get("CSDR_ROUND", "r05")
+# The best-keeping history artifact is PINNED to the r03 file: it is the
+# standing streaming record registered in tools/check_artifacts.py
+# ("__best__" gate) and has accumulated every attempt since round 3 —
+# per-round files would fragment the history and stale the checked artifact.
+# Only the watcher's attempt log (STREAMING_WATCH_<ROUND>.json) is per-round.
+OUT = os.path.join(HERE, "results", "STREAMING_r03.json")
 
 PROBE = r"""
 import time, json, numpy as np, jax
@@ -88,20 +94,33 @@ def probe():
 
 
 SUSTAINED_PROBE = r"""
-import time, json, numpy as np, jax
+import time, json, numpy as np, jax, jax.numpy as jnp
 # sustained uplink: 4 back-to-back 32 MB puts of DISTINCT INCOMPRESSIBLE
-# content, median rep.  Two instrument holes this closes (both observed in
+# content, median rep.  Three instrument holes this closes (all observed in
 # r05): (a) a single burst can read 5x the sustained rate (333 vs 65 MB/s);
 # (b) constant-fill buffers measured 1.49 GB/s where the real cu8 stream
 # sustained 54 MB/s in the SAME minute — the relay wire compresses, so only
-# random bytes measure the rate a real IQ stream gets.  Generation happens
-# outside the timed region.
+# random bytes measure the rate a real IQ stream gets; (c) device_put +
+# block_until_ready alone is NOT completion proof — the relay acks readiness
+# on transfers it has not finished (probes read 1.1-1.7 GB/s while the bench
+# minutes later sustained 29-75 MB/s), so each rep ends with a 4-byte
+# download of a value REDUCED FROM THE UPLOADED BYTES — the only
+# acknowledgment the relay cannot fake (docs/TPU_BACKEND_NOTES.md).
+# Generation happens outside the timed region.
 bufs = [np.random.default_rng(k).integers(0, 256, 1 << 25, np.uint8)
         for k in range(4)]
+reduce = jax.jit(lambda a: a.astype(jnp.uint32).sum())
+_ = float(jax.device_get(reduce(jnp.zeros(8, jnp.uint8))))  # warm the reduce
 rates = []
 for a in bufs:
-    t0 = time.perf_counter(); d = jax.device_put(a); jax.block_until_ready(d)
-    rates.append((1 << 25) / (time.perf_counter() - t0) / 1e6)
+    t0 = time.perf_counter()
+    d = jax.device_put(a)
+    s = int(jax.device_get(reduce(d)))
+    dt = time.perf_counter() - t0
+    # uint32 accumulator wraps mod 2^32 on device; match it on host
+    assert s == int(a.astype(np.uint64).sum()) % (1 << 32), \
+        "relay returned wrong checksum"
+    rates.append((1 << 25) / dt / 1e6)
 rates.sort()
 print(json.dumps({"up_MBps": round(rates[len(rates)//2], 1),
                   "up_reps_MBps": [round(r, 1) for r in rates]}))
@@ -148,6 +167,11 @@ def watch(max_minutes: float, target_msps: float = 50.0):
         best = None
     deadline = time.time() + 60 * max_minutes
 
+    def met():
+        # window_found reflects the ACCUMULATED best (a previous invocation's
+        # success must not be erased by a later metered-window skip)
+        return best is not None and best["value"] >= target_msps
+
     def write(found):
         os.makedirs(os.path.dirname(out), exist_ok=True)
         with open(out, "w") as f:
@@ -168,7 +192,7 @@ def watch(max_minutes: float, target_msps: float = 50.0):
         if p is None:
             rec.update(probe="timeout", action="sleep")
             attempts.append(rec)
-            write(False)
+            write(met())
             time.sleep(600)
             continue
         ceiling = p["up_MBps"] / 4.0
@@ -198,8 +222,8 @@ def watch(max_minutes: float, target_msps: float = 50.0):
                      "via": "watch"})
                 with open(OUT, "w") as f:
                     json.dump(main_art, f, indent=1)
-            write(best is not None and best["value"] >= target_msps)
-            if best is not None and best["value"] >= target_msps:
+            write(met())
+            if met():
                 print(f"# target reached: {json.dumps(best)}", flush=True)
                 return
             time.sleep(120)
@@ -207,10 +231,10 @@ def watch(max_minutes: float, target_msps: float = 50.0):
             rec["action"] = (f"skip (model ceiling {ceiling:.1f} < "
                              f"{target_msps} MSPS — metered window)")
             attempts.append(rec)
-            write(False)
+            write(met())
             print(f"# {rec['action']}", flush=True)
             time.sleep(300)
-    write(best is not None and best["value"] >= target_msps)
+    write(met())
     print(f"# watch done; best: {json.dumps(best)}", flush=True)
 
 

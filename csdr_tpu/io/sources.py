@@ -183,7 +183,12 @@ def _load_soapy_shim():
     time: soapy.py imports from this module, and SoapySDR hardware is the
     exception, not the rule, on TPU hosts."""
     try:
-        from . import soapy  # noqa: F401  (import side effect = registration)
+        from . import soapy
+        # re-invoke explicitly rather than relying on the first-import side
+        # effect: if soapy was first imported while SoapySDR was missing,
+        # the cached module registered nothing — but SoapySDR may be
+        # importable NOW (late install / test-injected sys.modules entry)
+        soapy.register_if_available()
     except Exception:
         pass
 

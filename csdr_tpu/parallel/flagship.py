@@ -60,7 +60,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.sharding import _apow_vec, _astep_table, _carry_coef_table
+from ..core.sharding import _astep_table, _carry_coef_table
 from ..core.runtime import CEnc
 from ..ops import linrec as linrec_ops
 from ..ops.nco import phase_increment

@@ -122,17 +122,20 @@ def test_soapy_gain_zero_is_agc():
 def test_registry_integration(monkeypatch):
     mod = _fake_soapy()
     monkeypatch.setitem(sys.modules, "SoapySDR", mod)
-    # registration is idempotent and driven by the fake's enumerate()
-    assert register_if_available()
-    devs = [d["driver"] for d in SRC.enumerate_devices()]
-    assert "soapy" in devs and "rtlsdr" in devs
-    src = SRC.open_sdr("rtlsdr", 1e6, 90e6, 10.0)
-    assert isinstance(src, SoapySdrSource)
-    n = sum(len(c) for c in src)
-    assert n == 3 * 4096 + 100
-    # clean up the registry entries the fake added (module-level dict)
-    SRC._DRIVERS.pop("soapy", None)
-    SRC._DRIVERS.pop("rtlsdr", None)
+    try:
+        # registration is idempotent and driven by the fake's enumerate()
+        assert register_if_available()
+        devs = [d["driver"] for d in SRC.enumerate_devices()]
+        assert "soapy" in devs and "rtlsdr" in devs
+        src = SRC.open_sdr("rtlsdr", 1e6, 90e6, 10.0)
+        assert isinstance(src, SoapySdrSource)
+        n = sum(len(c) for c in src)
+        assert n == 3 * 4096 + 100
+    finally:
+        # the registry is a process-wide dict; leaving fake-backed entries
+        # behind on a failed assert would cascade into unrelated tests
+        SRC._DRIVERS.pop("soapy", None)
+        SRC._DRIVERS.pop("rtlsdr", None)
 
 
 def test_without_soapy_module_raises():
