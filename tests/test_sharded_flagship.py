@@ -173,3 +173,42 @@ def test_rejects_bad_configs():
     chmesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("time", "ch"))
     with pytest.raises(NotImplementedError):
         ShardedFlagship(chmesh, nch=64, block_size=2 * 64 * 512)
+
+
+def test_suffix_window_truncated_prepass(monkeypatch):
+    """The W < nloc TRUNCATED suffix-window pre-pass (the production path:
+    real blocks have nloc >> 2^17) — untested by the other cases, which all
+    run the W == nloc exact solve.  Shrinking the window to W=4096 while
+    raising dc_alpha to 0.02 keeps the truncation coefficient at
+    a^W = 0.98^4096 ≈ 1e-36 (the same many-orders-below-f32-ulp regime the
+    production (W=2^17, a=0.9995) pair sits in), so the sharded stream must
+    still match the serial kernel within the standard floors."""
+    from csdr_tpu.parallel import flagship as fmod
+
+    monkeypatch.setattr(fmod, "_DC_WINDOW", 4096)
+    dt, nch, tileF, blocks = 2, 64, 128, 2
+    alpha = 0.02
+    mesh = _time_mesh(dt)
+    sf = ShardedFlagship(mesh, nch=nch, block_size=dt * nch * tileF,
+                         tileF=tileF, dc_alpha=alpha, interpret=True)
+    assert sf.W == 4096 and sf.W < sf.nloc  # the truncated branch is live
+
+    iq = _signal(blocks * sf.block_size, seed=13)
+    st_s = flagship_fused_wide_init(nch)
+    want_blocks = []
+    n = sf.block_size
+    for i in range(blocks):
+        st_s, y = flagship_fused_wide_step(
+            st_s, jnp.asarray(iq[i * n:(i + 1) * n]), nch=nch, tileF=tileF,
+            dc_alpha=alpha, interpret=True)
+        want_blocks.append(np.asarray(y))
+
+    st = sf.init()
+    for i, want in enumerate(want_blocks):
+        blk = iq[i * n:(i + 1) * n]
+        st, y = sf.step(st, (jnp.asarray(blk.real.astype(np.float32)),
+                             jnp.asarray(blk.imag.astype(np.float32))))
+        _assert_close(np.asarray(y), want, ("trunc block", i))
+    for k in ("hist_re", "hist_im", "scal"):
+        err = np.max(np.abs(np.asarray(st[k]) - np.asarray(st_s[k])))
+        assert err < 2e-5, (k, err)
