@@ -72,10 +72,10 @@ def main():
     from csdr_tpu import blocks, io as cio, models
     from csdr_tpu.models import adsb, ais, aprs, hdlc, modem, morse, pocsag, receivers, rds, rtty, stereo, symsync
     from csdr_tpu import parallel
-    from csdr_tpu.parallel import generic as pgeneric, channelized, mesh, runner
+    from csdr_tpu.parallel import generic as pgeneric, channelized, flagship, mesh, runner
     from csdr_tpu.core import block as cblock, runtime, checkpoint, sharding
     from csdr_tpu.utils import firdes, iirdes, testsig, prof, autotune
-    from csdr_tpu.io import rtl_tcp, sources, sinks
+    from csdr_tpu.io import rtl_tcp, soapy, sources, sinks
     from csdr_tpu.ops import fir as ops_fir
     from csdr_tpu.ops.pallas import fftfir
 
@@ -100,6 +100,7 @@ def main():
     section("io.sources (extras)", sources,
             ["raw_bytes_source", "register_sdr_driver"], out)
     section("io.rtl_tcp (network SDR driver)", rtl_tcp, None, out)
+    section("io.soapy (gated SoapySDR binding)", soapy, None, out)
     section("models.receivers", receivers, None, out)
     section("models.stereo", stereo, None, out)
     section("models.symsync", symsync, None, out)
@@ -113,6 +114,7 @@ def main():
     section("models.pocsag (POCSAG pager receiver)", pocsag, None, out)
     section("models.rtty (RTTY/ITA2 receiver)", rtty, None, out)
     section("parallel (multi-chip runtimes)", parallel, None, out)
+    section("parallel.flagship (production kernel under the mesh)", flagship, None, out)
     section("parallel.generic (any-chain sharding)", pgeneric, None, out)
     section("core.sharding (per-block sharding protocol)", sharding, None, out)
     section("core.checkpoint", checkpoint, None, out)
