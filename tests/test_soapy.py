@@ -141,3 +141,30 @@ def test_registry_integration(monkeypatch):
 def test_without_soapy_module_raises():
     with pytest.raises(RuntimeError, match="SoapySDR is not importable"):
         SoapySdrSource(1e6, 90e6, _module=None)
+
+
+def test_soapy_int_return_and_mtu_fallback():
+    """Bindings that return a plain int from readStream and report MTU 0
+    (seen on some Soapy python builds) still stream correctly."""
+    mod = _fake_soapy(mtu=0, total=5000)
+    dev_cls = mod.Device
+    orig_read = dev_cls.readStream
+    dev_cls.readStream = lambda self, s, bufs, num, timeoutUs=0: int(
+        getattr(orig_read(self, s, bufs, num, timeoutUs), "ret"))
+    src = SoapySdrSource(1e6, 90e6, _module=mod)
+    assert src.mtu == 1 << 17  # SdrSource default when the device says 0
+    n = sum(len(c) for c in src)
+    assert n == 5000
+
+
+def test_soapy_close_is_idempotent_and_survives_errors():
+    mod = _fake_soapy(total=10)
+    src = SoapySdrSource(1e6, 90e6, _module=mod)
+    dev = mod._calls["devices"][0]
+
+    def boom(s):
+        raise RuntimeError("device unplugged")
+    dev.deactivateStream = boom
+    src.close()   # teardown errors are ignored (reference `try` semantics)
+    src.close()   # second close is a no-op
+    assert src.read() is None  # reads after close end the stream
