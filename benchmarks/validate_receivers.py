@@ -220,8 +220,38 @@ def val_rds():
             "ps": out["ps"], "pi": out["pi"]}
 
 
+def val_apt():
+    from csdr_tpu.models import apt
+
+    FS = 8 * apt.WORD_RATE
+    lines = 6
+    rng = np.random.default_rng(3)
+    img = np.zeros((lines, apt.LINE_WORDS), np.float64)
+    t = np.arange(909)
+    for ln in range(lines):
+        img[ln, :39] = apt.SYNC_A * 233 + 11
+        img[ln, 39:86] = 11
+        img[ln, 86:995] = 128 + 100 * np.sin(
+            2 * np.pi * (ln + 1) * t / 909 + rng.uniform(0, np.pi))
+        img[ln, 995:] = 60
+    img = np.asarray(np.rint(img), np.uint8)
+    audio = apt.apt_modulate(img, FS)
+    words = _run(apt.apt_receiver(FS), audio, 1 << 16)
+    got, info = apt.decode_words(words)
+    va_got, _ = apt.split_channels(got)
+    s0 = int(info["syncs"][0]) if info["lines"] else 0
+    first = s0 // apt.LINE_WORDS + (1 if s0 % apt.LINE_WORDS > 39 else 0)
+    n = min(len(va_got), lines - first)
+    err = (np.abs(va_got[:n].astype(float)
+                  - img[first:first + n, 86:995].astype(float))
+           if n else np.asarray([255.0]))
+    ok = info["lines"] >= lines - 2 and float(np.median(err)) <= 3.0
+    return {"name": "apt", "ok": bool(ok), "lines": info["lines"],
+            "median_err": round(float(np.median(err)), 2)}
+
+
 VALIDATORS = [val_ssb, val_cw_morse, val_ais, val_aprs, val_adsb,
-              val_pocsag, val_rtty, val_rds]
+              val_pocsag, val_rtty, val_rds, val_apt]
 
 
 def main():
