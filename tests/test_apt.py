@@ -103,3 +103,32 @@ def test_apt_decode_cli(tmp_path, monkeypatch, capsys):
     assert len(payload) == w * h
     # wrong rate: clean error
     assert apt_main(["apt.f32", "-s", "44100"]) == 1
+
+
+@pytest.mark.parametrize("dt", [2, 8])
+def test_apt_chain_shards(dt):
+    """The APT receiver chain (NCO mix + FIR + per-shard coherent detection
+    + decimator) sharded over time matches the serial Pipeline: the carrier
+    phase estimate is per-shard but the underlying phase is one global
+    constant, so shards agree to float precision."""
+    import jax
+    from jax.sharding import Mesh
+    from csdr_tpu.core.runtime import Pipeline, decode_tree_host
+    from csdr_tpu.parallel.generic import ShardedChain
+
+    if dt > len(jax.devices()):
+        pytest.skip("not enough devices")
+    mesh = Mesh(np.asarray(jax.devices()[:dt]).reshape(dt, 1), ("time", "ch"))
+    img = _test_image(lines=4, seed=4)
+    audio = apt.apt_modulate(img, FS)
+    g = apt.apt_receiver(FS)
+    n = (len(audio) // (2 * g.granule * dt)) * (g.granule * dt)
+    ref_pipe = Pipeline(g, n, donate=False)
+    sc = ShardedChain(apt.apt_receiver(FS), mesh, n)
+    st = sc.init()
+    for i in range(2):
+        blk = np.asarray(audio[i * n:(i + 1) * n], np.float32)
+        ref = np.asarray(decode_tree_host(ref_pipe.process_block(blk)))
+        st, y = sc.step(st, blk)
+        got = np.asarray(decode_tree_host(y))
+        np.testing.assert_allclose(got, ref, rtol=0, atol=2e-3)
