@@ -28,13 +28,16 @@ __all__ = ["lookup", "record", "sweep", "cache_path", "DEFAULTS"]
 
 _CACHE_ENV = "CSDR_AUTOTUNE_CACHE"
 
-# Static fallbacks when no cache entry exists (measured round-1/2 values on
-# the real chip; see STATUS.md performance table).
+# Static fallbacks when no cache entry exists (measured on the real chip;
+# see STATUS.md / docs/PERF.md).  The wide-kernel pins follow the round-4
+# re-pin under the split2+nco_fold schedule: 2048 → 4096 measured +9.1% u8
+# / +8.3% f32 (KERNEL_TILEF_r04 / KERNEL_TILEF_F32_r04, scan-paired); a
+# stale 512 fallback would cost >50% whenever the cache file is absent.
 DEFAULTS = {
     "flagship_fused": 256,
     "flagship_fused:u8": 512,   # 1024 exceeds 16 MB VMEM with bf16_3x temps
-    "flagship_fused_wide": 512,
-    "flagship_fused_wide:u8": 512,
+    "flagship_fused_wide": 4096,
+    "flagship_fused_wide:u8": 4096,
     "pfb_fused": 1024,
     "pfb_chan_only": 1024,
     "fftfir": 0,  # fftfir has no tileF; placeholder key for future knobs
