@@ -30,6 +30,7 @@ SPEC = {
     "BACKENDS_r05.json": ("healthy", ["msps_per_backend"]),
     "RECEIVERS_r05.json": ("all_ok", ["rows"]),
     "KERNEL_DCPIPE4K_r05.json": ("healthy", ["pairs"]),
+    "ABLATION_r05.json": ("healthy", ["ladder", "stages"]),
     # standing watcher log: window_found=False is an expected state (the
     # ≥50 MSPS ask is relay-metered; the watcher records every attempt)
     "STREAMING_WATCH_r05.json": (None, ["attempts", "model"]),
