@@ -250,8 +250,34 @@ def val_apt():
             "median_err": round(float(np.median(err)), 2)}
 
 
+def val_sstv():
+    from csdr_tpu.models import sstv
+
+    FS = 11025.0
+    rng = np.random.default_rng(7)
+    lines, px = 4, 320
+    t = np.arange(px)
+    img = np.zeros((lines, px, 3), np.float64)
+    for ln in range(lines):
+        img[ln, :, 0] = 128 + 100 * np.sin(2 * np.pi * t / px + ln)
+        img[ln, :, 1] = np.clip(255 * t / px, 0, 255)
+        img[ln, :, 2] = 60 + 30 * np.cos(4 * np.pi * t / px + rng.uniform())
+    img = np.asarray(np.rint(img), np.uint8)
+    audio = sstv.sstv_modulate(img, FS, mode="martin1")
+    freq = _run(sstv.sstv_receiver(FS), audio.astype(np.float32), 1 << 15)
+    got, info = sstv.decode_freq(freq, FS)
+    n = min(len(got), lines)
+    err = (np.abs(got[:n].astype(float) - img[:n].astype(float))
+           if n else np.asarray([255.0]))
+    ok = (info["mode"] == "martin1" and info["lines"] >= lines - 1
+          and float(np.median(err)) <= 4.0)
+    return {"name": "sstv", "ok": bool(ok), "mode": info["mode"],
+            "lines": info["lines"],
+            "median_err": round(float(np.median(err)), 2)}
+
+
 VALIDATORS = [val_ssb, val_cw_morse, val_ais, val_aprs, val_adsb,
-              val_pocsag, val_rtty, val_rds, val_apt]
+              val_pocsag, val_rtty, val_rds, val_apt, val_sstv]
 
 
 def main():
