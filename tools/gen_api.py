@@ -76,7 +76,7 @@ def main():
     from csdr_tpu.core import block as cblock, runtime, checkpoint, sharding
     from csdr_tpu.utils import firdes, iirdes, testsig, prof, autotune
     from csdr_tpu.io import rtl_tcp, soapy, sources, sinks
-    from csdr_tpu.ops import fir as ops_fir
+    from csdr_tpu.ops import fec, fir as ops_fir
     from csdr_tpu.ops.pallas import fftfir
 
     out = ["# API reference (auto-generated — `python tools/gen_api.py`)\n"]
@@ -122,6 +122,7 @@ def main():
     section("core.checkpoint", checkpoint, None, out)
     section("core.runtime (boundary codec)", runtime,
             ["CEnc", "resume_pipeline"], out)
+    section("ops.fec (convolutional FEC / Viterbi)", fec, None, out)
     section("ops.pallas.fftfir (overlap-save FFT FIR)", fftfir, None, out)
     section("utils.firdes", firdes, None, out)
     section("utils.iirdes", iirdes, None, out)
