@@ -28,7 +28,7 @@ from ..ops.constants import jnp_const
 
 __all__ = ["CONSTELLATIONS", "constellation", "bits_per_symbol", "modulate",
            "hard_decision", "soft_llrs", "symbols_to_bits", "SoftDecision",
-           "soft_decision"]
+           "soft_decision", "coded_packet_modulate", "coded_packet_demodulate"]
 
 
 def _gray(n: int) -> np.ndarray:
@@ -162,3 +162,55 @@ class SoftDecision(Block):
 
 def soft_decision(ms: str, noise_var: float = 0.1) -> Block:
     return SoftDecision(ms, noise_var)
+
+
+# ---- coded packet loopback (round 5: ops/fec.py joined to the modem) ----
+
+_PREAMBLE_BITS = 64  # 0101... sync/AGC run before the coded payload
+
+
+def coded_packet_modulate(payload_bits, ms: str = "qpsk",
+                          polys=None, K: int = 7):
+    """Payload bits → preamble + length word + conv-coded symbols — the
+    transmit side of a complete FEC-protected packet link over any
+    constellation in CONSTELLATIONS (`coded_packet_demodulate` inverts
+    it; tests run the pair through AWGN + phase offset)."""
+    from ..ops import fec
+
+    if polys is None:
+        polys = fec.CCSDS_POLYS
+    payload_bits = np.asarray(payload_bits, np.int64) & 1
+    n = len(payload_bits)
+    length = [(n >> (15 - i)) & 1 for i in range(16)]
+    frame = np.concatenate([length, payload_bits])
+    coded = fec.conv_encode(frame, tuple(polys), K)
+    pre = np.tile([0, 1], _PREAMBLE_BITS // 2)
+    bits = np.concatenate([pre, coded])
+    bps = bits_per_symbol(ms)
+    if len(bits) % bps:
+        bits = np.concatenate([bits, np.zeros(bps - len(bits) % bps,
+                                              np.int64)])
+    return modulate(bits, ms)
+
+
+def coded_packet_demodulate(symbols, ms: str = "qpsk", noise_var: float = 0.1,
+                            polys=None, K: int = 7):
+    """Tracked symbols (timing/carrier recovered — e.g. `sym_tracker`
+    output) → decoded payload bits or None.  Soft LLRs feed the Viterbi
+    directly; the 16-bit length word delimits the payload."""
+    from ..ops import fec
+
+    if polys is None:
+        polys = fec.CCSDS_POLYS
+    bps = bits_per_symbol(ms)
+    llr = np.asarray(soft_llrs(symbols, ms, noise_var)).reshape(-1)
+    G = len(polys)
+    body = llr[_PREAMBLE_BITS:]
+    body = body[: (len(body) // G) * G]
+    dec = np.asarray(fec.viterbi_decode(body, tuple(polys), K))
+    if len(dec) < 16:
+        return None
+    n = int("".join(str(int(b)) for b in dec[:16]), 2)
+    if n < 0 or 16 + n > len(dec):
+        return None
+    return dec[16:16 + n]
