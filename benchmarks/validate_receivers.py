@@ -276,8 +276,33 @@ def val_sstv():
             "median_err": round(float(np.median(err)), 2)}
 
 
+def val_beacon():
+    import jax
+    from csdr_tpu.models import beacon
+
+    rng = np.random.default_rng(11)
+    msg = rng.integers(0, 2, beacon.MESSAGE_BITS)
+    x = beacon.beacon_modulate(msg, spsym=64)
+    sigma = np.sqrt(10.0 ** (1.3) / 2.0)          # -13 dB SNR
+    noisy = (x + sigma * (rng.normal(size=len(x))
+                          + 1j * rng.normal(size=len(x)))).astype(np.complex64)
+    # device half on the real chip: tone energies via the MXU matmul,
+    # complex-free boundary (ship planes, assemble inside jit)
+    planes = np.stack([noisy.real, noisy.imag], -1).astype(np.float32)
+    e = jax.jit(lambda p: beacon.tone_energies(
+        jax.lax.complex(p[:, 0], p[:, 1]), 64))(planes)
+    e_host = np.asarray(e)
+    # host half reuses the same energies through the normal decode path
+    got, info = beacon.beacon_decode(noisy, spsym=64)
+    ok = (got is not None and np.array_equal(got, msg)
+          and np.allclose(e_host[:8], np.asarray(
+              beacon.tone_energies(noisy, 64))[:8], rtol=1e-3))
+    return {"name": "beacon", "ok": bool(ok), "snr_db": -13.0,
+            "crc_ok": bool(info.get("crc_ok"))}
+
+
 VALIDATORS = [val_ssb, val_cw_morse, val_ais, val_aprs, val_adsb,
-              val_pocsag, val_rtty, val_rds, val_apt, val_sstv]
+              val_pocsag, val_rtty, val_rds, val_apt, val_sstv, val_beacon]
 
 
 def main():
