@@ -281,6 +281,7 @@ def val_beacon():
     from csdr_tpu.models import beacon
 
     rng = np.random.default_rng(11)
+    tone_host = lambda v: np.asarray(beacon.tone_energies(v, 64))
     msg = rng.integers(0, 2, beacon.MESSAGE_BITS)
     x = beacon.beacon_modulate(msg, spsym=64)
     sigma = np.sqrt(10.0 ** (1.3) / 2.0)          # -13 dB SNR
@@ -289,14 +290,12 @@ def val_beacon():
     # device half on the real chip: tone energies via the MXU matmul,
     # complex-free boundary (ship planes, assemble inside jit)
     planes = np.stack([noisy.real, noisy.imag], -1).astype(np.float32)
-    e = jax.jit(lambda p: beacon.tone_energies(
-        jax.lax.complex(p[:, 0], p[:, 1]), 64))(planes)
-    e_host = np.asarray(e)
-    # host half reuses the same energies through the normal decode path
+    e_dev = np.asarray(jax.jit(
+        lambda p: beacon.tone_energies_device(p, 64))(planes))
+    # host half: the full sync-search + Viterbi decode path
     got, info = beacon.beacon_decode(noisy, spsym=64)
     ok = (got is not None and np.array_equal(got, msg)
-          and np.allclose(e_host[:8], np.asarray(
-              beacon.tone_energies(noisy, 64))[:8], rtol=1e-3))
+          and np.allclose(e_dev[:8], tone_host(noisy)[:8], rtol=1e-3))
     return {"name": "beacon", "ok": bool(ok), "snr_db": -13.0,
             "crc_ok": bool(info.get("crc_ok"))}
 

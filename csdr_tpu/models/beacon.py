@@ -38,7 +38,8 @@ from ..ops import fec
 
 __all__ = [
     "MESSAGE_BITS", "PAYLOAD_BITS", "N_SYMBOLS", "sync_chips", "crc8",
-    "beacon_modulate", "tone_energies", "beacon_decode",
+    "beacon_modulate", "tone_energies", "tone_energies_device",
+    "beacon_decode",
 ]
 
 MESSAGE_BITS = 56                    # user bits per transmission
@@ -95,16 +96,31 @@ def beacon_modulate(message: np.ndarray, spsym: int = 64,
     return (amplitude * np.exp(1j * ph)).astype(np.complex64)
 
 
-def tone_energies(x, spsym: int):
-    """Complex baseband (T·spsym,) at a candidate alignment → (T, 4) tone
-    energies — ONE complex matmul against the tone basis (jit-friendly;
-    this is the device half of the receiver)."""
+def tone_energies(x: np.ndarray, spsym: int) -> np.ndarray:
+    """HOST half: complex baseband (T·spsym,) at a candidate alignment →
+    (T, 4) tone energies (numpy — the sync search calls this per candidate
+    on tiny panels, and a host complex array must never be uploaded on the
+    axon TPU backend, docs/TPU_BACKEND_NOTES.md)."""
+    M = len(x) // spsym
+    xs = np.asarray(x[: M * spsym]).reshape(M, spsym)
+    return np.abs(xs @ _tone_matrix(spsym))
+
+
+def tone_energies_device(planes, spsym: int):
+    """DEVICE half: (n, 2) float32 re/im planes (complex-free jit
+    boundary) → (T, 4) tone energies as ONE MXU complex matmul.  Use under
+    jit; numerically identical to `tone_energies` (validator-checked on
+    chip)."""
+    import jax
     import jax.numpy as jnp
 
-    M = len(x) // spsym
-    xs = jnp.asarray(x[: M * spsym]).reshape(M, spsym)
+    x = jax.lax.complex(planes[:, 0], planes[:, 1])
+    M = planes.shape[0] // spsym
+    xs = x[: M * spsym].reshape(M, spsym)
     C = _tone_matrix(spsym)
-    corr = xs @ jnp.asarray(C)               # (M, 4) complex
+    corr = xs @ jax.lax.complex(
+        jnp.asarray(np.ascontiguousarray(C.real)),
+        jnp.asarray(np.ascontiguousarray(C.imag)))
     return jnp.abs(corr)
 
 
