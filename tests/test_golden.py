@@ -92,3 +92,37 @@ def test_golden_ais_chain(gold):
     assert np.array_equal(np.asarray(lv), gold["ais_levels"])
     msgs = ais.decode_bits(np.asarray(lv))
     assert [m["mmsi"] for m in msgs] == [257123456, 366998410], msgs
+
+
+def test_golden_apt_chain(gold):
+    from csdr_tpu.models import apt
+
+    fs = 8 * apt.WORD_RATE
+    words = _run(apt.apt_receiver(fs), gold["in_apt_audio"], 1 << 16)
+    _check(np.asarray(words, np.float32), gold["apt_words"], "apt_words")
+    img, info = apt.decode_words(np.asarray(words))
+    # calibrated luminance bytes are pinned EXACTLY
+    assert img.shape == gold["apt_image"].shape
+    assert np.array_equal(img, gold["apt_image"]), "apt image drifted"
+
+
+def test_golden_sstv_chain(gold):
+    from csdr_tpu.models import sstv
+
+    fs = 11025.0
+    freq = _run(sstv.sstv_receiver(fs), gold["in_sstv_audio"], 1 << 15)
+    _check(np.asarray(freq, np.float32), gold["sstv_freq"], "sstv_freq")
+    img, info = sstv.decode_freq(np.asarray(freq), fs)
+    assert info["mode"] == "martin1"
+    assert img.shape == gold["sstv_image"].shape
+    assert np.array_equal(img, gold["sstv_image"]), "sstv image drifted"
+
+
+def test_golden_beacon_decode(gold):
+    from csdr_tpu.models import beacon
+
+    noisy = (gold["in_beacon_re"] + 1j * gold["in_beacon_im"]).astype(
+        np.complex64)
+    got, info = beacon.beacon_decode(noisy, spsym=64)
+    assert got is not None and info["crc_ok"]
+    assert np.array_equal(got, gold["beacon_message"]), "beacon drifted"
