@@ -31,6 +31,7 @@ SPEC = {
     "RECEIVERS_r05.json": ("all_ok", ["rows"]),
     "KERNEL_DCPIPE4K_r05.json": ("healthy", ["pairs"]),
     "ABLATION_r05.json": ("healthy", ["ladder", "stages"]),
+    "FEC_r05.json": ("healthy", ["rows"]),
     # standing watcher log: window_found=False is an expected state (the
     # ≥50 MSPS ask is relay-metered; the watcher records every attempt)
     "STREAMING_WATCH_r05.json": (None, ["attempts", "model"]),
