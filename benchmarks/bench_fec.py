@@ -69,16 +69,25 @@ def main():
             float(jax.device_get(p))
             return time.perf_counter() - t0
 
-        best = 0.0
+        # median of per-rep slopes, POSITIVE slopes only: a relay hiccup
+        # during the short run inflates tA and can collapse the slope
+        # toward zero (or below), which max() would commit as an
+        # arbitrarily inflated artifact value — the same failure mode the
+        # ladder probes defend against with medians (docs/PERF.md §4)
+        vals = []
         for _ in range(reps):
             tA = run_n(2)
             tB = run_n(8)
             slope = (tB - tA) / 6.0            # s per iteration
-            mbps = batch * msg_bits / slope / 1e6
-            best = max(best, mbps)
+            if slope > 0:
+                vals.append(batch * msg_bits / slope / 1e6)
+        vals.sort()
+        med = vals[len(vals) // 2] if vals else 0.0
         rows.append({"batch": batch, "msg_bits": msg_bits,
-                     "decoded_Mbps": round(best, 2)})
-        print(f"# batch {batch:4d}: {best:10.2f} Mbit/s decoded", flush=True)
+                     "decoded_Mbps": round(med, 2),
+                     "reps_kept": len(vals), "reps": reps})
+        print(f"# batch {batch:4d}: {med:10.2f} Mbit/s decoded "
+              f"({len(vals)}/{reps} reps usable)", flush=True)
 
     rec = {"ts": time.time(), "K": 7, "rate": "1/2",
            "protocol": "two-point slope (2 vs 8 chained dispatches), "

@@ -132,24 +132,30 @@ def apt_modulate(image: np.ndarray, sample_rate: float,
 
 
 def find_sync(words: np.ndarray) -> np.ndarray:
-    """Positions of sync-A trains in a 4160 Hz word stream (normalized
-    cross-correlation with the mean-removed template, peaks gated at half
-    the best score and deduplicated to one per line)."""
+    """Positions of sync-A trains in a 4160 Hz word stream.
+
+    True normalized cross-correlation (windowed local mean/variance, so
+    the score lives in [−1, 1]) against the band-limited template, an
+    ABSOLUTE floor of 0.55, dedup to one candidate per line, and a
+    structural gate: a real APT transmission repeats the train every
+    LINE_WORDS, so candidates without a partner one line away (±2 words)
+    are rejected — pure noise, whose best 39-word NCC can reach ~0.6 by
+    chance over thousands of offsets, produces no consistent spacing and
+    decodes to zero lines (a relative-threshold version of this gate
+    fabricated lines from noise; caught in round-5 review)."""
     w = np.asarray(words, np.float64)
     tpl = _SYNC_A_BL - _SYNC_A_BL.mean()
     tpl /= np.sqrt((tpl ** 2).sum())
-    if len(w) < len(tpl):
-        return np.zeros(0, np.int64)
-    # sliding normalized correlation (valid mode)
-    c = np.correlate(w - w.mean(), tpl, mode="valid")
-    # local energy for normalization
     k = len(tpl)
-    csum = np.concatenate([[0.0], np.cumsum(w ** 2)])
-    e = np.sqrt(np.maximum(csum[k:] - csum[:-k], 1e-12))
-    score = c / e
-    thr = 0.5 * score.max()
-    cand = np.flatnonzero(score >= thr)
-    # dedup: keep the best candidate of each cluster (< half line apart)
+    if len(w) < k:
+        return np.zeros(0, np.int64)
+    c = np.correlate(w, tpl, mode="valid")     # tpl is zero-mean
+    csum = np.concatenate([[0.0], np.cumsum(w)])
+    csum2 = np.concatenate([[0.0], np.cumsum(w ** 2)])
+    mean = (csum[k:] - csum[:-k]) / k
+    var = np.maximum((csum2[k:] - csum2[:-k]) - k * mean ** 2, 1e-12)
+    score = c / np.sqrt(var)                   # NCC in [-1, 1]
+    cand = np.flatnonzero(score >= 0.55)
     out = []
     for i in cand:
         if out and i - out[-1] < LINE_WORDS // 2:
@@ -157,7 +163,13 @@ def find_sync(words: np.ndarray) -> np.ndarray:
                 out[-1] = i
         else:
             out.append(i)
-    return np.asarray(out, np.int64)
+    out = np.asarray(out, np.int64)
+    if len(out) < 2:
+        return np.zeros(0, np.int64)
+    d = np.abs(out[:, None] - out[None, :])
+    has_partner = (np.abs(d - LINE_WORDS) <= 2).any(axis=1)
+    out = out[has_partner]
+    return out if len(out) >= 2 else np.zeros(0, np.int64)
 
 
 def decode_words(words: np.ndarray) -> tuple[np.ndarray, dict]:

@@ -84,11 +84,10 @@ def beacon_modulate(message: np.ndarray, spsym: int = 64,
     if len(message) != MESSAGE_BITS:
         raise ValueError(f"message must be {MESSAGE_BITS} bits")
     payload = np.concatenate([message, crc8(message)])
-    coded = fec.conv_encode(payload)          # (N_SYMBOLS,) bit-interleaved
-    bits = coded.reshape(-1, 2)
-    # one coded bit per symbol, generator-alternating (the natural
-    # interleave: adjacent symbols carry different generators' bits)
-    data = bits.reshape(-1)[:N_SYMBOLS]
+    # conv_encode emits generator-interleaved bits (g0,g1,g0,g1,...) -
+    # one coded bit per symbol, so adjacent symbols naturally carry
+    # different generators' bits
+    data = fec.conv_encode(payload)[:N_SYMBOLS]
     tones = 2 * data + sync_chips()
     # phase-continuous FM: per-sample frequency = tone/spsym cycles/sample
     freq = np.repeat(tones.astype(np.float64) / spsym, spsym)
@@ -168,7 +167,9 @@ def beacon_decode(x: np.ndarray, spsym: int = 64, search: int | None = None,
     _, off0, f0 = scored[0]
     # fine offset refinement around the winner
     best_m, best_e, best_off = -np.inf, None, off0
-    for off in range(max(0, off0 - 3), off0 + 4):
+    # ±4 covers the full coarse stride (spsym//8 = 8 at the default):
+    # ±3 left one offset per coarse period unreachable (round-5 review)
+    for off in range(max(0, off0 - 4), off0 + 5):
         r = score_at(off, f0)
         if r is not None and r[0] > best_m:
             best_m, best_e, best_off = r[0], r[1], off

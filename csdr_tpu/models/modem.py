@@ -181,6 +181,9 @@ def coded_packet_modulate(payload_bits, ms: str = "qpsk",
         polys = fec.CCSDS_POLYS
     payload_bits = np.asarray(payload_bits, np.int64) & 1
     n = len(payload_bits)
+    if n > 0xFFFF:
+        raise ValueError(
+            f"payload {n} bits exceeds the 16-bit length word (65535)")
     length = [(n >> (15 - i)) & 1 for i in range(16)]
     frame = np.concatenate([length, payload_bits])
     coded = fec.conv_encode(frame, tuple(polys), K)

@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import blocks as B
-from ..core.block import Block, chain
+from ..core.block import Block, Lambda, chain
 
 __all__ = [
     "MODES", "sstv_receiver", "sstv_modulate", "decode_vis", "find_syncs",
@@ -62,19 +62,12 @@ def sstv_receiver(sample_rate: float, kf: float = 0.5) -> Block:
     # pass ±800 Hz (sync 1200 = center−700), stop by the image at −3000
     fc = 0.5 * (800.0 + 3000.0) / sample_rate
     scale = np.float32(kf * sample_rate)
-
-    class ToHz(Block):
-        stateless = True
-        name = "freq_to_hz"
-
-        def apply(self, state, x):
-            return state, np.float32(_F_CENTER) + x * scale
-
     return chain(
         B.mix_down(omega),
         B.fir_filter_c_kaiser(161, fc, as_db=60.0),
         B.fm_demodulator(kf),
-        ToHz(),
+        Lambda(lambda x: np.float32(_F_CENTER) + x * scale,
+               name="freq_to_hz"),
     )
 
 
@@ -158,7 +151,8 @@ def decode_vis(freq: np.ndarray, sample_rate: float):
 
 
 def find_syncs(freq: np.ndarray, sample_rate: float, start: int = 0):
-    """Start indices of line sync pulses (≥3 ms below 1350 Hz)."""
+    """Start indices of line sync pulses (≥3 ms below 1250 Hz — the
+    same 1200-vs-1300 separating threshold decode_vis explains)."""
     sync = (freq[start:] < 1250.0).astype(np.int8)
     d = np.diff(np.concatenate([[0], sync, [0]]))
     begins = np.flatnonzero(d == 1)

@@ -80,6 +80,16 @@ def test_decode_words_empty_and_short():
     assert img1.shape[0] == 0  # no sync, no lines
 
 
+def test_pure_noise_fabricates_no_lines():
+    """Round-5 review regression: a relative correlation threshold decoded
+    3 'lines' from pure noise — the absolute NCC floor + the line-spacing
+    structural gate must reject signal-free input of ANY length."""
+    rng = np.random.default_rng(8)
+    for n_lines in (1, 3, 8):
+        img, info = apt.decode_words(rng.uniform(0, 1, n_lines * apt.LINE_WORDS))
+        assert info["lines"] == 0, (n_lines, info)
+
+
 def test_modulate_validates_shape():
     with pytest.raises(ValueError):
         apt.apt_modulate(np.zeros((2, 100), np.uint8), FS)
