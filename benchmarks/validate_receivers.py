@@ -300,8 +300,32 @@ def val_beacon():
             "crc_ok": bool(info.get("crc_ok"))}
 
 
+def val_wefax():
+    from csdr_tpu.models import wefax
+
+    FS = 12000.0
+    rng = np.random.default_rng(13)
+    t = np.arange(wefax.PX_PER_LINE)
+    img = np.zeros((4, wefax.PX_PER_LINE), np.float64)
+    for ln in range(4):
+        img[ln] = 200 - 150 * (0.5 + 0.5 * np.sin(
+            2 * np.pi * (ln + 2) * t / wefax.PX_PER_LINE + rng.uniform()))
+    img = np.asarray(np.rint(img), np.uint8)
+    audio = wefax.wefax_modulate(img, FS)
+    freq = _run(wefax.wefax_receiver(FS), audio.astype(np.float32), 1 << 16)
+    got, info = wefax.decode_freq(freq, FS)
+    n = min(len(got), 4)
+    err = (np.abs(got[:n].astype(float) - img[:n].astype(float))
+           if n else np.asarray([255.0]))
+    ok = info["lines"] >= 3 and float(np.median(err)) <= 4.0
+    return {"name": "wefax", "ok": bool(ok), "lines": info["lines"],
+            "median_err": round(float(np.median(err)), 2),
+            "phasing_score": round(info["phasing_score"], 3)}
+
+
 VALIDATORS = [val_ssb, val_cw_morse, val_ais, val_aprs, val_adsb,
-              val_pocsag, val_rtty, val_rds, val_apt, val_sstv, val_beacon]
+              val_pocsag, val_rtty, val_rds, val_apt, val_sstv, val_beacon,
+              val_wefax]
 
 
 def main():

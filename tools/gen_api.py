@@ -70,7 +70,7 @@ def section(title: str, module, names=None, out=None):
 def main():
     import csdr_tpu as cs
     from csdr_tpu import blocks, io as cio, models
-    from csdr_tpu.models import adsb, ais, aprs, apt, beacon, sstv, hdlc, modem, morse, pocsag, receivers, rds, rtty, stereo, symsync
+    from csdr_tpu.models import adsb, ais, aprs, apt, beacon, sstv, wefax, hdlc, modem, morse, pocsag, receivers, rds, rtty, stereo, symsync
     from csdr_tpu import parallel
     from csdr_tpu.parallel import generic as pgeneric, channelized, flagship, mesh, runner
     from csdr_tpu.core import block as cblock, runtime, checkpoint, sharding
@@ -116,6 +116,7 @@ def main():
     section("models.apt (NOAA APT weather-image receiver)", apt, None, out)
     section("models.sstv (SSTV Martin image receiver)", sstv, None, out)
     section("models.beacon (coded 4-FSK weak-signal beacon)", beacon, None, out)
+    section("models.wefax (HF radiofax chart receiver)", wefax, None, out)
     section("parallel (multi-chip runtimes)", parallel, None, out)
     section("parallel.flagship (production kernel under the mesh)", flagship, None, out)
     section("parallel.generic (any-chain sharding)", pgeneric, None, out)
