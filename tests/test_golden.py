@@ -126,3 +126,24 @@ def test_golden_beacon_decode(gold):
     got, info = beacon.beacon_decode(noisy, spsym=64)
     assert got is not None and info["crc_ok"]
     assert np.array_equal(got, gold["beacon_message"]), "beacon drifted"
+
+
+def test_golden_wefax_chain(gold):
+    from csdr_tpu.models import wefax
+
+    fs = 12000.0
+    freq = _run(wefax.wefax_receiver(fs), gold["in_wefax_audio"], 1 << 15)
+    _check(np.asarray(freq, np.float32), gold["wefax_freq"], "wefax_freq")
+    img, info = wefax.decode_freq(np.asarray(freq), fs)
+    assert img.shape == gold["wefax_image"].shape
+    assert np.array_equal(img, gold["wefax_image"]), "wefax chart drifted"
+
+
+def test_golden_coded_modem(gold):
+    from csdr_tpu.models import modem
+
+    sym = (gold["in_modem_re"] + 1j * gold["in_modem_im"]).astype(
+        np.complex64)
+    got = modem.coded_packet_demodulate(sym, ms="qpsk", noise_var=0.25)
+    assert got is not None
+    assert np.array_equal(got, gold["modem_payload"]), "modem/FEC drifted"
